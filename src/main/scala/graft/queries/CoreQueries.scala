@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Core relational coverage: scans, filters, aggregation, sort/limit,
+  * window surrogate keys (SURVEY §2.1 S2/S3, §2.4, §2.5).
+  *
+  * Output conventions shared by every query in the engine's oracle harness:
+  *  - deterministic total ordering (ORDER BY on key columns, no nulls in
+  *    sort keys unless NULLS FIRST is mirrored in the oracle SQL);
+  *  - integer outputs cast to int/bigint identically on both sides;
+  *  - money math in exact decimal, surfaced as double (exact decimal →
+  *    nearest-double is deterministic in both engines — avoids both FP
+  *    summation order and decimal precision-width mismatches).
+  */
+object CoreQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary: partial agg (map-side combine) +
+    // final hash agg; at cluster scale this shuffles only 4 groups.
+    "q1_pricing_summary" -> { (s, d) =>
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum((dec("l_extendedprice") * (lit(BigDecimal(1)) - dec("l_discount")))
+            .cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // S3: parquet scan with filter + projection — both must reach the scan
+    // (PushedFilters / ReadSchema) so a 100 TB scan reads 2 columns, not 11.
+    "s3_parquet_scan_pushdown" -> { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // S2: incremental day scan — the reference's `created_at::DATE = ds-1`
+    // delta predicate (extract.py:41-43) over the orders table.
+    "s2_incremental_day_scan" -> { (s, d) =>
+      orders(s, d)
+        .filter(to_date(col("o_orderdate")) === date_sub(to_date(lit("1996-06-02")), 1))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // §2.5 sort + limit (top-K by price; deterministic tie-break).
+    "sort_limit_topk" -> { (s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(5)
+    },
+
+    // §2.5 surrogate keys: row_number over natural-key order + offset —
+    // what the reference delegates to Postgres BIGSERIAL. A global window
+    // is a single-partition sort; fine for dimension tables (small), and
+    // the documented alternative at fact scale is zipWithIndex/monotonic id.
+    "w1_surrogate_keys" -> { (s, d) =>
+      val w = Window.orderBy(col("c_custkey"))
+      customer(s, d)
+        .select(col("c_custkey"), col("c_name"))
+        .withColumn("sk_customer_id", row_number().over(w) + lit(100L))
+        .orderBy(col("c_custkey"))
+    },
+
+    // P3: emptiness short-circuit surfaced as a 1-row boolean (the
+    // reference gates whole jobs on df.isEmpty).
+    "p3_emptiness_gate" -> { (s, d) =>
+      val empty  = orders(s, d).filter(col("o_totalprice") < -1)
+      val loaded = orders(s, d).filter(col("o_totalprice") >= 0)
+      s.range(1).select(
+        lit(empty.isEmpty).as("skip_empty_input"),
+        lit(loaded.isEmpty).as("skip_loaded_input"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "s3_parquet_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s2_incremental_day_scan" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE CAST(o_orderdate AS DATE) = DATE '1996-06-02' - INTERVAL 1 DAY
+        |ORDER BY o_orderkey""".stripMargin,
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5""".stripMargin,
+    "w1_surrogate_keys" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(row_number() OVER (ORDER BY c_custkey) + 100 AS BIGINT) AS sk_customer_id
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "p3_emptiness_gate" ->
+      """SELECT (SELECT count(*) FROM orders WHERE o_totalprice < -1) = 0 AS skip_empty_input,
+        |       (SELECT count(*) FROM orders WHERE o_totalprice >= 0) = 0 AS skip_loaded_input""".stripMargin
+  )
+}

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Reads the Verify output dir (per-query parquet + oracle_sql.json), runs each
+oracle SQL in DuckDB over the same testdata parquet, and compares: column
+names (sorted), dtypes (loosely), row count, and values (exact, after
+sorting columns by name). Usage:
+
+    python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+def values_equal(a, b) -> bool:
+    if a.shape != b.shape: return False
+    for col in a.columns:
+        x, y = a[col], b[col]
+        for xv, yv in zip(x, y):
+            xn, yn = pd.isna(xv), pd.isna(yv)
+            try:
+                if bool(xn) != bool(yn): return False
+                if not xn and xv != yv:
+                    if isinstance(xv, float) and isinstance(yv, float):
+                        if xv != yv: return False
+                    else:
+                        return False
+            except (ValueError, TypeError):
+                if str(xv) != str(yv): return False
+    return True
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    fails = []
+    for name in sorted(oracle):
+        sql = oracle[name]
+        pq_dir = f"{out_dir}/{name}"
+        if not glob.glob(f"{pq_dir}/*.parquet"):
+            print(f"FAIL {name}: no spark output"); n_fail += 1; fails.append(name); continue
+        try:
+            spark_df = norm(pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{pq_dir}/*.parquet"))]))
+            duck_df = norm(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; fails.append(name); continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+            n_fail += 1; fails.append(name); continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+            n_fail += 1; fails.append(name); continue
+        if not values_equal(spark_df, duck_df):
+            diff_cols = []
+            for col in spark_df.columns:
+                if not values_equal(spark_df[[col]], duck_df[[col]]):
+                    diff_cols.append(col)
+            print(f"FAIL {name}: value mismatch in cols {diff_cols}")
+            for col in diff_cols[:3]:
+                mism = [(i, spark_df[col][i], duck_df[col][i])
+                        for i in range(len(spark_df))
+                        if (pd.isna(spark_df[col][i]) != pd.isna(duck_df[col][i]))
+                        or (not pd.isna(spark_df[col][i]) and spark_df[col][i] != duck_df[col][i])][:5]
+                print(f"    {col}: {mism}")
+            n_fail += 1; fails.append(name); continue
+        dtypes = dict(zip(spark_df.columns, spark_df.dtypes)), dict(zip(duck_df.columns, duck_df.dtypes))
+        dtype_note = "" if str(dtypes[0]) == str(dtypes[1]) else \
+            " [dtype diff: " + ", ".join(f"{c}:{dtypes[0][c]}|{dtypes[1][c]}"
+                for c in spark_df.columns if str(dtypes[0][c]) != str(dtypes[1][c])) + "]"
+        print(f"PASS {name} ({len(spark_df)} rows){dtype_note}")
+        n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed" + (f": {fails}" if fails else ""))
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
