@@ -42,12 +42,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.CleaningQueries.queries ++
-      graft.queries.DimDateQueries.queries
+      graft.queries.DimDateQueries.queries ++
+      graft.queries.WarehouseQueries.queries ++
+      graft.queries.ProfilerQueries.queries ++
+      graft.queries.JoinQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
       graft.queries.CleaningQueries.oracle ++
-      graft.queries.DimDateQueries.oracle
+      graft.queries.DimDateQueries.oracle ++
+      graft.queries.WarehouseQueries.oracle ++
+      graft.queries.ProfilerQueries.oracle ++
+      graft.queries.JoinQueries.oracle
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Cleaning
+
+/** Star-schema builders — the engine's version of the reference's
+  * warehouse transforms (`dags/vcapital_warehouse/tasks/components/
+  * extract_transform.py`). IO is injected: each builder takes input
+  * DataFrames and returns the dim/fact DataFrame, so the same logic runs
+  * against JDBC staging tables, lake parquet, or test fixtures.
+  *
+  * Scale design vs the reference:
+  *  - dims joined to facts are explicitly `broadcast()` when used as pure
+  *    key-lookup sides (the reference relies on the implicit 10 MB
+  *    threshold); at 100 TB fact scale the dim side must never shuffle
+  *    the fact. If a dim outgrows broadcast, dropping the hint falls back
+  *    to sort-merge automatically — the builders take a `broadcastDims`
+  *    flag for that.
+  *  - date-dimension joins select only `date_id` before the join (the
+  *    reference joins all 25 dim_date columns and lets pruning fix it).
+  *  - surrogate keys: the reference delegates to Postgres BIGSERIAL at
+  *    load time (init_dwh.sql:32 etc.). In-engine, dims get dense stable
+  *    keys via row_number over the natural-key order; facts get
+  *    `monotonically_increasing_id`-based keys (no global sort at scale).
+  */
+object Warehouse {
+
+  private def maybeBroadcast(df: DataFrame, on: Boolean): DataFrame =
+    if (on) broadcast(df) else df
+
+  /** Dense surrogate key by natural-key order + offset (dimension load).
+    * A global row_number is a single-partition sort of the *dimension*
+    * only — acceptable for dims, never used for facts. `offset` carries
+    * the max existing key for incremental appends. */
+  def withDenseKey(df: DataFrame, keyName: String, orderCol: String,
+                   offset: Long = 0L): DataFrame =
+    df.withColumn(keyName,
+      row_number().over(Window.orderBy(col(orderCol))) + lit(offset))
+
+  /** dim_company (extract_transform.py:27-144): entity_type from prefix,
+    * cleaned/concatenated address, normalized region/city/country. */
+  def dimCompany(company: DataFrame): DataFrame =
+    company
+      .withColumn("entity_type", Cleaning.entityType(col("object_id")))
+      .withColumn("address1_cleaned", Cleaning.cleanAddress(col("address1")))
+      .withColumn("address2_cleaned", Cleaning.cleanAddress(col("address2")))
+      .withColumn("full_address",
+        Cleaning.fullAddress(col("address1_cleaned"), col("address2_cleaned")))
+      .withColumn("region", Cleaning.normalizeLower(col("region")))
+      .withColumn("city", Cleaning.normalizeLower(col("city")))
+      .withColumn("country_code", Cleaning.normalizeUpper(col("country_code")))
+      .select(
+        col("object_id").as("nk_company_id"),
+        col("entity_type"), col("full_address"),
+        col("region"), col("city"), col("country_code"))
+
+  /** dim_funds (extract_transform.py:147-234): normalize name/description,
+    * raised_amount→USD, yyyyMMdd date FK validated against dim_date via a
+    * left join (reference joins the whole dim; we join the pruned key —
+    * identical rows, 1 column moved instead of 25). */
+  def dimFunds(funds: DataFrame, dimDate: DataFrame,
+               broadcastDims: Boolean = true): DataFrame = {
+    val dates = maybeBroadcast(dimDate.select(col("date_id")), broadcastDims)
+    funds
+      .withColumn("name", trim(lower(col("name"))))
+      .withColumn("source_description", trim(lower(col("source_description"))))
+      .withColumn("raised_amount_usd",
+        Cleaning.toUsd(col("raised_currency_code"), col("raised_amount")))
+      .withColumn("funded_date_id", Cleaning.dateKey(col("funded_at")))
+      .join(dates, col("funded_date_id") === dates("date_id"), "left")
+      .withColumn("source_description",
+        when(trim(col("source_description")) === "", lit(null))
+          .otherwise(col("source_description")))
+      .select(
+        col("object_id").as("nk_fund_id"),
+        col("name").as("fund_name"),
+        col("raised_amount_usd"),
+        col("funded_date_id").as("funded_at"),
+        col("source_description").as("fund_description"))
+  }
+
+  /** fct_investments (extract_transform.py:237-346): company + fund key
+    * lookups (inner), funding-round side input validated against dim_date
+    * (inner = date-validity semi-join), then a USING-style left join. */
+  def fctInvestments(investments: DataFrame, dimCompany: DataFrame,
+                     dimFunds: DataFrame, dimDate: DataFrame,
+                     fundingRounds: DataFrame,
+                     broadcastDims: Boolean = true): DataFrame = {
+    val comp  = maybeBroadcast(dimCompany.select("sk_company_id", "nk_company_id"), broadcastDims)
+    val funds = maybeBroadcast(dimFunds.select("sk_fund_id", "nk_fund_id"), broadcastDims)
+    val dates = maybeBroadcast(dimDate.select("date_id"), broadcastDims)
+
+    val rounds = fundingRounds
+      .withColumn("funded_at", Cleaning.dateKey(col("funded_at")))
+      .join(dates, col("funded_at") === dates("date_id"), "inner")
+      .select("funding_round_id", "funding_round_type", "participants",
+        "raised_amount_usd", "raised_currency_code",
+        "pre_money_valuation_usd", "post_money_valuation_usd", "funded_at")
+
+    investments
+      .join(comp, investments("funded_object_id") === comp("nk_company_id"), "inner")
+      .join(funds, investments("investor_object_id") === funds("nk_fund_id"), "inner")
+      .join(rounds, Seq("funding_round_id"), "left")
+      .select(
+        col("investment_id").as("dd_investment_id"),
+        col("sk_company_id"), col("sk_fund_id"), col("funded_at"),
+        col("funding_round_type"),
+        col("participants").as("num_of_participants"),
+        col("raised_amount_usd"),
+        col("pre_money_valuation_usd"),
+        col("post_money_valuation_usd"))
+  }
+
+  /** fct_ipos (extract_transform.py:349-448): int-cast natural id, company
+    * key lookup (inner), date FK (left), two USD conversions, stock-symbol
+    * cleanse, description normalize. */
+  def fctIpos(ipos: DataFrame, dimCompany: DataFrame, dimDate: DataFrame,
+              broadcastDims: Boolean = true): DataFrame = {
+    val comp  = maybeBroadcast(dimCompany.select("sk_company_id", "nk_company_id"), broadcastDims)
+    val dates = maybeBroadcast(dimDate.select("date_id"), broadcastDims)
+    ipos
+      .withColumn("ipo_id", col("ipo_id").cast("integer"))
+      .join(comp, col("object_id") === comp("nk_company_id"), "inner")
+      .withColumn("public_date_id", Cleaning.dateKey(col("public_at")))
+      .join(dates, col("public_date_id") === dates("date_id"), "left")
+      .withColumn("valuation_amount_usd",
+        Cleaning.toUsd(col("valuation_currency_code"), col("valuation_amount")))
+      .withColumn("raised_amount_usd",
+        Cleaning.toUsd(col("raised_currency_code"), col("raised_amount")))
+      .withColumn("stock_symbol", Cleaning.cleanStockSymbol(col("stock_symbol")))
+      .withColumn("source_description", trim(lower(col("source_description"))))
+      .select(
+        col("ipo_id").as("dd_ipo_id"),
+        col("sk_company_id"),
+        col("valuation_amount_usd"), col("raised_amount_usd"),
+        col("public_date_id").as("public_at"),
+        col("stock_symbol"),
+        col("source_description").as("ipo_description"))
+  }
+
+  /** fct_acquisition (extract_transform.py:451-565): the dim_company
+    * self-join in two roles (acquiring/acquired) via aliased+renamed key
+    * pairs, date FK (left), USD price, term-code/description cleanse. */
+  def fctAcquisition(acquisition: DataFrame, dimCompany: DataFrame,
+                     dimDate: DataFrame,
+                     broadcastDims: Boolean = true): DataFrame = {
+    val acq = maybeBroadcast(dimCompany.select(
+      col("sk_company_id").as("sk_acquiring_company_id"),
+      col("nk_company_id").as("nk_acquiring_company_id")), broadcastDims)
+    val acd = maybeBroadcast(dimCompany.select(
+      col("sk_company_id").as("sk_acquired_company_id"),
+      col("nk_company_id").as("nk_acquired_company_id")), broadcastDims)
+    val dates = maybeBroadcast(dimDate.select("date_id"), broadcastDims)
+
+    val termClean = trim(lower(col("term_code")))
+    val descClean = trim(lower(col("source_description")))
+    acquisition
+      .join(acq, col("acquiring_object_id") === acq("nk_acquiring_company_id"), "inner")
+      .join(acd, col("acquired_object_id") === acd("nk_acquired_company_id"), "inner")
+      .withColumn("acquired_date_id", Cleaning.dateKey(col("acquired_at")))
+      .join(dates, col("acquired_date_id") === dates("date_id"), "left")
+      .withColumn("price_amount_usd",
+        Cleaning.toUsd(col("price_currency_code"), col("price_amount")))
+      .withColumn("term_code", when(termClean === "", lit(null)).otherwise(termClean))
+      .withColumn("source_description", when(descClean === "", lit(null)).otherwise(descClean))
+      .select(
+        col("acquisition_id").as("dd_acquisition_id"),
+        col("sk_acquiring_company_id"), col("sk_acquired_company_id"),
+        col("price_amount_usd"),
+        col("acquired_date_id").as("acquired_at"),
+        col("term_code"),
+        col("source_description").as("acquisition_description"))
+  }
+}

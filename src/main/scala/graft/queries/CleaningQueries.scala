@@ -88,7 +88,7 @@ object CleaningQueries {
         .withColumn("amount_usd",
           Cleaning.toUsd(col("currency"), col("amount")).cast("double"))
         .withColumn("amount", col("amount").cast("double"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("amount"), col("currency"))
     },
 
     // P9: stock-symbol cleanse (trim+lower, junk→NULL).
@@ -209,7 +209,7 @@ object CleaningQueries {
         |      WHEN 'AUD' THEN amount * 0.64 WHEN 'JPY' THEN amount * 0.007
         |      WHEN 'GBP' THEN amount * 1.33 WHEN 'NIS' THEN amount * 0.28
         |      ELSE amount END, 2) AS DECIMAL(18,2)) AS DOUBLE) AS amount_usd
-        |FROM src ORDER BY l_orderkey, l_linenumber""").stripMargin,
+        |FROM src ORDER BY l_orderkey, l_linenumber, amount, currency""").stripMargin,
     "p9_stock_symbol" ->
       """WITH src AS (
         |  SELECT s_suppkey,

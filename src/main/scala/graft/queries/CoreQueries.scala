@@ -40,7 +40,7 @@ object CoreQueries {
       lineitem(s, d)
         .filter(col("l_quantity") > 45)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     },
 
     // S2: incremental day scan — the reference's `created_at::DATE = ds-1`
@@ -94,7 +94,7 @@ object CoreQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "s3_parquet_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "s2_incremental_day_scan" ->
       """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
         |FROM orders WHERE CAST(o_orderdate AS DATE) = DATE '1996-06-02' - INTERVAL 1 DAY

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.functions._
+import graft.operators.{DimDate, Warehouse}
+
+/** Golden tests for the star-schema builders over FIXTURES.md edge cases. */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dimDate = DimDate.build(spark)
+
+  test("dimCompany: entity types, address cleansing, normalization") {
+    val company = Seq(
+      ("c:1", "#12 Market St", "Suite 4", " SF  ", " Bay ", " us "),
+      ("f:2", "AB", "", "", null, null),
+      ("x:3", null, "..only-dots-then-text", "  ", "LONDON", " gb ")
+    ).toDF("object_id", "address1", "address2", "region", "city", "country_code")
+    val got = Warehouse.dimCompany(company).orderBy("nk_company_id").collect()
+
+    assert(got(0).getAs[String]("entity_type") == "company")
+    assert(got(0).getAs[String]("full_address") == "12 market st, suite 4")
+    assert(got(0).getAs[String]("region") == "sf")
+    assert(got(0).getAs[String]("country_code") == "US")
+    assert(got(1).getAs[String]("entity_type") == "fund")
+    assert(got(1).getAs[String]("full_address") == null) // AB too short, '' blank
+    assert(got(2).getAs[String]("entity_type") == null)
+    assert(got(2).getAs[String]("full_address") == "only-dots-then-text")
+    assert(got(2).getAs[String]("region") == null)
+  }
+
+  test("dimFunds: USD conversion, date key, blank description -> null") {
+    val funds = Seq(
+      ("fd1", "f:1", "  Alpha FUND ", Date.valueOf("2004-02-28"), BigDecimal("100.00"), "EUR", " desc "),
+      ("fd2", "f:2", "Beta", Date.valueOf("2035-01-01"), BigDecimal("50.00"), "ZZZ", "   ")
+    ).toDF("fund_id", "object_id", "name", "funded_at", "raised_amount",
+      "raised_currency_code", "source_description")
+    val got = Warehouse.dimFunds(funds, dimDate).orderBy("nk_fund_id").collect()
+    assert(got(0).getAs[String]("fund_name") == "alpha fund")
+    assert(got(0).getAs[java.math.BigDecimal]("raised_amount_usd").toString == "114.00")
+    assert(got(0).getAs[Int]("funded_at") == 20040228)
+    assert(got(0).getAs[String]("fund_description") == "desc")
+    // unknown currency -> amount unchanged; 2035 outside dim_date but LEFT join keeps row
+    assert(got(1).getAs[java.math.BigDecimal]("raised_amount_usd").toString == "50.00")
+    assert(got(1).getAs[Int]("funded_at") == 20350101)
+    assert(got(1).getAs[String]("fund_description") == null)
+  }
+
+  test("fctInvestments: orphan FKs drop, missing round -> nulls, date validity") {
+    val dimCompany = Warehouse.withDenseKey(
+      Seq(("c:1", "company"), ("c:2", "company")).toDF("nk_company_id", "entity_type"),
+      "sk_company_id", "nk_company_id")
+    val dimFunds = Warehouse.withDenseKey(
+      Seq(("f:1", "alpha")).toDF("nk_fund_id", "fund_name"),
+      "sk_fund_id", "nk_fund_id")
+    val rounds = Seq(
+      (10L, Date.valueOf("2000-06-01"), "series-a", "3", BigDecimal("10.00"), "USD", BigDecimal("1.00"), BigDecimal("2.00")),
+      (11L, Date.valueOf("2040-01-01"), "series-b", "4", BigDecimal("20.00"), "USD", BigDecimal("3.00"), BigDecimal("4.00"))
+    ).toDF("funding_round_id", "funded_at", "funding_round_type", "participants",
+      "raised_amount_usd", "raised_currency_code", "pre_money_valuation_usd", "post_money_valuation_usd")
+    val inv = Seq(
+      (1L, 10L, "c:1", "f:1"),   // full match
+      (2L, 11L, "c:2", "f:1"),   // round date out of dim_date -> round dropped -> nulls
+      (3L, 10L, "c:9", "f:1"),   // orphan company -> row dropped
+      (4L, 99L, "c:1", "f:1")    // missing round id -> nulls
+    ).toDF("investment_id", "funding_round_id", "funded_object_id", "investor_object_id")
+
+    val got = Warehouse.fctInvestments(inv, dimCompany, dimFunds, dimDate, rounds)
+      .orderBy("dd_investment_id").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Int]("funded_at") == 20000601)
+    assert(got(0).getAs[String]("funding_round_type") == "series-a")
+    assert(got(1).isNullAt(got(1).fieldIndex("funded_at")))
+    assert(got(2).isNullAt(got(2).fieldIndex("funding_round_type")))
+  }
+
+  test("fctAcquisition: self-join roles incl. same company both sides") {
+    val dimCompany = Warehouse.withDenseKey(
+      Seq(("c:1", "company"), ("c:2", "company")).toDF("nk_company_id", "entity_type"),
+      "sk_company_id", "nk_company_id")
+    val acq = Seq(
+      (1L, "c:1", "c:2", " CASH ", BigDecimal("100.00"), "GBP", Timestamp.valueOf("2010-05-04 00:00:00"), " Big Deal "),
+      (2L, "c:2", "c:2", "", BigDecimal("7.00"), "USD", Timestamp.valueOf("2011-01-01 00:00:00"), ""),
+      (3L, "c:9", "c:1", "x", BigDecimal("1.00"), "USD", Timestamp.valueOf("2012-01-01 00:00:00"), "y")
+    ).toDF("acquisition_id", "acquiring_object_id", "acquired_object_id", "term_code",
+      "price_amount", "price_currency_code", "acquired_at", "source_description")
+    val got = Warehouse.fctAcquisition(acq, dimCompany, dimDate)
+      .orderBy("dd_acquisition_id").collect()
+    assert(got.length == 2) // c:9 acquirer dropped
+    assert(got(0).getAs[Long]("sk_acquiring_company_id") == 1L)
+    assert(got(0).getAs[Long]("sk_acquired_company_id") == 2L)
+    assert(got(0).getAs[java.math.BigDecimal]("price_amount_usd").toString == "133.00")
+    assert(got(0).getAs[String]("term_code") == "cash")
+    assert(got(0).getAs[Int]("acquired_at") == 20100504)
+    // same company both roles; blank term/description -> null
+    assert(got(1).getAs[Long]("sk_acquiring_company_id") == 2L)
+    assert(got(1).getAs[Long]("sk_acquired_company_id") == 2L)
+    assert(got(1).getAs[String]("term_code") == null)
+    assert(got(1).getAs[String]("acquisition_description") == null)
+  }
+}
