@@ -45,7 +45,8 @@ object SparkEntry {
       graft.queries.DimDateQueries.queries ++
       graft.queries.WarehouseQueries.queries ++
       graft.queries.ProfilerQueries.queries ++
-      graft.queries.JoinQueries.queries
+      graft.queries.JoinQueries.queries ++
+      graft.queries.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.DimDateQueries.oracle ++
       graft.queries.WarehouseQueries.oracle ++
       graft.queries.ProfilerQueries.oracle ++
-      graft.queries.JoinQueries.oracle
+      graft.queries.JoinQueries.oracle ++
+      graft.queries.SourceQueries.oracle
 }

@@ -17,6 +17,15 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
+
+  /** events with the nanosecond `ts` (read as long under
+    * spark.sql.legacy.parquet.nanosAsLong) converted to a microsecond
+    * TimestampType column for windowing/streaming. */
+  def eventsTs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events(s, d).withColumn("ts",
+      timestamp_micros((col("ts") / 1000).cast("long")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -1,0 +1,96 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.sources.{JdbcUpsert, Readers, Writers}
+
+/** Source/sink coverage (SURVEY §2.1): CSV round-trip (S8+S9), JSON
+  * parse/flatten (S6), keyed upsert-merge semantics (S7), partitioned
+  * parquet write + pruned read-back (S4+S3). Sinks are exercised by
+  * writing to a fresh temp dir inside the query and reading back — the
+  * oracle computes the same result straight from the parquet tables, so a
+  * lossy round-trip fails the hash compare. */
+object SourceQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S6: JSON payload column parsed + flattened + aggregated.
+    "s6_json_flatten" -> { (s, d) =>
+      events(s, d)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // S7: keyed upsert — merge a delta batch over an existing batch,
+    // newest version (highest event_id) wins per key.
+    "s7_upsert_merge" -> { (s, d) =>
+      val base = events(s, d)
+        .select((col("event_id") % 100).as("milestone_id"),
+          col("event_id"), col("value"))
+      val existing = base.filter(col("event_id") % 3 === 0)
+      val delta    = base.filter(col("event_id") % 3 === 1)
+      JdbcUpsert.mergeByKey(existing, delta, Seq("milestone_id"), "event_id")
+        .withColumn("value", col("value").cast("decimal(18,2)").cast("double"))
+        .orderBy(col("milestone_id"))
+    },
+
+    // S8+S9: CSV sink then CSV source; decimals fixed to 2dp before the
+    // write so the text round-trip is exact.
+    "s8s9_csv_roundtrip" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_csv").toString
+      val out = customer(s, d).select(
+        col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      Writers.csv(out, s"$tmp/customer")
+      Readers.csv(s, s"$tmp/customer",
+        Some(org.apache.spark.sql.types.StructType.fromDDL(
+          "c_custkey BIGINT, c_mktsegment STRING, bal DECIMAL(18,2)")))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("bal")).cast("double").as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // S4: partitioned parquet write with dynamic overwrite, then a pruned
+    // read-back (the filter prunes partition directories, not rows).
+    "s4_partitioned_write" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_part").toString
+      Writers.parquetPartitioned(
+        events(s, d).select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(18,2)").as("value")),
+        s"$tmp/events", "event_type")
+      Readers.parquet(s, s"$tmp/events")
+        .filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("n"), sum(col("value")).cast("double").as("total"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s6_json_flatten" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s7_upsert_merge" ->
+      """WITH base AS (
+        |  SELECT event_id % 100 AS milestone_id, event_id, value
+        |  FROM events WHERE event_id % 3 IN (0, 1)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY milestone_id ORDER BY event_id DESC) AS rn
+        |  FROM base)
+        |SELECT milestone_id, event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+        |FROM ranked WHERE rn = 1 ORDER BY milestone_id""".stripMargin,
+    "s8s9_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "s4_partitioned_write" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events WHERE event_type = 'purchase'""".stripMargin
+  )
+}

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink layer (SURVEY §2.1 S4, S5, S8).
+  *
+  * Scale notes vs the reference:
+  *  - S4 parquet snapshots become *date-partitioned* writes with dynamic
+  *    partition overwrite — re-running one day rewrites one partition,
+  *    not the table (reference overwrites a date-suffixed object name,
+  *    extract.py:43).
+  *  - S5 JDBC append bounds the connection count by coalescing to
+  *    `connections` partitions first (the reference writes with default
+  *    parallelism — at cluster scale that's one DB connection per task).
+  */
+object Writers {
+
+  /** S4: parquet snapshot overwrite. */
+  def parquetOverwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S4 at scale: date-partitioned parquet with per-partition overwrite.
+    * Requires spark.sql.sources.partitionOverwriteMode=dynamic to only
+    * replace the partitions present in `df`. */
+  def parquetPartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
+
+  /** S8: CSV with header. */
+  def csv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S5: JDBC append with a bounded number of connections. */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+                 props: java.util.Properties, connections: Int = 8): Unit =
+    df.coalesce(connections).write.mode(SaveMode.Append).jdbc(url, table, props)
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources._
+
+/** IO-layer tests: CSV/JSON round-trips, API source against a local HTTP
+  * server, upsert statement generation, merge-by-key semantics. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv round-trip preserves schema'd values") {
+    val tmp = Files.createTempDirectory("csvspec").toString
+    val df = Seq((1L, "a", BigDecimal("10.50")), (2L, "b", BigDecimal("-3.25")))
+      .toDF("id", "name", "amount")
+      .select(col("id"), col("name"), col("amount").cast("decimal(18,2)").as("amount"))
+    Writers.csv(df, s"$tmp/t")
+    val back = Readers.csv(spark, s"$tmp/t",
+      Some(StructType.fromDDL("id BIGINT, name STRING, amount DECIMAL(18,2)")))
+    assert(back.orderBy("id").collect().map(_.toString).toSeq ==
+      df.orderBy("id").collect().map(_.toString).toSeq)
+  }
+
+  test("incremental reader filters to ds-1") {
+    val df = Seq(("2020-01-01 10:00:00", 1), ("2020-01-02 09:00:00", 2), ("2020-01-03 00:00:00", 3))
+      .toDF("created_at", "v")
+      .withColumn("created_at", to_timestamp(col("created_at")))
+    val got = Readers.incremental(df, "created_at", "2020-01-03").select("v").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("ApiJsonSource: fetch + parse + newline scrub via local HTTP server") {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    val payload = """[{"milestone_id":1,"description":"line1\nline2","object_id":"c:1"},
+                    | {"milestone_id":2,"description":"plain","object_id":"c:2"}]""".stripMargin
+    server.createContext("/api", (ex: HttpExchange) => {
+      val q = ex.getRequestURI.getQuery
+      val body = if (q != null && q.contains("start_date=2020-01-01")) payload else "[]"
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val df = ApiJsonSource.read(spark, s"http://localhost:$port/api", "2020-01-01", "2020-01-02")
+      val rows = df.orderBy("milestone_id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[String]("description") == "line1 line2") // \n scrubbed
+      assert(rows(1).getAs[String]("description") == "plain")
+    } finally server.stop(0)
+  }
+
+  test("ApiJsonSource fails on non-200") {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/bad", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      intercept[IllegalArgumentException] {
+        ApiJsonSource.fetch(s"http://localhost:$port/bad", "a", "b")
+      }
+    } finally server.stop(0)
+  }
+
+  test("upsert statement shape (pangres ON CONFLICT parity)") {
+    val schema = StructType.fromDDL("milestone_id INT, description STRING, updated_at TIMESTAMP")
+    val sql = JdbcUpsert.upsertStatement("staging.milestones", schema, Seq("milestone_id"))
+    assert(sql.contains("INSERT INTO staging.milestones (milestone_id, description, updated_at)"))
+    assert(sql.contains("ON CONFLICT (milestone_id) DO UPDATE SET"))
+    assert(sql.contains("description = EXCLUDED.description"))
+    assert(!sql.contains("milestone_id = EXCLUDED.milestone_id"))
+  }
+
+  test("mergeByKey keeps newest version per key") {
+    val existing = Seq((1, "old", 10L), (2, "keep", 11L)).toDF("k", "v", "ver")
+    val delta = Seq((1, "new", 20L), (3, "ins", 21L)).toDF("k", "v", "ver")
+    val got = JdbcUpsert.mergeByKey(existing, delta, Seq("k"), "ver")
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "new"), (2, "keep"), (3, "ins")))
+  }
+
+  test("partitioned write + dynamic overwrite replaces only touched partitions") {
+    val tmp = Files.createTempDirectory("partspec").toString
+    val v1 = Seq((1, "a"), (2, "b")).toDF("id", "pt")
+    Writers.parquetPartitioned(v1, s"$tmp/t", "pt")
+    // overwrite only partition 'a' with new content
+    val v2 = Seq((10, "a")).toDF("id", "pt")
+    Writers.parquetPartitioned(v2, s"$tmp/t", "pt")
+    val got = Readers.parquet(spark, s"$tmp/t").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((2, "b"), (10, "a")).sortBy(_._1))
+  }
+}
