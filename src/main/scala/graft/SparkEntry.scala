@@ -46,7 +46,9 @@ object SparkEntry {
       graft.queries.WarehouseQueries.queries ++
       graft.queries.ProfilerQueries.queries ++
       graft.queries.JoinQueries.queries ++
-      graft.queries.SourceQueries.queries
+      graft.queries.SourceQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +59,7 @@ object SparkEntry {
       graft.queries.WarehouseQueries.oracle ++
       graft.queries.ProfilerQueries.oracle ++
       graft.queries.JoinQueries.oracle ++
-      graft.queries.SourceQueries.oracle
+      graft.queries.SourceQueries.oracle ++
+      graft.queries.TextQueries.oracle ++
+      graft.queries.SimilarityQueries.oracle
 }

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: tokenization,
+  * language ID, quality scoring, document fingerprinting. All pure
+  * `Column` expression builders — fully distributed, codegen-friendly,
+  * no UDFs — so they hold up inside a 100 TB scan.
+  *
+  * Determinism notes (these feed the DuckDB oracle):
+  *  - arithmetic stays in int/long domains below overflow (ANSI mode on),
+  *  - the rolling fingerprint is a polynomial hash mod 1e9+7 over 32-bit
+  *    token hashes, so every intermediate fits comfortably in a long.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword-boundary tokens: letter runs, digit runs, and single
+    * punctuation marks each count as a token (the shape a byte-pair
+    * pre-tokenizer produces). */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def bpeishTokenCount(c: Column): Column = size(bpeishTokens(c))
+
+  /** Punctuation-character ratio (explicit class, identical in RE2/Java). */
+  def punctRatio(c: Column): Column = {
+    val punct = length(c) - length(regexp_replace(c, "[.,!?;:'\"()\\-]", ""))
+    when(length(c) > 0, punct.cast("double") / length(c)).otherwise(lit(0.0))
+  }
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    val stops = filter(toks, t => t.isin(Stopwords.map(lit): _*))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Composite document-quality score in [0,1]:
+    * length credit (saturating at 50 tokens), low punctuation, and a
+    * stopword ratio near natural prose (penalize 0 and 1 extremes). */
+  def qualityScore(c: Column): Column = {
+    val lenCredit = least(tokenCount(c).cast("double") / 50.0, lit(1.0))
+    val punctCredit = lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))
+    val stopCredit = lit(1.0) - abs(stopwordRatio(c) - lit(0.3))
+    lenCredit * 0.4 + punctCredit * 0.3 + stopCredit * 0.3
+  }
+
+  /** Language marker lexicons for the n-gram/marker language-ID heuristic.
+    * Occurrences counted as substrings over the padded lowercase text. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die ", " ist "),
+    "en" -> Seq(" the ", " and ", " is ", " of "),
+    "es" -> Seq(" el ", " de ", " que ", " la "),
+    "fr" -> Seq(" le ", " et ", " les ", " des "),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Substring occurrence count — identical semantics in Spark and any
+    * SQL engine: (len(s) - len(replace(s, w, ''))) / len(w). */
+  def occurrences(c: Column, w: String): Column =
+    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(w), ""))) / w.length
+
+  /** Per-language marker score. */
+  def langScore(c: Column, lang: String): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    LangMarkers.toMap.apply(lang).map(occurrences(padded, _)).reduce(_ + _)
+  }
+
+  /** Predicted language: argmax of marker scores, ties resolved by
+    * alphabetical language order (deterministic CASE chain). */
+  def langId(c: Column): Column = {
+    val langs = LangMarkers.map(_._1)
+    val scores = langs.map(l => l -> langScore(c, l)).toMap
+    langs.foldLeft(when(lit(false), lit(""))) { (acc, l) =>
+      val isMax = langs.filterNot(_ == l)
+        .map(o => scores(l) >= scores(o)).reduce(_ && _)
+      acc.when(isMax, lit(l))
+    }.otherwise(lit(langs.head))
+  }
+
+  private val FpPrime = 1000000007L
+
+  /** 32-bit-domain token hash (xxhash64 truncated) — keeps the rolling
+    * polynomial below long overflow under ANSI mode. */
+  def tokenHash32(t: Column): Column = pmod(xxhash64(t), lit(4294967296L))
+
+  /** Rolling polynomial document fingerprint:
+    * fp = fold(tokens, 0, (acc, t) -> (acc*31 + h32(t)) mod 1e9+7).
+    * Order-sensitive (a permuted document fingerprints differently). */
+  def fingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => pmod(acc * 31 + tokenHash32(t), lit(FpPrime)))
+}

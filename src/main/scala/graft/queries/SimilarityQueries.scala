@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Embedding-similarity + multimodal coverage. Vector math is mirrored in
+  * DuckDB with explicit index-ordered folds (list_zip + list_sum) and the
+  * engine's fixed hyperplane literals are code-generated into the oracle
+  * SQL, so even the LSH bucket assignment is cross-checked. */
+object SimilarityQueries {
+
+  private val QueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+
+  /** embeddings ∪ perturbed copy (vec_id+100000, +0.01 per component in
+    * double domain) — guarantees cosine-near-dups at every SF. */
+  private def nearDupEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d).select(col("vec_id"),
+      Similarity.toDouble(col("embedding")).as("embedding"))
+    val pert = embeddings(s, d).select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(Similarity.toDouble(col("embedding")), x => x + lit(0.01)).as("embedding"))
+    base.unionByName(pert)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact cosine top-k for 8 query vectors (brute force baseline;
+    // corpus never shuffles — query side broadcast).
+    "y1_ann_bruteforce" -> { (s, d) =>
+      Similarity.bruteForceTopK(embeddings(s, d), "vec_id", "embedding", QueryIds, k = 10)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // LSH-bucketed ANN (scale path; rows-only check + recall spec).
+    "y2_ann_lsh" -> { (s, d) =>
+      Similarity.lshTopK(embeddings(s, d), "vec_id", "embedding", QueryIds,
+        k = 10, planes = 6, tables = 8)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // embedding-cosine near-dup pairs via hyperplane-LSH candidates.
+    "x5_embedding_near_dup" -> { (s, d) =>
+      Dedup.embeddingCosinePairs(nearDupEmbeddings(s, d), "vec_id", "embedding",
+        threshold = 0.98, planes = 12)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // multimodal: binary payload + typed meta, batched decode kernel.
+    "m1_multimodal_decode" -> { (s, d) =>
+      Multimodal.decodeFeatures(Multimodal.fromDocuments(documents(s, d)))
+        .select(col("media_id"), col("n_bytes"), col("first_byte"))
+        .orderBy(col("media_id"))
+    },
+
+    // multimodal: frame sampling over the binary payload.
+    "m2_frame_sample" -> { (s, d) =>
+      Multimodal.sampleFrames(Multimodal.fromDocuments(documents(s, d)),
+        frameSize = 256, every = 2)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }
+  )
+
+  // ---- oracle ------------------------------------------------------------
+
+  /** Index-ordered double dot product in DuckDB. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+
+  private def sqlNorm(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> x * x)))"
+
+  private def sqlCosine(a: String, b: String): String =
+    s"""CASE WHEN ${sqlNorm(a)} * ${sqlNorm(b)} > 0
+       | THEN ${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}) ELSE 0.0 END""".stripMargin
+
+  /** The engine's fixed hyperplanes, embedded as SQL array literals. */
+  private def sqlSignature(v: String, planes: Int): String =
+    Similarity.planeLiterals(planes).zipWithIndex.map { case (p, i) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"CASE WHEN ${sqlDot(v, s"CAST($lits AS DOUBLE[])")} > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private val dblEmb = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  val oracle: Map[String, String] = Map(
+    "y1_ann_bruteforce" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS neighbor_id, $dblEmb AS v FROM embeddings),
+         |queries AS (
+         |  SELECT vec_id AS query_id, $dblEmb AS q FROM embeddings
+         |  WHERE vec_id IN (${QueryIds.mkString(", ")})),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${sqlCosine("q", "v")} AS cs
+         |  FROM corpus CROSS JOIN queries
+         |  WHERE query_id <> neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cs,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |  round(cs, 6) AS cosine_sim
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "x5_embedding_near_dup" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, $dblEmb AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01) AS v
+         |  FROM embeddings),
+         |sigs AS (
+         |  SELECT vec_id, v, ${sqlSignature("v", 12)} AS bucket FROM base)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${sqlCosine("a.v", "b.v")}, 6) AS cosine_sim
+         |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${sqlCosine("a.v", "b.v")} >= 0.98
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "m1_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(unicode(text[1:1]) AS INT) AS first_byte
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "m2_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |frames AS (
+        |  SELECT media_id, n_bytes, CAST(i AS INT) AS frame_idx
+        |  FROM m, unnest(generate_series(0,
+        |    greatest(CAST(ceil(n_bytes / 256.0) AS INT) - 1, 0))) AS t(i)
+        |  WHERE i % 2 = 0)
+        |SELECT media_id, frame_idx,
+        |  CAST(least(256, n_bytes - frame_idx * 256) AS INT) AS frame_bytes
+        |FROM frames WHERE least(256, n_bytes - frame_idx * 256) > 0
+        |ORDER BY media_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+
+/** Text-analysis + dedup coverage over the documents table: token
+  * counting, quality scoring, language-ID, fingerprinting, exact and
+  * near-dup detection. Near-dup corpora are documents plus a
+  * deterministic perturbed copy (last token replaced), so every scale
+  * factor has true near-duplicates to find. */
+object TextQueries {
+
+  /** documents ∪ perturbed copy (doc_id+1000000, last token swapped). */
+  def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val perturbed = documents(s, d).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(concat_ws(" ", slice(toks, lit(1), size(toks) - 1)), lit(" graftdup")).as("text"))
+    docs.unionByName(perturbed)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counts (whitespace + BPE-ish), punctuation/stopword ratios,
+    // composite quality score.
+    "t1_text_stats" -> { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // marker-lexicon language ID + per-language scores.
+    "t2_lang_id" -> { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"),
+        TextAnalysis.langScore(col("text"), "en").as("score_en"),
+        TextAnalysis.langScore(col("text"), "de").as("score_de"))
+        .orderBy(col("doc_id"))
+    },
+
+    // rolling polynomial fingerprint (xxhash64-based — no SQL oracle;
+    // rows-only check + determinism spec).
+    "t3_fingerprint" -> { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+
+    // exact dedup: canonical id + copy count per distinct text.
+    "x1_dedup_exact" -> { (s, d) =>
+      Dedup.exact(documents(s, d), "doc_id", "text")
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // n-gram Jaccard near-dup pairs (blocked candidates + exact verify).
+    "x2_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(nearDupCorpus(s, d), "doc_id", "text",
+        n = 3, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join;
+    // engine-hash-based — rows-only check + recall spec vs exact Jaccard).
+    "x3_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashLshPairs(nearDupCorpus(s, d), "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash near-dup pairs (rows-only check + spec).
+    "x4_simhash" -> { (s, d) =>
+      Dedup.simhashPairs(nearDupCorpus(s, d), "doc_id", "text", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  )
+
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  private val punctSql =
+    """(length(text) - length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g')))"""
+
+  /** DuckDB mirror of Dedup.shingles(text, 3) + blocking key. */
+  private val corpusSql =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(list_slice($toksSql, 1, len($toksSql) - 1), ' ') || ' graftdup' AS text
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    $toksSql AS toks,
+       |    list_distinct(list_transform(
+       |      generate_series(1, greatest(len($toksSql) - 2, 1)),
+       |      i -> array_to_string(list_slice($toksSql, i, i + 2), ' '))) AS g
+       |  FROM corpus),
+       |keyed AS (
+       |  SELECT doc_id, g, toks[1] AS first_tok, len(g) AS n_grams FROM grams)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "t1_text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpeish_tokens,
+         |  CASE WHEN length(text) > 0
+         |    THEN CAST($punctSql AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len($toksSql) > 0
+         |    THEN CAST(len(list_filter($toksSql,
+         |      t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+         |      / len($toksSql) ELSE 0.0 END AS stopword_ratio,
+         |  least(CAST(len($toksSql) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |    + (1.0 - least(CASE WHEN length(text) > 0
+         |        THEN CAST($punctSql AS DOUBLE) / length(text) ELSE 0.0 END * 5.0, 1.0)) * 0.3
+         |    + (1.0 - abs(CASE WHEN len($toksSql) > 0
+         |        THEN CAST(len(list_filter($toksSql,
+         |          t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+         |          / len($toksSql) ELSE 0.0 END - 0.3)) * 0.3 AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_lang_id" -> {
+      def sc(lang: String): String = TextAnalysis.LangMarkers.toMap.apply(lang)
+        .map(w => s"(length(p) - length(replace(p, '$w', ''))) / ${w.length}")
+        .mkString(" + ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val cases = langs.map { l =>
+        val cond = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }.mkString(" ")
+      s"""WITH padded AS (
+         |  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    ${langs.map(l => s"${sc(l)} AS s_$l").mkString(", ")}
+         |  FROM padded)
+         |SELECT doc_id, lang AS labeled_lang,
+         |  CASE $cases ELSE 'de' END AS predicted_lang,
+         |  s_en AS score_en, s_de AS score_de
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "x1_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "x2_ngram_jaccard" ->
+      s"""WITH $corpusSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+         |    THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |         / len(list_distinct(list_concat(a.g, b.g)))
+         |    ELSE 0.0 END AS jaccard_sim
+         |FROM keyed a JOIN keyed b
+         |  ON a.first_tok = b.first_tok AND a.n_grams = b.n_grams
+         | AND a.doc_id < b.doc_id
+         |WHERE CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+         |    THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |         / len(list_distinct(list_concat(a.g, b.g)))
+         |    ELSE 0.0 END >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+
+/** Text-analysis + dedup semantics, incl. LSH recall vs exact Jaccard. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts and ratios") {
+    val df = Seq("the cat sat on the mat", "a, b! c?", "   ", "word").toDF("t")
+    val got = df.select(
+      TextAnalysis.tokenCount($"t").as("n"),
+      TextAnalysis.bpeishTokenCount($"t").as("nb"),
+      TextAnalysis.stopwordRatio($"t").as("sr")).collect()
+    assert(got(0).getInt(0) == 6)
+    assert(got(0).getDouble(2) == 3.0 / 6)   // the, on, the
+    assert(got(1).getInt(1) == 6)            // a , b ! c ?
+    assert(got(2).getInt(0) == 0 && got(2).getDouble(2) == 0.0)
+    assert(got(3).getInt(0) == 1)
+  }
+
+  test("quality score within [0,1] and ordering sane") {
+    val good = "the quick brown fox jumps over the lazy dog and runs far away to the hills " * 3
+    val bad = "!!! ??? ... ;;; ::: !!!"
+    val df = Seq(good, bad).toDF("t")
+      .select(TextAnalysis.qualityScore($"t").as("q")).collect()
+    assert(df.forall(r => r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
+    assert(df(0).getDouble(0) > df(1).getDouble(0))
+  }
+
+  test("langId picks the marker-heavy language deterministically") {
+    val df = Seq(
+      "the cat and the dog is of note",  // en markers
+      "le chat et les chiens des bois",  // fr markers
+      "nothing matching here xyzzy"      // all-zero -> first lang 'de' by tie rule
+    ).toDF("t").select(TextAnalysis.langId($"t").as("l")).collect()
+    assert(df(0).getString(0) == "en")
+    assert(df(1).getString(0) == "fr")
+    assert(df(2).getString(0) == "de")
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma").toDF("t")
+      .select(TextAnalysis.fingerprint($"t").as("f")).collect()
+    assert(df(0).getLong(0) == df(2).getLong(0))
+    assert(df(0).getLong(0) != df(1).getLong(0))
+    assert(df.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 1000000007L))
+  }
+
+  test("exact dedup keeps min id and counts copies") {
+    val df = Seq((5L, "xx"), (2L, "xx"), (9L, "yy")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text").orderBy("keep_id")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    assert(got.toSeq == Seq((2L, 2L), (9L, 1L)))
+    val drops = Dedup.exactDropIds(df, "doc_id", "text").select("drop_id")
+      .collect().map(_.getLong(0))
+    assert(drops.toSeq == Seq(5L))
+  }
+
+  test("simhash: identical text -> distance 0; near text -> small distance") {
+    val sh = Seq("the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumps over the lazy cat",
+                 "completely different words entirely unrelated topic")
+      .toDF("t").select(Dedup.simhash($"t").as("h")).collect().map(_.getLong(0))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0), sh(0)) == 0)
+    assert(ham(sh(0), sh(1)) < ham(sh(0), sh(2)))
+  }
+
+  test("minhash LSH recall vs exact jaccard pairs on near-dup corpus") {
+    val corpus = graft.queries.TextQueries.nearDupCorpus(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 16, 8, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus must contain true near-dups")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (|exact|=${exact.size}, |lsh|=${lsh.size})")
+    // verification step guarantees precision = 1 on the jaccard threshold
+    assert(lsh.subsetOf(
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.0).select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ++ lsh))
+  }
+}
