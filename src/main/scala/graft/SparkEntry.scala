@@ -48,7 +48,8 @@ object SparkEntry {
       graft.queries.JoinQueries.queries ++
       graft.queries.SourceQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.SimilarityQueries.queries
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +62,6 @@ object SparkEntry {
       graft.queries.JoinQueries.oracle ++
       graft.queries.SourceQueries.oracle ++
       graft.queries.TextQueries.oracle ++
-      graft.queries.SimilarityQueries.oracle
+      graft.queries.SimilarityQueries.oracle ++
+      graft.queries.StreamingQueries.oracle
 }

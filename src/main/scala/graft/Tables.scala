@@ -23,8 +23,8 @@ object Tables {
     * TimestampType column for windowing/streaming. */
   def eventsTs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    events(s, d).withColumn("ts",
-      timestamp_micros((col("ts") / 1000).cast("long")))
+    // integer div: epoch-nanos exceed 2^53, double-routed `/` is lossy
+    events(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -1,0 +1,88 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst cosine-similarity over two double arrays, with
+  * whole-stage codegen (`doGenCode` emits a single fused loop computing
+  * dot and both norms — one pass, three registers, no per-element boxing).
+  *
+  * Versus the `zip_with`+`aggregate` Column composition in
+  * [[graft.operators.Similarity.cosine]]: same arithmetic in the same
+  * index order (bit-identical results — the DuckDB oracle can't tell them
+  * apart), but ~d fewer allocations per row since no intermediate product
+  * array is materialized. This is preference order (b) from the build
+  * brief: a custom Expression where built-ins compose wastefully, well
+  * short of a custom physical operator.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects array<double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d > 0) dot / d else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xi = $a.getDouble($i);
+         |  double yi = $b.getDouble($i);
+         |  $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+         |}
+         |double $d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = $d > 0 ? $dot / $d : 0.0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object CosineSimilarity {
+  /** Register `graft_cosine` in the session's function registry (also
+    * makes it SQL-callable: `SELECT graft_cosine(a, b)`). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+
+  /** Column form (registers on first use in the session). */
+  def column(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_cosine", a, b)
+  }
+}

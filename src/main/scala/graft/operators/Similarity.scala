@@ -53,15 +53,21 @@ object Similarity {
   }
 
   /** Exact cosine top-k for a fixed set of query vector ids.
-    * Output: (query_id, rank, neighbor_id, cosine_sim). */
+    * Output: (query_id, rank, neighbor_id, cosine_sim). `native=true`
+    * scores with the codegen'd [[graft.expressions.CosineSimilarity]]
+    * (bit-identical to the zip_with form, no intermediate arrays). */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     queryIds: Seq[Long], k: Int = 10): DataFrame = {
+                     queryIds: Seq[Long], k: Int = 10,
+                     native: Boolean = true): DataFrame = {
     val corpus = emb.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
     val queries = emb.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("q"))
+    val score =
+      if (native) graft.expressions.CosineSimilarity.column(emb.sparkSession, col("q"), col("v"))
+      else cosine(col("q"), col("v"))
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine_sim", cosine(col("q"), col("v")))
+      .withColumn("cosine_sim", score)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored

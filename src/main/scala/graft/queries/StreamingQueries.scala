@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.streaming.EventsStream
+
+/** Streaming-transform coverage (SURVEY §2.8 extension). The transforms
+  * are stream/batch agnostic; the oracle checks them in batch mode over
+  * the same events table (stream-vs-batch parity itself is asserted by
+  * StreamingSpec with Trigger.AvailableNow). Timestamps are surfaced as
+  * epoch microseconds to dodge cross-engine text formatting. */
+object StreamingQueries {
+
+  private def batchEvents(s: SparkSession, d: String): DataFrame =
+    EventsStream.withEventTime(events(s, d))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // watermark+window rollup (batch-parity form).
+    "b1_windowed_rollup" -> { (s, d) =>
+      EventsStream.windowedRollup(batchEvents(s, d))
+        .orderBy(col("window_start_us"), col("event_type"))
+    },
+
+    // gap-based sessionization via built-in session_window.
+    "b2_session_rollup" -> { (s, d) =>
+      EventsStream.sessionRollup(batchEvents(s, d))
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+
+    // custom keyed state (mapGroupsWithState) — running per-user totals;
+    // cent-exact accumulation so the result is order-independent.
+    "b3_user_running_totals" -> { (s, d) =>
+      import s.implicits._
+      val typed = batchEvents(s, d)
+        .select(col("user_id"), col("event_time"), col("value"))
+        .as[EventsStream.UserEvent]
+      EventsStream.userRunningTotals(typed).toDF()
+        .orderBy(col("user_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "b1_windowed_rollup" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+    "b2_session_rollup" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |                  OR t - lag(t) OVER w >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT epoch_us(min(t)) AS session_start_us, user_id,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    "b3_user_running_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

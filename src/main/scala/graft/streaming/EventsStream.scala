@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming over the events table — the streaming story the
+  * reference lacks (SURVEY §2.8: its "incremental mode" is a daily
+  * micro-batch re-extract). Spark-first shapes:
+  *
+  *  - file source `readStream` with `Trigger.AvailableNow` reproduces the
+  *    reference's catch-up-then-stop batch cadence with exactly-once sink
+  *    semantics and no hand-rolled date bookkeeping;
+  *  - watermark + tumbling `window()` aggregation for late-data-tolerant
+  *    rollups;
+  *  - built-in `session_window` for gap-based sessionization;
+  *  - `mapGroupsWithState` for custom keyed state (running per-user
+  *    aggregates) where the built-ins genuinely can't express it.
+  *
+  * Every transform here is also applicable to a batch DataFrame — the
+  * batch/stream parity is what the spec asserts (same query, same result,
+  * AvailableNow vs batch read).
+  */
+object EventsStream {
+
+  /** The events schema as stored (ts = nanosecond epoch read as long
+    * under spark.sql.legacy.parquet.nanosAsLong). */
+  val RawSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  /** Convert raw nano-long ts to a microsecond TimestampType column.
+    * Integer `div`, NOT `/`: epoch-nanos exceed 2^53, so a double-routed
+    * division is off by ±1 µs. */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** File-source stream over a parquet directory of events. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    withEventTime(
+      spark.readStream.schema(RawSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(dir))
+
+  /** Watermarked tumbling-window rollup: (window, event_type) → count,
+    * sum(value). Works identically on batch and stream inputs. */
+  def windowedRollup(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("event_time", watermark)
+              else events
+    src.groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+  }
+
+  /** Gap-based sessionization with the built-in session_window. */
+  def sessionRollup(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("event_time", watermark)
+              else events
+    src.groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("user_id"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+  }
+
+  // ---- custom keyed state (mapGroupsWithState) ---------------------------
+
+  case class UserEvent(user_id: Long, event_time: java.sql.Timestamp, value: Double)
+  /** State totals in integer cents — order-independent accumulation (a
+    * double running sum would depend on row arrival order). */
+  case class UserState(n: Long, totalCents: Long, maxValue: Double)
+  case class UserSummary(user_id: Long, n_events: Long, total_value: Double, max_value: Double)
+
+  /** Running per-user totals via explicit keyed state — the
+    * `mapGroupsWithState` shape for semantics the built-in aggregates
+    * can't express (here deliberately simple so batch parity is
+    * checkable). */
+  def userRunningTotals(events: Dataset[UserEvent]): Dataset[UserSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSummary](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L, Double.MinValue))
+          val next = rows.foldLeft(prev) { (s, e) =>
+            UserState(s.n + 1, s.totalCents + math.round(e.value * 100),
+              math.max(s.maxValue, e.value))
+          }
+          state.update(next)
+          UserSummary(uid, next.n, next.totalCents / 100.0, next.maxValue)
+      }
+  }
+
+  /** Run a streaming transform over `dir` with Trigger.AvailableNow into
+    * an in-memory table; returns the final result. Used by specs to
+    * assert stream/batch parity. */
+  def runAvailableNow(spark: SparkSession, dir: String,
+                      transform: DataFrame => DataFrame,
+                      queryName: String,
+                      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = transform(readEvents(spark, dir)).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
