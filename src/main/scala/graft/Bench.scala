@@ -12,6 +12,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb session/codegen warm-up outside the first query's timing
+    spark.range(1000).selectExpr("sum(id)").collect()
     // optional comma-separated filter for timing individual queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
