@@ -81,6 +81,37 @@ object Warehouse {
         col("source_description").as("fund_description"))
   }
 
+  /** dim_people — declared in the reference DDL (`init_dwh.sql:43-50`)
+    * with no builder in its code; built here from the staging.people
+    * schema (`init_stg.sql:141-150`): natural key = object_id, full name
+    * from trimmed first+last, affiliation passed through. */
+  def dimPeople(people: DataFrame): DataFrame =
+    people.select(
+      col("object_id").as("nk_people_id"),
+      Cleaning.nullIfBlank(
+        concat_ws(" ", trim(col("first_name")), trim(col("last_name")))).as("full_name"),
+      Cleaning.nullIfBlank(trim(col("affiliation_name"))).as("affiliation_name"))
+
+  /** bridge_company_people (`init_dwh.sql:63-73`): relationships resolved
+    * to surrogate-key pairs; the all-string staging.relationships columns
+    * (`init_stg.sql:158-169`) are typed here — start/end become yyyyMMdd
+    * int date keys, blank titles null out. */
+  def bridgeCompanyPeople(relationships: DataFrame, dimCompany: DataFrame,
+                          dimPeople: DataFrame,
+                          broadcastDims: Boolean = true): DataFrame = {
+    val comp = maybeBroadcast(dimCompany.select("sk_company_id", "nk_company_id"), broadcastDims)
+    val ppl  = maybeBroadcast(dimPeople.select("sk_people_id", "nk_people_id"), broadcastDims)
+    relationships
+      .join(ppl, relationships("person_object_id") === ppl("nk_people_id"), "inner")
+      .join(comp, relationships("relationship_object_id") === comp("nk_company_id"), "inner")
+      .select(
+        col("sk_company_id"), col("sk_people_id"),
+        Cleaning.nullIfBlank(trim(col("title"))).as("title"),
+        Cleaning.nullIfBlank(trim(col("is_past"))).as("is_past"),
+        Cleaning.dateKey(to_date(col("start_at"))).as("relationship_start_at"),
+        Cleaning.dateKey(to_date(col("end_at"))).as("relationship_end_at"))
+  }
+
   /** fct_investments (extract_transform.py:237-346): company + fund key
     * lookups (inner), funding-round side input validated against dim_date
     * (inner = date-validity semi-join), then a USING-style left join. */

@@ -140,6 +140,43 @@ object WarehouseQueries {
         .otherwise(concat(lit(" Acq "), ok)).as("source_description"))
   }
 
+  /** staging.people from customer. */
+  private def peopleStaging(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey")
+    customer(s, d).select(
+      concat(lit("p"), k).as("people_id"),
+      concat(lit("p:"), k).as("object_id"),
+      concat(lit(" "), col("c_mktsegment")).as("first_name"),
+      when(k % 6 === 0, lit("")).otherwise(concat(lit("Smith "), k % 40)).as("last_name"),
+      lit(null).cast("string").as("birthplace"),
+      when(k % 5 === 0, lit(""))
+        .when(k % 5 === 1, lit(null).cast("string"))
+        .otherwise(concat(lit(" Firm "), k % 20)).as("affiliation_name"))
+  }
+
+  private def dimPeopleKeyed(s: SparkSession, d: String): DataFrame =
+    Warehouse.withDenseKey(
+      Warehouse.dimPeople(peopleStaging(s, d)), "sk_people_id", "nk_people_id")
+
+  /** staging.relationships (all-string columns) from orders. */
+  private def relationshipsStaging(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val companyId = when(col("o_custkey") % 7 === 0, concat(lit("x:"), col("o_custkey")))
+      .when(col("o_custkey") % 5 === 0, concat(lit("f:"), col("o_custkey")))
+      .otherwise(concat(lit("c:"), col("o_custkey")))
+    orders(s, d).select(
+      concat(lit("r"), k).as("relationship_id"),
+      concat(lit("p:"), col("o_custkey")).as("person_object_id"),
+      when(k % 30 === 0, lit("c:0")).otherwise(companyId).as("relationship_object_id"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("start_at"),
+      when(k % 5 === 0, lit(null).cast("string"))
+        .otherwise(date_format(date_add(to_date(col("o_orderdate")), 365), "yyyy-MM-dd")).as("end_at"),
+      when(k % 3 === 0, lit("")).when(k % 3 === 1, lit(" yes ")).otherwise(lit("no")).as("is_past"),
+      k.cast("string").as("sequence"),
+      when(k % 4 === 0, lit("")).when(k % 4 === 1, lit(" CEO "))
+        .when(k % 4 === 2, lit("board member")).otherwise(lit(null).cast("string")).as("title"))
+  }
+
   // ---- queries -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -165,6 +202,16 @@ object WarehouseQueries {
         .withColumn("valuation_amount_usd", col("valuation_amount_usd").cast("double"))
         .withColumn("raised_amount_usd", col("raised_amount_usd").cast("double"))
         .orderBy(col("dd_ipo_id"))
+    },
+    "dim_people_build" -> { (s, d) =>
+      dimPeopleKeyed(s, d).orderBy(col("nk_people_id"))
+    },
+    "bridge_company_people_build" -> { (s, d) =>
+      Warehouse.bridgeCompanyPeople(
+        relationshipsStaging(s, d), dimCompanyKeyed(s, d), dimPeopleKeyed(s, d))
+        .orderBy(col("sk_people_id"), col("sk_company_id"),
+          col("relationship_start_at"), col("title"), col("is_past"),
+          col("relationship_end_at"))
     },
     "fct_acquisition_build" -> { (s, d) =>
       // dd_acquisition_id collides when (l_orderkey, l_linenumber) repeats
@@ -261,7 +308,60 @@ object WarehouseQueries {
        |  SELECT *, CAST(row_number() OVER (ORDER BY nk_fund_id) AS BIGINT) AS sk_fund_id
        |  FROM dim_funds)""".stripMargin
 
+  /** staging.people + dim_people keyed. */
+  private val dimPeopleSql =
+    """people AS (
+      |  SELECT 'p' || c_custkey AS people_id, 'p:' || c_custkey AS object_id,
+      |    ' ' || c_mktsegment AS first_name,
+      |    CASE WHEN c_custkey % 6 = 0 THEN '' ELSE 'Smith ' || (c_custkey % 40) END AS last_name,
+      |    CASE WHEN c_custkey % 5 = 0 THEN ''
+      |         WHEN c_custkey % 5 = 1 THEN NULL
+      |         ELSE ' Firm ' || (c_custkey % 20) END AS affiliation_name
+      |  FROM customer),
+      |dim_people AS (
+      |  SELECT object_id AS nk_people_id,
+      |    nullif(concat_ws(' ', trim(first_name), trim(last_name)), '') AS full_name,
+      |    nullif(trim(affiliation_name), '') AS affiliation_name
+      |  FROM people),
+      |dim_people_keyed AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY nk_people_id) AS BIGINT) AS sk_people_id
+      |  FROM dim_people)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dim_people_build" ->
+      s"""WITH $dimPeopleSql
+         |SELECT nk_people_id, full_name, affiliation_name, sk_people_id
+         |FROM dim_people_keyed ORDER BY nk_people_id""".stripMargin,
+
+    "bridge_company_people_build" ->
+      s"""WITH $dimCompanySql,
+         |$dimPeopleSql,
+         |rel AS (
+         |  SELECT 'p:' || o_custkey AS person_object_id,
+         |    CASE WHEN o_orderkey % 30 = 0 THEN 'c:0'
+         |         ELSE CASE WHEN o_custkey % 7 = 0 THEN 'x:' || o_custkey
+         |                   WHEN o_custkey % 5 = 0 THEN 'f:' || o_custkey
+         |                   ELSE 'c:' || o_custkey END END AS relationship_object_id,
+         |    strftime(o_orderdate, '%Y-%m-%d') AS start_at,
+         |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+         |         ELSE strftime(CAST(o_orderdate AS DATE) + 365, '%Y-%m-%d') END AS end_at,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN ''
+         |         WHEN o_orderkey % 3 = 1 THEN ' yes ' ELSE 'no' END AS is_past,
+         |    CASE WHEN o_orderkey % 4 = 0 THEN ''
+         |         WHEN o_orderkey % 4 = 1 THEN ' CEO '
+         |         WHEN o_orderkey % 4 = 2 THEN 'board member' ELSE NULL END AS title
+         |  FROM orders)
+         |SELECT c.sk_company_id, p.sk_people_id,
+         |  nullif(trim(rel.title), '') AS title,
+         |  nullif(trim(rel.is_past), '') AS is_past,
+         |  CAST(strftime(CAST(rel.start_at AS DATE), '%Y%m%d') AS INT) AS relationship_start_at,
+         |  CAST(strftime(CAST(rel.end_at AS DATE), '%Y%m%d') AS INT) AS relationship_end_at
+         |FROM rel
+         |JOIN dim_people_keyed p ON rel.person_object_id = p.nk_people_id
+         |JOIN dim_company_keyed c ON rel.relationship_object_id = c.nk_company_id
+         |ORDER BY sk_people_id, sk_company_id, relationship_start_at,
+         |  title NULLS FIRST, is_past NULLS FIRST, relationship_end_at NULLS FIRST""".stripMargin,
+
     "dim_company_build" ->
       s"""WITH $dimCompanySql
          |SELECT nk_company_id, entity_type, full_address, region, city,
