@@ -49,7 +49,8 @@ object SparkEntry {
       graft.queries.SourceQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.StreamingQueries.queries
+      graft.queries.StreamingQueries.queries ++
+      graft.queries.WindowSetQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.queries.SourceQueries.oracle ++
       graft.queries.TextQueries.oracle ++
       graft.queries.SimilarityQueries.oracle ++
-      graft.queries.StreamingQueries.oracle
+      graft.queries.StreamingQueries.oracle ++
+      graft.queries.WindowSetQueries.oracle
 }

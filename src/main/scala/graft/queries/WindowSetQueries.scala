@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Window-function, rollup, set-operation, and SQL-surface coverage —
+  * operator families an analytics engine must carry even though the
+  * reference itself never uses them (SURVEY §2.5 notes them absent). */
+object WindowSetQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // rank / lag / running sum over per-customer order history.
+    "w2_window_suite" -> { (s, d) =>
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val running = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(byCust).as("order_rank"),
+        lag(col("o_totalprice").cast("decimal(18,2)"), 1).over(byCust)
+          .cast("double").as("prev_price"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(running)
+          .cast("double").as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // rollup over region/nation with grouping ids.
+    "w3_rollup" -> { (s, d) =>
+      val c = customer(s, d)
+      val n = nation(s, d)
+      val r = region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("r_name"), col("n_name"))
+    },
+
+    // set operations with SQL set semantics (distinct).
+    "so1_set_ops" -> { (s, d) =>
+      val purchasers = orders(s, d).filter(col("o_totalprice") > 50000)
+        .select(col("o_custkey").as("k"))
+      val machinery = customer(s, d).filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("k"))
+      val inter  = purchasers.intersect(machinery)
+        .withColumn("op", lit("intersect"))
+      val except = machinery.except(purchasers)
+        .withColumn("op", lit("except"))
+      inter.unionByName(except).orderBy(col("op"), col("k"))
+    },
+
+    // SQL surface: the same engine tables through spark.sql.
+    "sql1_catalog_query" -> { (s, d) =>
+      graft.core.Catalog.register(s, d)
+      s.sql("""
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w2_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS INT) AS order_rank,
+        |  CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w3_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |  CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "so1_set_ops" ->
+      """SELECT * FROM (
+        |  SELECT k, 'intersect' AS op FROM (
+        |    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000
+        |    INTERSECT
+        |    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |  UNION ALL
+        |  SELECT k, 'except' AS op FROM (
+        |    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |    EXCEPT
+        |    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000))
+        |ORDER BY op, k""".stripMargin,
+    "sql1_catalog_query" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}
