@@ -65,16 +65,25 @@ object Dedup {
     * banding bounds candidate volume regardless of gram selectivity. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // block key = first TWO tokens + shingle count: at threshold >= 0.5 a
+    // near-dup pair almost always agrees on its prefix (suffix edits are
+    // the common near-dup shape); the extra token cuts candidate volume
+    // ~|vocab|x vs first-token-only blocking.
+    // shingles carried as xxhash64 longs: the candidate join shuffles
+    // ~3 KB/doc instead of ~20 KB of strings, and the verify intersects
+    // compare longs. Collision probability across a corpus's gram
+    // vocabulary is ~|V|²/2^65 — immaterial to the jaccard value.
+    val toks = TextAnalysis.tokens(col(textCol))
     val withKey = df.select(
       col(idCol).as("id"),
-      shingles(col(textCol), n).as("grams"),
-      element_at(TextAnalysis.tokens(col(textCol)), 1).as("first_tok"))
+      transform(shingles(col(textCol), n), g => xxhash64(g)).as("grams"),
+      concat_ws(" ", slice(toks, lit(1), lit(2))).as("prefix"))
       .withColumn("n_grams", size(col("grams")))
     val a = withKey.select(col("id").as("id_a"), col("grams").as("grams_a"),
-      col("first_tok"), col("n_grams"))
+      col("prefix"), col("n_grams"))
     val b = withKey.select(col("id").as("id_b"), col("grams").as("grams_b"),
-      col("first_tok"), col("n_grams"))
-    a.join(b, Seq("first_tok", "n_grams"))
+      col("prefix"), col("n_grams"))
+    a.join(b, Seq("prefix", "n_grams"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("jaccard_sim", jaccard(col("grams_a"), col("grams_b")))
       .filter(col("jaccard_sim") >= threshold)
@@ -133,8 +142,10 @@ object Dedup {
                       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
                       threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // hashed shingle sets for the verify step (same rationale as in
+    // ngramJaccardPairs: narrow shuffle, long compares)
     val grams = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("grams"))
+      transform(shingles(col(textCol), n), g => xxhash64(g)).as("grams"))
     val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
 
     val banded = sigs.select(col("id"),
@@ -203,12 +214,14 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"), col("bucket"))
     val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("band"), col("bucket"))
+    // hamming filter BEFORE distinct: bit_count is a per-row bit op, so
+    // filtering first shrinks the dedup shuffle to the near-dup pairs
+    // instead of every band collision.
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("id_a", "id_b", "hamming").distinct()
   }
 
   // ---- embedding cosine near-dup ----------------------------------------

@@ -105,7 +105,10 @@ object TextQueries {
        |      i -> array_to_string(list_slice($toksSql, i, i + 2), ' '))) AS g
        |  FROM corpus),
        |keyed AS (
-       |  SELECT doc_id, g, toks[1] AS first_tok, len(g) AS n_grams FROM grams)""".stripMargin
+       |  SELECT doc_id, g,
+       |    array_to_string(list_slice(toks, 1, 2), ' ') AS prefix,
+       |    len(g) AS n_grams
+       |  FROM grams)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "t1_text_stats" ->
@@ -160,7 +163,7 @@ object TextQueries {
          |         / len(list_distinct(list_concat(a.g, b.g)))
          |    ELSE 0.0 END AS jaccard_sim
          |FROM keyed a JOIN keyed b
-         |  ON a.first_tok = b.first_tok AND a.n_grams = b.n_grams
+         |  ON a.prefix = b.prefix AND a.n_grams = b.n_grams
          | AND a.doc_id < b.doc_id
          |WHERE CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
          |    THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
