@@ -16,13 +16,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query wall-clock cap: one pathological query must not stall the
+    // whole correctness dump. Cancellation via Spark job groups.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "600").toLong
+    import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+    val pool = Executors.newCachedThreadPool()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val task = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
+      })
+      try task.get(timeoutSec, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          task.cancel(true)
+          System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${Option(e.getCause).getOrElse(e).getMessage}")
       }
     }
+    pool.shutdownNow()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

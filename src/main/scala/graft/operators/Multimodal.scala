@@ -59,7 +59,8 @@ object Multimodal {
         // per-batch "decode kernel" (STUB — codec call goes here)
         batch.iterator.map { r =>
           val id = r.getLong(idIdx)
-          val bytes = r.getAs[Array[Byte]](mediaIdx)
+          // media is declared nullable — treat a null payload as empty
+          val bytes = Option(r.getAs[Array[Byte]](mediaIdx)).getOrElse(Array.emptyByteArray)
           val checksum = bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)
           Row(id, bytes.length, if (bytes.isEmpty) -1 else bytes(0) & 0xFF, checksum)
         }

@@ -36,7 +36,13 @@ object Profiler {
     * (schema, table_name, column_name, data_type, n_rows, n_cols,
     *  not_null_count, percentage_completeness, completeness_grade,
     *  negative_count, is_negative_values, sample_data). */
-  def profile(df: DataFrame, schemaName: String, tableName: String): DataFrame = {
+  def profile(df: DataFrame, schemaName: String, tableName: String): DataFrame =
+    profileFull(df, schemaName, tableName).drop("sample_arr")
+
+  /** As [[profile]] plus the raw `sample_arr` array column (used by
+    * [[qualityReport]] for correctly-escaped JSON — the comma-joined
+    * `sample_data` string is ambiguous when values contain commas). */
+  private[graft] def profileFull(df: DataFrame, schemaName: String, tableName: String): DataFrame = {
     val fields = df.schema.fields
     val nCols = fields.length
 
@@ -61,7 +67,8 @@ object Profiler {
         lit(f.dataType.simpleString).as("data_type"),
         col(s"nn_${f.name}").as("not_null_count"),
         col(s"neg_${f.name}").as("negative_count"),
-        array_join(col(s"smp_${f.name}"), ",").as("sample_data"))
+        array_join(col(s"smp_${f.name}"), ",").as("sample_data"),
+        col(s"smp_${f.name}").as("sample_arr"))
     }
 
     one
@@ -83,7 +90,8 @@ object Profiler {
           .otherwise("Bad").as("completeness_grade"),
         col("c.negative_count"),
         (col("c.negative_count") > 0).as("is_negative_values"),
-        col("c.sample_data"))
+        col("c.sample_data"),
+        col("c.sample_arr"))
   }
 
   /** A7: assemble the per-table JSON report documents exactly as the
@@ -92,14 +100,14 @@ object Profiler {
     * byte-for-byte). One row per table: (schema, table_name, n_rows,
     * n_cols, data_profile, data_quality). */
   def qualityReport(df: DataFrame, schemaName: String, tableName: String): DataFrame = {
-    val p = profile(df, schemaName, tableName)
+    val p = profileFull(df, schemaName, tableName)
+    // to_json on the sample array: proper escaping for values containing
+    // commas/quotes/backslashes (a comma re-split would corrupt them).
     val profileEntry = concat(
       lit("\""), col("column_name"), lit("\":{\"data_type\":\""),
-      col("data_type"), lit("\",\"sample_data\":[")
-      , when(col("sample_data") === "", lit(""))
-        .otherwise(concat(lit("\""),
-          regexp_replace(col("sample_data"), ",", "\",\""), lit("\"")))
-      , lit("]}"))
+      col("data_type"), lit("\",\"sample_data\":"),
+      to_json(col("sample_arr")),
+      lit("}"))
     val qualityEntry = concat(
       lit("\""), col("column_name"), lit("\":{\"percentage_completeness\":"),
       // fixed-scale decimal string so the text form is engine-independent

@@ -43,13 +43,19 @@ object Similarity {
 
   /** Sign-bit signature of a (double-cast) vector against the fixed
     * hyperplanes of one hash table — an integer bucket id in
-    * [0, 2^planes). */
-  def hyperplaneSignature(v: Column, planes: Int, table: Int = 0): Column = {
-    val sig = planeLiterals(planes, table = table).zipWithIndex.map { case (p, i) =>
+    * [0, 2^planes). The planes are `dim`-dimensional; a mismatched vector
+    * length raises (zip_with would otherwise null-pad, silently sending
+    * every vector to bucket 0 and degrading LSH to a cross join). */
+  def hyperplaneSignature(v: Column, planes: Int, table: Int = 0,
+                          dim: Int = 64): Column = {
+    val sig = planeLiterals(planes, dim, table).zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit): _*)
       when(dot(v, plane) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
-    sig.reduce(_ + _)
+    val dimGuard = when(size(v) === dim, lit(0L))
+      .otherwise(raise_error(concat(
+        lit(s"hyperplaneSignature: expected $dim-dim vector, got "), size(v))))
+    sig.reduce(_ + _) + dimGuard
   }
 
   /** Exact cosine top-k for a fixed set of query vector ids.

@@ -42,6 +42,13 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  saltSource: Column, salts: Int = 8,
                  joinType: String = "inner"): DataFrame = {
+    // right/full outer would surface each unmatched small-side row once
+    // PER SALT REPLICA — reject join types whose semantics replication
+    // breaks.
+    val safe = Set("inner", "left", "left_outer", "cross")
+    require(safe.contains(joinType.toLowerCase),
+      s"saltedJoin supports ${safe.mkString("/")} joins; '$joinType' would " +
+        "duplicate unmatched replicated-side rows")
     val l = large.withColumn("__salt", saltCol(salts, saltSource))
     val s = small.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))

@@ -57,19 +57,23 @@ object Warehouse {
         col("region"), col("city"), col("country_code"))
 
   /** dim_funds (extract_transform.py:147-234): normalize name/description,
-    * raised_amount→USD, yyyyMMdd date FK validated against dim_date via a
-    * left join (reference joins the whole dim; we join the pruned key —
-    * identical rows, 1 column moved instead of 25). */
+    * raised_amount→USD, yyyyMMdd date FK.
+    *
+    * The reference LEFT-joins dim_date here (extract_transform.py:199-204)
+    * and then selects none of its columns — provably dead work: date_id
+    * is unique in dim_date, so a left join can neither drop nor duplicate
+    * rows, and Catalyst cannot eliminate it (it can't see the uniqueness).
+    * The engine omits the join — identical output, one fewer join stage.
+    * (dimDate still accepted so the signature documents the dependency
+    * and callers can re-enable validation if they want an INNER check.) */
   def dimFunds(funds: DataFrame, dimDate: DataFrame,
                broadcastDims: Boolean = true): DataFrame = {
-    val dates = maybeBroadcast(dimDate.select(col("date_id")), broadcastDims)
     funds
       .withColumn("name", trim(lower(col("name"))))
       .withColumn("source_description", trim(lower(col("source_description"))))
       .withColumn("raised_amount_usd",
         Cleaning.toUsd(col("raised_currency_code"), col("raised_amount")))
       .withColumn("funded_date_id", Cleaning.dateKey(col("funded_at")))
-      .join(dates, col("funded_date_id") === dates("date_id"), "left")
       .withColumn("source_description",
         when(trim(col("source_description")) === "", lit(null))
           .otherwise(col("source_description")))

@@ -118,11 +118,11 @@ object ProfilerQueries {
               else "false"
     val pct = s"CAST(CAST(round(CAST(count($colName) AS DOUBLE) * 100 / count(*), 2) AS DECIMAL(6,2)) AS VARCHAR)"
     val sample =
-      s"""(SELECT coalesce(string_agg('"' || v || '"', ',' ORDER BY v), '') FROM
+      s"""(SELECT coalesce(to_json(list(v ORDER BY v)), '[]') FROM
          |  (SELECT DISTINCT CAST($colName AS VARCHAR) AS v FROM nat
          |   WHERE $colName IS NOT NULL ORDER BY v LIMIT 5) t)""".stripMargin
     val profile =
-      s"""'"$colName":{"data_type":"$dataType","sample_data":[' || $sample || ']}'"""
+      s"""'"$colName":{"data_type":"$dataType","sample_data":' || $sample || '}'"""
     val quality =
       s"""'"$colName":{"percentage_completeness":' || (SELECT $pct FROM nat) ||
          | ',"data_quality_completeness_result":"' ||

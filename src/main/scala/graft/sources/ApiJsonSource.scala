@@ -4,8 +4,6 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.time.Duration
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
 
 /** S6: REST-API JSON source (reference `extract.py:81-132`): driver-side
   * HTTP GET with date-range params, status check, newline scrub, then
@@ -32,11 +30,8 @@ object ApiJsonSource {
 
   /** Parse a JSON array/lines payload into a DataFrame and scrub embedded
     * newlines from every string column (P11). */
-  def toDataFrame(spark: SparkSession, payload: String): DataFrame = {
-    val df = Readers.jsonString(spark, payload)
-    df.schema.fields.filter(_.dataType == StringType).map(_.name)
-      .foldLeft(df)((d, c) => d.withColumn(c, regexp_replace(col(c), "\n", " ")))
-  }
+  def toDataFrame(spark: SparkSession, payload: String): DataFrame =
+    graft.functions.Cleaning.scrubNewlines(Readers.jsonString(spark, payload))
 
   /** Full S6 path: fetch + parse + scrub. */
   def read(spark: SparkSession, url: String, startDate: String, endDate: String): DataFrame =

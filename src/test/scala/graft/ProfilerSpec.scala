@@ -48,6 +48,19 @@ class ProfilerSpec extends SparkSpec {
     assert(p.forall(_.getAs[String]("sample_data") == ""))
   }
 
+  test("qualityReport JSON survives commas/quotes/backslashes in sample values") {
+    val tricky = Seq((1, "a, b"), (2, "say \"hi\""), (3, "back\\slash")).toDF("id", "s")
+    val r = Profiler.qualityReport(tricky, "sch", "t").collect()(0)
+    val profile = r.getAs[String]("data_profile")
+    // must parse as JSON and preserve the 3 values of column s intact
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(profile)
+    val samples = node.get("s").get("sample_data")
+    assert(samples.size() == 3)
+    val vals = (0 until 3).map(samples.get(_).asText()).toSet
+    assert(vals == Set("a, b", "say \"hi\"", "back\\slash"))
+  }
+
   test("qualityReport emits well-formed JSON documents") {
     val r = Profiler.qualityReport(df, "sch", "t").collect()(0)
     val profile = r.getAs[String]("data_profile")
