@@ -50,7 +50,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.StreamingQueries.queries ++
-      graft.queries.WindowSetQueries.queries
+      graft.queries.WindowSetQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -65,5 +66,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracle ++
       graft.queries.SimilarityQueries.oracle ++
       graft.queries.StreamingQueries.oracle ++
-      graft.queries.WindowSetQueries.oracle
+      graft.queries.WindowSetQueries.oracle ++
+      graft.queries.AnalyticsQueries.oracle
 }

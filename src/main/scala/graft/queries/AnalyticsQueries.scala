@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.AsOf
+import graft.streaming.EventsStream
+
+/** Analytics-operator coverage beyond the reference: as-of join (the
+  * engine's composed implementation cross-checked against DuckDB's
+  * NATIVE ASOF JOIN), pivot, and exact percentiles/distinct counts. */
+object AnalyticsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // as-of join: each event gets the user's most recent prior "profile
+    // update" (every 10th event acts as an update).
+    "ao1_asof_join" -> { (s, d) =>
+      val ev = EventsStream.withEventTime(events(s, d))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("event_time")).as("t"), col("event_type"))
+      val updates = ev.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("t"),
+          concat(lit("v"), col("event_id")).as("profile_version"))
+      AsOf.join(ev, updates, Seq("user_id"), "t", Seq("profile_version"))
+        .orderBy(col("event_id"))
+    },
+
+    // pivot: order counts per status × priority (explicit value list so
+    // the output schema is fixed).
+    "pv1_pivot" -> { (s, d) =>
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", priorities)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // exact percentiles (linear interpolation) + exact distinct counts.
+    "pc1_percentiles" -> { (s, d) =>
+      lineitem(s, d).agg(
+        element_at(percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))), 1).as("q25"),
+        element_at(percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))), 2).as("q50"),
+        element_at(percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))), 3).as("q75"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ao1_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+        |  FROM events),
+        |updates AS (
+        |  SELECT user_id, t, 'v' || event_id AS profile_version
+        |  FROM ev WHERE event_id % 10 = 0)
+        |SELECT ev.event_id, ev.user_id, ev.t, ev.event_type,
+        |  u.profile_version AS asof_profile_version
+        |FROM ev ASOF LEFT JOIN updates u
+        |  ON ev.user_id = u.user_id AND ev.t >= u.t
+        |ORDER BY event_id""".stripMargin,
+    "pv1_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "pc1_percentiles" ->
+      """SELECT quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem""".stripMargin
+  )
+}
