@@ -37,6 +37,17 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // sketch aggregates (HLL distinct, approximate percentile) — engine
+    // results are not DuckDB-reproducible (different sketch impls), so
+    // this is a rows-only gate entry; SketchSpec bounds the error vs the
+    // exact values.
+    "sk1_sketches" -> { (s, d) =>
+      lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median"))
+    },
+
     // exact percentiles (linear interpolation) + exact distinct counts.
     "pc1_percentiles" -> { (s, d) =>
       lineitem(s, d).agg(

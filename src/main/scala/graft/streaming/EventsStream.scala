@@ -73,6 +73,18 @@ object EventsStream {
         col("total_value").cast("double").as("total_value"))
   }
 
+  /** Streaming keyed dedup — the Structured-Streaming replacement for the
+    * reference's keyed upsert (SURVEY §2.8: `dropDuplicates` by key with
+    * a watermark bounds state; an exactly-once sink then makes re-runs
+    * idempotent without INSERT..ON CONFLICT). Keeps the FIRST arrival per
+    * (key, event_time window); works identically on batch frames. */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String],
+                 watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("event_time", watermark)
+              else events
+    src.dropDuplicates(keyCols :+ "event_time")
+  }
+
   // ---- custom keyed state (mapGroupsWithState) ---------------------------
 
   case class UserEvent(user_id: Long, event_time: java.sql.Timestamp, value: Double)
