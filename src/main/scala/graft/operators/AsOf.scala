@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
   * ASOF JOIN against this implementation. */
 object AsOf {
 
-  /** @param left      probe side
+  /** NULL-key caveat: `Window.partitionBy` groups null keys into one
+    * partition, so null keys MATCH EACH OTHER here — SQL equality (and
+    * DuckDB ASOF) would return no match. Filter null-keyed rows first if
+    * SQL semantics are required.
+    *
+    * @param left      probe side
     * @param right     reference side (must be unique per (keys, timeCol)
     *                  for deterministic results)
     * @param keys      equality key column names (same names both sides)

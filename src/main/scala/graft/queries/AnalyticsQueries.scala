@@ -39,8 +39,8 @@ object AnalyticsQueries {
 
     // sketch aggregates (HLL distinct, approximate percentile) — engine
     // results are not DuckDB-reproducible (different sketch impls), so
-    // this is a rows-only gate entry; SketchSpec bounds the error vs the
-    // exact values.
+    // this is a rows-only gate entry; SketchStreamDedupSpec bounds the
+    // error vs the exact values.
     "sk1_sketches" -> { (s, d) =>
       lineitem(s, d).agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
