@@ -34,6 +34,22 @@ object CoreQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // TPC-H Q3-shaped shipping-priority query: selective filters on both
+    // join sides pushed to the scans, then join + grouped agg + top-K.
+    "q3_shipping_priority" -> { (s, d) =>
+      val o = orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+      val li = lineitem(s, d).filter(col("l_shipdate") > lit("1996-01-01"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,6)")).cast("double").as("revenue"))
+        .select(col("o_orderkey"), col("revenue"),
+          col("o_orderdate").cast("string").as("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
     // S3: parquet scan with filter + projection — both must reach the scan
     // (PushedFilters / ReadSchema) so a 100 TB scan reads 2 columns, not 11.
     "s3_parquet_scan_pushdown" -> { (s, d) =>
@@ -92,6 +108,16 @@ object CoreQueries {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR) AS o_orderdate, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
     "s3_parquet_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
