@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.AsOf
+import graft.operators.{AsOf, RangeJoin}
 import graft.streaming.EventsStream
 
 /** Analytics-operator coverage beyond the reference: as-of join (the
@@ -23,6 +23,22 @@ object AnalyticsQueries {
           concat(lit("v"), col("event_id")).as("profile_version"))
       AsOf.join(ev, updates, Seq("user_id"), "t", Seq("profile_version"))
         .orderBy(col("event_id"))
+    },
+
+    // bucketized range join: events against 30-minute activity windows
+    // opened by every 20th event (equi-join on (user, bucket) + residual
+    // BETWEEN — never a nested-loop range join).
+    "rq1_range_join" -> { (s, d) =>
+      val ev = EventsStream.withEventTime(events(s, d))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("event_time")).as("t"))
+      val windows = ev.filter(col("event_id") % 20 === 0)
+        .select(col("user_id"), col("event_id").as("window_id"),
+          col("t").as("w_start"), (col("t") + 30L * 60 * 1000000).as("w_end"))
+      RangeJoin.pointInInterval(ev, windows, Seq("user_id"), "t",
+          "w_start", "w_end", bucketWidth = 30L * 60 * 1000000)
+        .select(col("window_id"), col("event_id"))
+        .orderBy(col("window_id"), col("event_id"))
     },
 
     // pivot: order counts per status × priority (explicit value list so
@@ -73,6 +89,18 @@ object AnalyticsQueries {
         |FROM ev ASOF LEFT JOIN updates u
         |  ON ev.user_id = u.user_id AND ev.t >= u.t
         |ORDER BY event_id""".stripMargin,
+    "rq1_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id AS window_id, t AS w_start,
+        |    t + 30 * 60 * 1000000 AS w_end
+        |  FROM ev WHERE event_id % 20 = 0)
+        |SELECT w.window_id, ev.event_id
+        |FROM ev JOIN w ON ev.user_id = w.user_id
+        |  AND ev.t BETWEEN w.w_start AND w.w_end
+        |ORDER BY window_id, event_id""".stripMargin,
     "pv1_pivot" ->
       """SELECT o_orderstatus,
         |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
