@@ -53,6 +53,34 @@ object WindowSetQueries {
       inter.unionByName(except).orderBy(col("op"), col("k"))
     },
 
+    // correlated scalar subquery + EXISTS through the SQL surface.
+    "sq1_scalar_subquery" -> { (s, d) =>
+      graft.core.Catalog.register(s, d)
+      s.sql("""
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               CAST((SELECT max(o_totalprice) FROM orders o
+                     WHERE o.o_custkey = c.c_custkey) AS DOUBLE) AS max_order
+        FROM customer c
+        WHERE c_custkey % 7 = 0
+        ORDER BY c_custkey""")
+    },
+
+    // null-semantics suite: null-safe equality, coalesce/nullif/nvl2.
+    "nl1_null_semantics" -> { (s, d) =>
+      val a = when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment"))
+      val b = when(col("c_custkey") % 4 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment"))
+      customer(s, d).select(
+        col("c_custkey"), a.as("a"), b.as("b"),
+        (a <=> b).as("null_safe_eq"),
+        coalesce(a, b, lit("neither")).as("coalesced"),
+        nullif(a, b).as("nullif_ab"),
+        when(a.isNull, lit("was_null")).otherwise(concat(lit("seg:"), a)).as("branched"))
+        .orderBy(col("c_custkey"))
+    },
+
     // SQL surface: the same engine tables through spark.sql.
     "sql1_catalog_query" -> { (s, d) =>
       graft.core.Catalog.register(s, d)
@@ -99,6 +127,24 @@ object WindowSetQueries {
         |    EXCEPT
         |    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000))
         |ORDER BY op, k""".stripMargin,
+    "sq1_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  CAST((SELECT max(o_totalprice) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS DOUBLE) AS max_order
+        |FROM customer c WHERE c_custkey % 7 = 0 ORDER BY c_custkey""".stripMargin,
+    "nl1_null_semantics" ->
+      """WITH src AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS a,
+        |    CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_mktsegment END AS b
+        |  FROM customer)
+        |SELECT c_custkey, a, b,
+        |  a IS NOT DISTINCT FROM b AS null_safe_eq,
+        |  coalesce(a, b, 'neither') AS coalesced,
+        |  nullif(a, b) AS nullif_ab,
+        |  CASE WHEN a IS NULL THEN 'was_null' ELSE 'seg:' || a END AS branched
+        |FROM src ORDER BY c_custkey""".stripMargin,
     "sql1_catalog_query" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
