@@ -213,6 +213,15 @@ object WarehouseQueries {
           col("relationship_start_at"), col("title"), col("is_past"),
           col("relationship_end_at"))
     },
+    // J11: referential-integrity check as a runtime operator — orphan
+    // FKs in the staged investments against the company dimension.
+    "ri1_fk_violations" -> { (s, d) =>
+      graft.operators.Integrity.fkViolations(
+        investmentsStaging(s, d), "funded_object_id",
+        dimCompanyKeyed(s, d), "nk_company_id")
+        .select(col("investment_id"), col("funded_object_id"))
+        .orderBy(col("investment_id"))
+    },
     "fct_acquisition_build" -> { (s, d) =>
       // dd_acquisition_id collides when (l_orderkey, l_linenumber) repeats
       // in the synthetic lineitem — extend the sort to all non-null cols.
@@ -361,6 +370,18 @@ object WarehouseQueries {
          |JOIN dim_company_keyed c ON rel.relationship_object_id = c.nk_company_id
          |ORDER BY sk_people_id, sk_company_id, relationship_start_at,
          |  title NULLS FIRST, is_past NULLS FIRST, relationship_end_at NULLS FIRST""".stripMargin,
+
+    "ri1_fk_violations" ->
+      s"""WITH $dimCompanySql,
+         |inv AS (
+         |  SELECT o_orderkey AS investment_id,
+         |    CASE WHEN o_orderkey % 20 = 0 THEN 'c:0' ELSE 'c:' || o_custkey END AS funded_object_id
+         |  FROM orders)
+         |SELECT investment_id, funded_object_id FROM inv
+         |WHERE funded_object_id IS NOT NULL
+         |  AND NOT EXISTS (SELECT 1 FROM dim_company_keyed c
+         |                  WHERE c.nk_company_id = inv.funded_object_id)
+         |ORDER BY investment_id""".stripMargin,
 
     "dim_company_build" ->
       s"""WITH $dimCompanySql
