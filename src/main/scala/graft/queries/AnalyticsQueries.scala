@@ -64,6 +64,20 @@ object AnalyticsQueries {
         percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median"))
     },
 
+    // MapType round-trip (SURVEY §1.2 JSONB-analog): per-user counts
+    // built into a map<event_type, n>, then exploded back to rows — the
+    // map structure is exercised end-to-end while the compared output
+    // stays engine-neutral.
+    "mp1_map_type" -> { (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+        .select(col("user_id"), explode(col("m")).as(Seq("event_type", "n")))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     // exact percentiles (linear interpolation) + exact distinct counts.
     "pc1_percentiles" -> { (s, d) =>
       lineitem(s, d).agg(
@@ -109,6 +123,10 @@ object AnalyticsQueries {
         |  CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
         |  CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "mp1_map_type" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "pc1_percentiles" ->
       """SELECT quantile_cont(l_quantity, 0.25) AS q25,
         |  quantile_cont(l_quantity, 0.5) AS q50,
