@@ -54,6 +54,19 @@ object SourceQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // JSON-lines sink then source round-trip (raw payload persistence).
+    "s6b_json_roundtrip" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_json").toString
+      Writers.json(events(s, d).select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("value")), s"$tmp/events")
+      Readers.json(s, s"$tmp/events")
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(18,2)").as("value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).cast("double").as("total"))
+        .orderBy(col("event_type"))
+    },
+
     // S4: partitioned parquet write with dynamic overwrite, then a pruned
     // read-back (the filter prunes partition directories, not rows).
     "s4_partitioned_write" -> { (s, d) =>
@@ -88,6 +101,10 @@ object SourceQueries {
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "s6b_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s4_partitioned_write" ->
       """SELECT count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

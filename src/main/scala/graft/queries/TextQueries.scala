@@ -56,6 +56,31 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // end-to-end curation: the full training-data flow in one query —
+    // language filter -> quality threshold -> exact dedup (canonical id)
+    // -> per-language stats of the surviving corpus.
+    "cur1_curation_pipeline" -> { (s, d) =>
+      val scored = documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val kept = scored
+        .filter(col("lang").isin("en", "de", "fr"))
+        .filter(col("q") >= 0.5)
+      // canonical row = the min-doc_id survivor; min_by keeps ITS lang
+      // (first() would be nondeterministic when dup texts differ in lang)
+      val deduped = kept
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("keep_id")).as("min_keep_id"))
+        .orderBy(col("lang"))
+    },
+
     // exact dedup: canonical id + copy count per distinct text.
     "x1_dedup_exact" -> { (s, d) =>
       Dedup.exact(documents(s, d), "doc_id", "text")
@@ -110,7 +135,35 @@ object TextQueries {
        |    len(g) AS n_grams
        |  FROM grams)""".stripMargin
 
+  /** quality-score SQL matching TextAnalysis.qualityScore (same text as
+    * in the t1 oracle). */
+  private val qualitySql =
+    s"""least(CAST(len($toksSql) AS DOUBLE) / 50.0, 1.0) * 0.4
+       | + (1.0 - least(CASE WHEN length(text) > 0
+       |     THEN CAST($punctSql AS DOUBLE) / length(text) ELSE 0.0 END * 5.0, 1.0)) * 0.3
+       | + (1.0 - abs(CASE WHEN len($toksSql) > 0
+       |     THEN CAST(len(list_filter($toksSql,
+       |       t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+       |       / len($toksSql) ELSE 0.0 END - 0.3)) * 0.3""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "cur1_curation_pipeline" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, lang,
+         |    $qualitySql AS q,
+         |    CAST(len($toksSql) AS INT) AS n_tokens
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM scored WHERE lang IN ('en','de','fr') AND q >= 0.5),
+         |deduped AS (
+         |  SELECT min(doc_id) AS keep_id,
+         |    arg_min(lang, doc_id) AS lang,
+         |    arg_min(n_tokens, doc_id) AS n_tokens
+         |  FROM kept GROUP BY text)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  min(keep_id) AS min_keep_id
+         |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
     "t1_text_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS INT) AS n_tokens,

@@ -31,6 +31,11 @@ object Writers {
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** JSON-lines sink (the lake form of the reference's raw-API-payload
+    * persistence, extract.py:124-132). */
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** S5: JDBC append with a bounded number of connections. */
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  props: java.util.Properties, connections: Int = 8): Unit =
