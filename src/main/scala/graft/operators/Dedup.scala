@@ -79,6 +79,10 @@ object Dedup {
       transform(shingles(col(textCol), n), g => xxhash64(g)).as("grams"),
       concat_ws(" ", slice(toks, lit(1), lit(2))).as("prefix"))
       .withColumn("n_grams", size(col("grams")))
+    // NOTE a slim-keys-first candidate join (attach arrays later) was
+    // measured 2× SLOWER here: with long-hashed grams the array shuffle
+    // is only ~3 KB/doc, while each extra join leg re-tokenizes the
+    // corpus (no common-subexpression reuse across DataFrame branches).
     val a = withKey.select(col("id").as("id_a"), col("grams").as("grams_a"),
       col("prefix"), col("n_grams"))
     val b = withKey.select(col("id").as("id_b"), col("grams").as("grams_b"),
