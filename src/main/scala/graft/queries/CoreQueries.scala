@@ -50,6 +50,20 @@ object CoreQueries {
         .limit(20)
     },
 
+    // TPC-H Q6-shaped forecast-revenue query: the pure scan benchmark —
+    // three pushed predicates, two columns read, one global agg.
+    "q6_forecast_revenue" -> { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("decimal(28,4)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // S3: parquet scan with filter + projection — both must reach the scan
     // (PushedFilters / ReadSchema) so a 100 TB scan reads 2 columns, not 11.
     "s3_parquet_scan_pushdown" -> { (s, d) =>
@@ -118,6 +132,16 @@ object CoreQueries {
         |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "s3_parquet_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
