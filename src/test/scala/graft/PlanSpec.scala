@@ -29,6 +29,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("as-of join plans with a single hash-partition shuffle") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.streaming.EventsStream.withEventTime(
+      graft.Tables.events(spark, d))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("event_time")).as("t"))
+    val updates = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("t"), col("event_id").as("v"))
+    val joined = graft.operators.AsOf.join(ev, updates, Seq("user_id"), "t", Seq("v"))
+    val p = joined.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected exactly 1 keyed shuffle, got $shuffles:\n$p")
+    assert(!p.contains("NestedLoop"), p)
+  }
+
+  test("range join plans as hash join, never nested loop") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.streaming.EventsStream.withEventTime(
+      graft.Tables.events(spark, d))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("event_time")).as("t"))
+    val windows = ev.filter(col("event_id") % 20 === 0)
+      .select(col("user_id"), col("t").as("s"), (col("t") + 1000000L).as("e"))
+    val joined = graft.operators.RangeJoin.pointInInterval(
+      ev, windows, Seq("user_id"), "t", "s", "e", 1000000L)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop"), s"range join degenerated to nested loop:\n$p")
+  }
+
   test("q1 aggregation is partial+final (map-side combine present)") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("HashAggregate"), p)

@@ -74,6 +74,19 @@ class WarehouseSpec extends SparkSpec {
     assert(got(2).isNullAt(got(2).fieldIndex("funding_round_type")))
   }
 
+  test("Integrity: FK violations and summary report") {
+    import graft.operators.Integrity
+    val parent = Seq(("c:1", 1), ("c:2", 2)).toDF("nk", "sk")
+    val child = Seq((1L, "c:1"), (2L, "c:9"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "fk")
+    val v = Integrity.fkViolations(child, "fk", parent, "nk")
+      .select("id").collect().map(_.getLong(0))
+    assert(v.toSeq == Seq(2L)) // null FK is not a violation
+    val rep = Integrity.report(spark,
+      Seq(("child_fk", child, "fk", parent, "nk"))).collect()(0)
+    assert(rep.getString(0) == "child_fk" && rep.getLong(2) == 1L)
+  }
+
   test("fctAcquisition: self-join roles incl. same company both sides") {
     val dimCompany = Warehouse.withDenseKey(
       Seq(("c:1", "company"), ("c:2", "company")).toDF("nk_company_id", "entity_type"),
