@@ -23,12 +23,18 @@ object Integrity {
       .join(pSide, col(childKey) === col("__pk"), "left_anti")
   }
 
-  /** One summary row per declared FK: (child, fk, parent, n_violations). */
+  /** One summary row per declared FK: (fk_name, child_key, n_violations).
+    * All FKs are checked in ONE Spark job: each check is a global
+    * aggregate (so zero-violation FKs still produce a row) and the
+    * per-FK aggregates are unioned into a single lazy plan — the caller's
+    * one action runs them together, instead of N serial count() jobs
+    * from the driver. */
   def report(spark: SparkSession,
-             fks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
-    import spark.implicits._
+             fks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
     fks.map { case (name, child, childKey, parent, parentKey) =>
-      (name, childKey, fkViolations(child, childKey, parent, parentKey).count())
-    }.toDF("fk_name", "child_key", "n_violations")
-  }
+      fkViolations(child, childKey, parent, parentKey)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("fk_name"), lit(childKey).as("child_key"),
+          col("n_violations"))
+    }.reduce(_ unionByName _)
 }

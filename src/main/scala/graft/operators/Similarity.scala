@@ -91,20 +91,30 @@ object Similarity {
               queryIds: Seq[Long], k: Int = 10, planes: Int = 6,
               tables: Int = 8): DataFrame = {
     val base = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    // (table, bucket) pairs per vector, one hash table per array slot
-    val banded = base.select(col("id"), col("v"),
+    // (table, bucket) pairs per vector, one hash table per array slot.
+    // Ids only past this point: the banding join and the candidate
+    // distinct shuffle two longs per row, never the vectors themselves.
+    val banded = base.select(col("id"),
       posexplode(array((0 until tables).map(t =>
         hyperplaneSignature(col("v"), planes, t)): _*)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-    val corpus = banded.select(col("id").as("neighbor_id"), col("v"),
-      col("t"), col("bucket"))
     val probes = banded.filter(col("id").isin(queryIds: _*))
-      .select(col("id").as("query_id"), col("v").as("q"), col("t"), col("bucket"))
+      .select(col("id").as("query_id"), col("t"), col("bucket"))
+    val candidates = banded.select(col("id").as("neighbor_id"), col("t"), col("bucket"))
+      .join(broadcast(probes), Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    // Verify: candidates are bounded by |Q| (the contract is a bounded
+    // query set, as in bruteForceTopK), so broadcasting them back against
+    // the corpus keeps the corpus un-shuffled; query vectors are a second
+    // tiny broadcast. Only scored candidate rows reach the top-k window.
+    val queryVecs = base.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
-    corpus.join(broadcast(probes), Seq("t", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("q"), col("neighbor_id"), col("v")).distinct()
+    base.select(col("id").as("neighbor_id"), col("v"))
+      .join(broadcast(candidates), Seq("neighbor_id"))
+      .join(broadcast(queryVecs), Seq("query_id"))
       .withColumn("cosine_sim", cosine(col("q"), col("v")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -82,9 +82,23 @@ class WarehouseSpec extends SparkSpec {
     val v = Integrity.fkViolations(child, "fk", parent, "nk")
       .select("id").collect().map(_.getLong(0))
     assert(v.toSeq == Seq(2L)) // null FK is not a violation
-    val rep = Integrity.report(spark,
-      Seq(("child_fk", child, "fk", parent, "nk"))).collect()(0)
-    assert(rep.getString(0) == "child_fk" && rep.getLong(2) == 1L)
+    // report is LAZY — building it must run no jobs (the round-1 version
+    // ran one eager count() action per FK from the driver); a single
+    // downstream action then evaluates every FK check in one plan.
+    spark.sparkContext.setJobGroup("integrity-report-test", "laziness assertion")
+    try {
+      val repDf = Integrity.report(spark, Seq(
+        ("child_fk", child, "fk", parent, "nk"),
+        ("self_fk", child, "id", child, "id"))) // zero violations by construction
+      val eagerJobs = spark.sparkContext.statusTracker
+        .getJobIdsForGroup("integrity-report-test")
+      assert(eagerJobs.isEmpty,
+        s"Integrity.report ran ${eagerJobs.length} jobs before any action")
+      val rep = repDf.orderBy("fk_name").collect()
+      assert(rep.length == 2)
+      assert(rep(0).getString(0) == "child_fk" && rep(0).getLong(2) == 1L)
+      assert(rep(1).getString(0) == "self_fk" && rep(1).getLong(2) == 0L)
+    } finally spark.sparkContext.clearJobGroup()
   }
 
   test("fctAcquisition: self-join roles incl. same company both sides") {
