@@ -31,11 +31,43 @@ object Warehouse {
     if (on) broadcast(df) else df
 
   /** Dense surrogate key by natural-key order + offset (dimension load).
-    * A global row_number is a single-partition sort of the *dimension*
-    * only — acceptable for dims, never used for facts. `offset` carries
-    * the max existing key for incremental appends. */
+    *
+    * Scale-safe construction (no single-partition pass over the data):
+    *  1. range-repartition by the natural key — partition i holds keys
+    *     strictly below partition i+1's;
+    *  2. row_number within each range bucket (hash exchange on the bucket
+    *     id — every bucket ranks in parallel);
+    *  3. per-bucket cumulative offsets from the bucket-count aggregate —
+    *     the only single-partition window runs over O(#partitions) rows,
+    *     never the dimension itself — broadcast-joined back.
+    * The composed key equals the global `row_number() OVER (ORDER BY
+    * orderCol)` regardless of where the sampled range bounds fall, so the
+    * result is bit-identical to [[withDenseKeyWindowed]] for unique keys.
+    * `offset` carries the max existing key for incremental appends. */
   def withDenseKey(df: DataFrame, keyName: String, orderCol: String,
-                   offset: Long = 0L): DataFrame =
+                   offset: Long = 0L, partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val local = df.repartitionByRange(n, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col(orderCol))))
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(keyName, col("__rn") + col("__off") + lit(offset))
+      .drop("__pid", "__rn", "__off")
+  }
+
+  /** The round-1 global-window variant: a single-partition sort of the
+    * whole frame. Kept for genuinely tiny frames where one extra shuffle
+    * costs more than the serialization; [[withDenseKey]] is the default. */
+  def withDenseKeyWindowed(df: DataFrame, keyName: String, orderCol: String,
+                           offset: Long = 0L): DataFrame =
     df.withColumn(keyName,
       row_number().over(Window.orderBy(col(orderCol))) + lit(offset))
 

@@ -90,15 +90,14 @@ object CoreQueries {
         .limit(5)
     },
 
-    // §2.5 surrogate keys: row_number over natural-key order + offset —
-    // what the reference delegates to Postgres BIGSERIAL. A global window
-    // is a single-partition sort; fine for dimension tables (small), and
-    // the documented alternative at fact scale is zipWithIndex/monotonic id.
+    // §2.5 surrogate keys: dense row_number-equivalent keys by natural-key
+    // order + offset — what the reference delegates to Postgres BIGSERIAL.
+    // Uses the production scale-safe path (range buckets + per-bucket
+    // rank + cumulative offsets; no single-partition pass over the data).
     "w1_surrogate_keys" -> { (s, d) =>
-      val w = Window.orderBy(col("c_custkey"))
-      customer(s, d)
-        .select(col("c_custkey"), col("c_name"))
-        .withColumn("sk_customer_id", row_number().over(w) + lit(100L))
+      graft.operators.Warehouse.withDenseKey(
+        customer(s, d).select(col("c_custkey"), col("c_name")),
+        "sk_customer_id", "c_custkey", offset = 100L)
         .orderBy(col("c_custkey"))
     },
 

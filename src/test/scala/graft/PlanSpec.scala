@@ -58,6 +58,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), s"range join degenerated to nested loop:\n$p")
   }
 
+  test("dense surrogate keys: single-partition shuffles carry only bucket counts") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE off so executedPlan exposes raw exchanges with their metrics
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("dim_company_build")(spark, d)
+      assert(df.collect().length > 30)
+      val singles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      singles.foreach { e =>
+        val written = e.metrics("shuffleRecordsWritten").value
+        assert(written <= 32,
+          s"single-partition shuffle moved $written rows — data-sized, not the bucket-count aggregate")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q1 aggregation is partial+final (map-side combine present)") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("HashAggregate"), p)
