@@ -51,47 +51,95 @@ object Dedup {
       .otherwise(lit(0.0))
 
   /** n-gram Jaccard near-dup pairs with equality blocking: candidates are
-    * pairs sharing (first token, shingle-count) — a cheap, deterministic
+    * pairs sharing (2-token prefix, shingle-count) — a cheap, deterministic
     * block key that keeps candidate volume near-linear; then exact Jaccard
     * filters at `threshold`. Output: (id_a, id_b, jaccard_sim), id_a<id_b.
+    *
+    * SKEW GUARD: the block key is data-dependent — a corpus where many
+    * documents open with the same two tokens ("the company …") makes one
+    * block quadratic. Blocks larger than `maxBlockSize` are therefore
+    * routed through MinHash banding *within the block*: candidates must
+    * share (block key, band, bucket), so an s-row hot block contributes
+    * O(s·collisions) candidate rows instead of s²/2, at the standard LSH
+    * recall for sub-threshold-similarity pairs (a pair at `threshold`
+    * jaccard is found with prob 1-(1-t^r)^b; near-identical pairs with
+    * prob ≈1). Blocks at or under the cap keep exact within-block recall.
+    * For unbounded corpora prefer [[minhashLshPairs]] — the documented
+    * default near-dup path — whose banding bounds candidates with no
+    * data-dependent key at all.
     *
     * Design note — the classic alternative is an inverted index (explode
     * gram→id postings, self-join on gram, count overlaps). Measured on
     * this corpus it is 5× SLOWER: a small token vocabulary makes postings
     * dense (mean df≈47 at sf0.1), and a gram shared by k docs emits
     * k(k-1)/2 join rows (~95M here). The inverted index wins only when
-    * grams are selective (large vocabularies / web text with df-capping);
-    * for guaranteed-recall dedup at scale use [[minhashLshPairs]], whose
-    * banding bounds candidate volume regardless of gram selectivity. */
+    * grams are selective (large vocabularies / web text with df-capping). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // block key = first TWO tokens + shingle count: at threshold >= 0.5 a
-    // near-dup pair almost always agrees on its prefix (suffix edits are
-    // the common near-dup shape); the extra token cuts candidate volume
-    // ~|vocab|x vs first-token-only blocking.
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxBlockSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // shingles carried as xxhash64 longs: the candidate join shuffles
     // ~3 KB/doc instead of ~20 KB of strings, and the verify intersects
     // compare longs. Collision probability across a corpus's gram
     // vocabulary is ~|V|²/2^65 — immaterial to the jaccard value.
     val toks = TextAnalysis.tokens(col(textCol))
+    // block size via a window count — same shuffle key as the candidate
+    // self-join, so the partitioning is computed once and reused.
     val withKey = df.select(
       col(idCol).as("id"),
       transform(shingles(col(textCol), n), g => xxhash64(g)).as("grams"),
       concat_ws(" ", slice(toks, lit(1), lit(2))).as("prefix"))
       .withColumn("n_grams", size(col("grams")))
+      .withColumn("__bc", count(lit(1)).over(
+        Window.partitionBy(col("prefix"), col("n_grams"))))
+    val verify = (cands: DataFrame) => cands
+      .withColumn("jaccard_sim", jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard_sim") >= threshold)
+      .select("id_a", "id_b", "jaccard_sim")
+
+    // exact path: all-pairs within capped blocks
     // NOTE a slim-keys-first candidate join (attach arrays later) was
     // measured 2× SLOWER here: with long-hashed grams the array shuffle
     // is only ~3 KB/doc, while each extra join leg re-tokenizes the
     // corpus (no common-subexpression reuse across DataFrame branches).
-    val a = withKey.select(col("id").as("id_a"), col("grams").as("grams_a"),
-      col("prefix"), col("n_grams"))
-    val b = withKey.select(col("id").as("id_b"), col("grams").as("grams_b"),
-      col("prefix"), col("n_grams"))
-    a.join(b, Seq("prefix", "n_grams"))
+    val small = withKey.filter(col("__bc") <= maxBlockSize)
+    val smallPairs = verify(
+      small.select(col("id").as("id_a"), col("grams").as("grams_a"),
+        col("prefix"), col("n_grams"))
+        .join(small.select(col("id").as("id_b"), col("grams").as("grams_b"),
+          col("prefix"), col("n_grams")),
+          Seq("prefix", "n_grams"))
+        .filter(col("id_a") < col("id_b")))
+
+    // skew path: oversized blocks band on 32 minhash lanes (8 bands × 4);
+    // candidates must agree on (block key, band, bucket) — a strict
+    // subset of the block's pairs, id-only through the distinct.
+    val big = withKey.filter(col("__bc") > maxBlockSize)
+    val bigLanes = hashParams(32).map { case (a, b) =>
+      array_min(transform(col("grams"),
+        g => pmod(pmod(g, lit(4294967296L)) * a + b, lit(MinhashPrime))))
+    }
+    val banded = big
+      .withColumn("sig", array(bigLanes: _*))
+      .select(col("id"), col("prefix"), col("n_grams"),
+        posexplode(array((0 until 8).map(b =>
+          slice(col("sig"), b * 4 + 1, 4)): _*)))
+      .withColumn("bucket", xxhash64(col("pos"), col("col").cast("string")))
+      .select("id", "prefix", "n_grams", "pos", "bucket")
+    val bigCands = banded.select(col("id").as("id_a"), col("prefix"),
+      col("n_grams"), col("pos"), col("bucket"))
+      .join(banded.select(col("id").as("id_b"), col("prefix"),
+        col("n_grams"), col("pos"), col("bucket")),
+        Seq("prefix", "n_grams", "pos", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard_sim", jaccard(col("grams_a"), col("grams_b")))
-      .filter(col("jaccard_sim") >= threshold)
-      .select("id_a", "id_b", "jaccard_sim")
+      .select("id_a", "id_b").distinct()
+    val gramsById = withKey.select(col("id"), col("grams"))
+    val bigPairs = verify(
+      bigCands
+        .join(gramsById.select(col("id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
+        .join(gramsById.select(col("id").as("id_b"), col("grams").as("grams_b")), Seq("id_b")))
+
+    smallPairs.unionByName(bigPairs)
   }
 
   // ---- MinHash + LSH -----------------------------------------------------

@@ -57,4 +57,39 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == 200)
     assert(Bucketing.bucketedJoin(spark, "bkt_a", "bkt_b", "k").count() == 200)
   }
+
+  test("ngramJaccardPairs: adversarial shared-prefix block is banded, not quadratic") {
+    import graft.operators.Dedup
+    // 310 docs ALL sharing the block key (2-token prefix "the company" +
+    // identical shingle count) — the skewed-hot-block shape that makes
+    // uncapped prefix blocking quadratic. 5 planted one-token-edit twins
+    // (jaccard ≈ 0.74) and 5 exact duplicates (jaccard 1.0).
+    def doc(i: Int) = "the company " + (0 until 20).map(j => s"w${i}_$j").mkString(" ")
+    val base  = (0 until 300).map(i => (i.toLong, doc(i)))
+    val twins = (0 until 5).map(i =>
+      (1000L + i, doc(i).split(" ").updated(12, "swapped").mkString(" ")))
+    val dups  = (5 until 10).map(i => (2000L + i, doc(i)))
+    val corpus = (base ++ twins ++ dups).toDF("id", "text")
+
+    // candidate volume: threshold 0 surfaces every candidate pair the
+    // join generated. Uncapped = all within-block pairs (~48k); capped =
+    // only same-(band,bucket) collisions — orders of magnitude fewer.
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.0,
+      maxBlockSize = 1000000).count()
+    val capped = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.0,
+      maxBlockSize = 64).count()
+    assert(uncapped > 40000L, s"adversarial corpus should be quadratic uncapped: $uncapped")
+    assert(capped < uncapped / 20,
+      s"capped block still near-quadratic: $capped vs $uncapped candidates")
+
+    // recall on the banded path: exact dups always collide (identical
+    // signatures); one-token-edit twins at the standard LSH probability
+    // (deterministic here — fixed hash family).
+    val found = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.6, maxBlockSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (5 until 10).foreach(i =>
+      assert(found.contains((i.toLong, 2000L + i)), s"exact dup $i missed"))
+    val twinHits = (0 until 5).count(i => found.contains((i.toLong, 1000L + i)))
+    assert(twinHits >= 3, s"twin recall $twinHits/5 under banding")
+  }
 }
