@@ -268,12 +268,21 @@ object Dedup {
 
   // ---- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace-token 32-bit hashes: bit i is set when
-    * the signed vote sum over tokens (bit set → +1, clear → -1) is
-    * positive. Pure expressions; no UDF. */
+  /** Band boundaries distributing 64 signature bits as evenly as possible
+    * over `bands` bands: (shift, width) per band — e.g. 4 bands → 4×16. */
+  private[operators] def bandLayout(bands: Int): Seq[(Int, Int)] = {
+    val widths = (0 until bands).map(b => 64 / bands + (if (b < 64 % bands) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** 64-bit SimHash over full xxhash64 whitespace-token hashes: bit i is
+    * set when the signed vote sum over tokens (bit set → +1, clear → -1)
+    * is positive. All 64 bits carry signal (round 1 used 32-bit token
+    * hashes — a collision floor at billions of docs; xxhash64 pushes the
+    * birthday bound to ~2^32 distinct tokens). Pure expressions; no UDF. */
   def simhash(c: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(c), t => TextAnalysis.tokenHash32(t))
-    val bits = (0 until 32).map { i => // 32-bit token hashes → 32 useful bits
+    val hashes = transform(TextAnalysis.tokens(c), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
       when(aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, i).bitwiseAND(1) * 2 - 1)) > 0,
         lit(1L << i)).otherwise(lit(0L))
@@ -281,36 +290,42 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** One-pass simhash per id: explode token hashes, aggregate 32 signed
+  /** One-pass simhash per id: explode token hashes, aggregate 64 signed
     * bit-votes in a single hash aggregate (map-side combinable), then
-    * assemble the signature. Avoids the 32× tokenization recompute of the
+    * assemble the signature. Avoids the 64× tokenization recompute of the
     * pure-Column form. Output: (id, sh). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashRows = df.select(col(idCol).as("id"),
       explode(transform(TextAnalysis.tokens(col(textCol)),
-        t => TextAnalysis.tokenHash32(t))).as("h"))
-    val votes = (0 until 32).map(i =>
+        t => xxhash64(t))).as("h"))
+    val votes = (0 until 64).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"v$i"))
     hashRows.groupBy(col("id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("id"),
-        (0 until 32).map(i =>
+        (0 until 64).map(i =>
           when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
   }
 
-  /** SimHash near-dup pairs: block on 3×11-bit bands (pigeonhole: a pair
-    * within hamming distance ≤ 2 of the 32 bits must agree on at least
-    * one band; larger distances are matched best-effort), verify with
-    * bit_count(xor) ≤ maxHamming. Band width is the candidate-volume
-    * knob: 11-bit bands give 2048 buckets per band — measured ~10× fewer
-    * candidate pairs than 8-bit bands on the sf0.1 corpus. */
+  /** SimHash near-dup pairs: block on `bands` bit-bands of the 64-bit
+    * signature, verify with bit_count(xor) ≤ maxHamming.
+    *
+    * Pigeonhole: a pair within hamming distance ≤ bands-1 MUST agree on
+    * at least one whole band, so for maxHamming < bands recall is EXACT —
+    * the default (4 bands × 16 bits, maxHamming 3) is the Manku/WWW'07
+    * configuration. Larger maxHamming with few bands is best-effort;
+    * more bands guarantee recall but narrow the bands (band width is the
+    * candidate-volume knob: w-bit bands collide ~n²/2^w+1 pairs — at
+    * corpus scale keep bands ≤ maxHamming+1 and widths ≥ 9 bits). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     val sigs = simhashes(df, idCol, textCol)
+    val layout = bandLayout(bands)
     val banded = sigs.select(col("id"), col("sh"),
-      posexplode(array((0 until 3).map(b =>
-        shiftright(col("sh"), b * 11).bitwiseAND(0x7FFL)): _*)))
+      posexplode(array(layout.map { case (shift, width) =>
+        shiftrightunsigned(col("sh"), shift).bitwiseAND((1L << width) - 1)
+      }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"), col("bucket"))
     val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("band"), col("bucket"))

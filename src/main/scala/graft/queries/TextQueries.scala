@@ -103,9 +103,11 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SimHash near-dup pairs (rows-only check + spec).
+    // SimHash near-dup pairs — 64-bit signatures, 7 bands so recall at
+    // hamming <= 6 is pigeonhole-EXACT (no LSH luck in the gate result).
     "x4_simhash" -> { (s, d) =>
-      Dedup.simhashPairs(nearDupCorpus(s, d), "doc_id", "text", maxHamming = 6)
+      Dedup.simhashPairs(nearDupCorpus(s, d), "doc_id", "text",
+        maxHamming = 6, bands = 7)
         .orderBy(col("id_a"), col("id_b"))
     }
   )

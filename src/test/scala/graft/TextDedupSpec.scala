@@ -69,6 +69,23 @@ class TextDedupSpec extends SparkSpec {
     assert(ham(sh(0), sh(1)) < ham(sh(0), sh(2)))
   }
 
+  test("simhashPairs: recall is pigeonhole-exact when maxHamming < bands") {
+    val corpus = graft.queries.TextQueries.nearDupCorpus(spark, "/root/testdata/sf0.001")
+    // ground truth: brute-force hamming over the signatures themselves
+    val sigs = Dedup.simhashes(corpus, "doc_id", "text")
+    val a = sigs.select($"id".as("id_a"), $"sh".as("sh_a"))
+    val b = sigs.select($"id".as("id_b"), $"sh".as("sh_b"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
+      .filter($"hamming" <= 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 6, bands = 7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus must contain hamming<=6 signature pairs")
+    assert(banded == exact,
+      s"7-band blocking at maxHamming=6 must be exact: |exact|=${exact.size}, |banded|=${banded.size}")
+  }
+
   test("minhash LSH recall vs exact jaccard pairs on near-dup corpus") {
     val corpus = graft.queries.TextQueries.nearDupCorpus(spark, "/root/testdata/sf0.001")
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8)
