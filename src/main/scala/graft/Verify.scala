@@ -40,6 +40,27 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${Option(e.getCause).getOrElse(e).getMessage}")
       }
     }
+    // aux tables for hash-importing oracles (see queries.OracleAux):
+    // written after the query dumps so a pathological aux build can't
+    // starve the main gate; failures degrade those oracles, not the run.
+    val auxDir = s"$outDir/_oracle_aux"
+    graft.queries.OracleAux.tables.foreach { case (name, fn) =>
+      val task = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          spark.sparkContext.setJobGroup(s"aux_$name", name, interruptOnCancel = true)
+          fn(spark, sfDir).write.mode("overwrite").parquet(s"$auxDir/$name")
+        }
+      })
+      try task.get(timeoutSec, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(s"aux_$name")
+          task.cancel(true)
+          System.err.println(s"[verify] aux $name timed out after ${timeoutSec}s")
+        case e: Throwable =>
+          System.err.println(s"[verify] aux $name failed: ${Option(e.getCause).getOrElse(e).getMessage}")
+      }
+    }
     pool.shutdownNow()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -54,7 +75,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.queries.OracleAux.Placeholder, auxDir))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

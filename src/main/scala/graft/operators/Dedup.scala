@@ -146,8 +146,8 @@ object Dedup {
 
   /** Deterministic universal-hash family h_i(x) = (a_i·x + b_i) mod p over
     * 32-bit shingle hashes; all products stay < 2^63 (ANSI-safe). */
-  private val MinhashPrime = 4294967311L // first prime > 2^32
-  private def hashParams(numHashes: Int): Seq[(Long, Long)] = {
+  private[graft] val MinhashPrime = 4294967311L // first prime > 2^32
+  private[graft] def hashParams(numHashes: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
@@ -270,7 +270,7 @@ object Dedup {
 
   /** Band boundaries distributing 64 signature bits as evenly as possible
     * over `bands` bands: (shift, width) per band — e.g. 4 bands → 4×16. */
-  private[operators] def bandLayout(bands: Int): Seq[(Int, Int)] = {
+  private[graft] def bandLayout(bands: Int): Seq[(Int, Int)] = {
     val widths = (0 until bands).map(b => 64 / bands + (if (b < 64 % bands) 1 else 0))
     widths.scanLeft(0)(_ + _).zip(widths)
   }

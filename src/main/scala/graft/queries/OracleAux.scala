@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+
+/** Auxiliary parquet tables for oracles of hash-based queries.
+  *
+  * xxhash64 has no DuckDB equivalent, so the raw Spark-computed token/
+  * shingle hashes are dumped once per Verify run and the oracle SQL
+  * reads them back with `read_parquet` — everything DOWNSTREAM of the
+  * hash (minhash lanes, banding, bucket joins, vote sums, polynomial
+  * folds, jaccard/hamming verification, thresholds, ranking) is then a
+  * genuine cross-engine check in DuckDB. `Verify` writes each table to
+  * `<outDir>/_oracle_aux/<name>` and substitutes [[Placeholder]] in the
+  * oracle SQL with that absolute path at dump time.
+  */
+object OracleAux {
+
+  /** Token replaced by the Verify-time aux directory in oracle SQL. */
+  val Placeholder = "__AUX__"
+
+  /** name -> (session, sfDir) -> aux DataFrame. */
+  val tables: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // t3: per-token 32-bit hashes in document order (rolling fingerprint)
+    "t3_token_h32" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        posexplode(transform(TextAnalysis.tokens(col("text")),
+          t => TextAnalysis.tokenHash32(t))).as(Seq("pos", "h")))
+    },
+    // x4: full 64-bit token hashes WITH multiplicity (simhash bit votes)
+    "x4_token_h64" -> { (s, d) =>
+      TextQueries.nearDupCorpus(s, d).select(col("doc_id"),
+        explode(transform(TextAnalysis.tokens(col("text")),
+          t => xxhash64(t))).as("h"))
+    },
+    // x3: 32-bit-domain shingle hashes (minhash lane input)
+    "x3_gram_h32" -> { (s, d) =>
+      TextQueries.nearDupCorpus(s, d).select(col("doc_id"),
+        explode(transform(Dedup.shingles(col("text"), 3),
+          g => TextAnalysis.tokenHash32(g))).as("h"))
+    },
+    // x3: 64-bit shingle hashes (jaccard verification sets)
+    "x3_gram_h64" -> { (s, d) =>
+      TextQueries.nearDupCorpus(s, d).select(col("doc_id"),
+        explode(transform(Dedup.shingles(col("text"), 3),
+          g => xxhash64(g))).as("g"))
+    }
+  )
+}

@@ -78,8 +78,8 @@ object SimilarityQueries {
        | THEN ${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}) ELSE 0.0 END""".stripMargin
 
   /** The engine's fixed hyperplanes, embedded as SQL array literals. */
-  private def sqlSignature(v: String, planes: Int): String =
-    Similarity.planeLiterals(planes).zipWithIndex.map { case (p, i) =>
+  private def sqlSignature(v: String, planes: Int, table: Int = 0): String =
+    Similarity.planeLiterals(planes, 64, table).zipWithIndex.map { case (p, i) =>
       val lits = p.mkString("[", ", ", "]")
       s"CASE WHEN ${sqlDot(v, s"CAST($lits AS DOUBLE[])")} > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString("(", " + ", ")")
@@ -104,6 +104,36 @@ object SimilarityQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
          |  round(cs, 6) AS cosine_sim
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // y2: all 8 hash tables' hyperplane literals are code-generated into
+    // the SQL, so bucket assignment, candidate dedup, and ranking are
+    // fully cross-checked (no aux import needed).
+    "y2_ann_lsh" -> {
+      val banded = (0 until 8).map(t =>
+        s"SELECT vec_id, $t AS t, ${sqlSignature("v", 6, t)} AS bucket FROM base")
+        .mkString(" UNION ALL ")
+      s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+         |banded AS ($banded),
+         |probes AS (
+         |  SELECT vec_id AS query_id, t, bucket FROM banded
+         |  WHERE vec_id IN (${QueryIds.mkString(", ")})),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+         |  FROM banded b JOIN probes p ON b.t = p.t AND b.bucket = p.bucket
+         |  WHERE b.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id, ${sqlCosine("q.v", "n.v")} AS cs
+         |  FROM cand c
+         |  JOIN base q ON q.vec_id = c.query_id
+         |  JOIN base n ON n.vec_id = c.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cs,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |  round(cs, 6) AS cosine_sim
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
 
     "x5_embedding_near_dup" ->
       s"""WITH base AS (

@@ -210,6 +210,85 @@ object TextQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
+    // t3: rolling polynomial fold over Spark-dumped token hashes (see
+    // OracleAux — the hash import; the ordered fold is cross-checked).
+    "t3_fingerprint" ->
+      """WITH h AS (
+        |  SELECT doc_id, pos, h FROM read_parquet('__AUX__/t3_token_h32/*.parquet')),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY pos)),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |  FROM h GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id, COALESCE(f.fingerprint, 0) AS fingerprint
+        |FROM documents d LEFT JOIN fp f ON f.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // x3: full minhash→band→bucket-join→jaccard-verify pipeline in
+    // DuckDB over Spark-dumped shingle hashes — the 128-lane family,
+    // 16×8 banding, candidate join, and threshold all cross-checked.
+    "x3_minhash_lsh" -> {
+      val params = graft.operators.Dedup.hashParams(128)
+      val prime = graft.operators.Dedup.MinhashPrime
+      val lanes = params.zipWithIndex.map { case ((a, b), i) =>
+        s"min((h * $a + $b) % $prime) AS m$i"
+      }.mkString(", ")
+      val bandsSql = (0 until 16).map { b =>
+        val cols = (0 until 8).map(r => s"m${b * 8 + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"""WITH h32 AS (
+         |  SELECT doc_id, h FROM read_parquet('__AUX__/x3_gram_h32/*.parquet')),
+         |g64 AS (
+         |  SELECT DISTINCT doc_id, g FROM read_parquet('__AUX__/x3_gram_h64/*.parquet')),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g64 GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, $lanes FROM h32 GROUP BY doc_id),
+         |banded AS ($bandsSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN g64 ga ON ga.doc_id = c.id_a
+         |  JOIN g64 gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a, i.id_b,
+         |  CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard_sim
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.id_a
+         |JOIN sizes sb ON sb.doc_id = i.id_b
+         |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // x4: 64-bit simhash bit votes, 7-band blocking, hamming verify in
+    // DuckDB over Spark-dumped token hashes.
+    "x4_simhash" -> {
+      val votes = (0 until 64).map(i =>
+        s"sum((((h >> $i) & 1) * 2) - 1) AS v$i").mkString(", ")
+      val sig = (0 until 64).map { i =>
+        val bit = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+        s"CASE WHEN v$i > 0 THEN $bit ELSE 0 END"
+      }.mkString(" + ")
+      val bandsSql = graft.operators.Dedup.bandLayout(7).zipWithIndex.map {
+        case ((shift, width), b) =>
+          s"SELECT doc_id, sh, $b AS band, (sh >> $shift) & ${(1L << width) - 1} AS bucket FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"""WITH h AS (
+         |  SELECT doc_id, h FROM read_parquet('__AUX__/x4_token_h64/*.parquet')),
+         |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS sh FROM votes),
+         |banded AS ($bandsSql)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "x2_ngram_jaccard" ->
       s"""WITH $corpusSql
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
