@@ -32,7 +32,7 @@ object VcPipeline {
 
   private val StagingTables = Seq(
     "company", "funds", "people", "relationships",
-    "investments", "funding_rounds", "ipos", "acquisition")
+    "investments", "funding_rounds", "ipos", "acquisition", "milestones")
 
   def run(spark: SparkSession, cfg: Config,
           notifier: (String, Throwable) => Unit = (_, _) => ()): Map[String, Pipeline.Result] = {
@@ -86,6 +86,24 @@ object VcPipeline {
         f => Warehouse.bridgeCompanyPeople(f("stg_relationships"),
           f("dim_company"), f("dim_people")),
         sink("bridge_company_people")))
+    // milestones: keyed upsert of the day's delta into the persistent
+    // snapshot — the reference's pangres `if_row_exists='update'` into
+    // staging.milestones (staging load.py:94-118; PK per init_stg.sql
+    // milestones_pkey = milestone_id). Lake-side: merge-by-key with the
+    // newest updated_at winning, delta preferred on ties, written back
+    // via a rename swap (the snapshot is both input and output).
+    runner.add(Pipeline.Stage("milestones", Seq("stg_milestones"),
+      f => {
+        val delta = f("stg_milestones")
+        val snapshot = s"${cfg.outDir}/milestones"
+        val p = new org.apache.hadoop.fs.Path(snapshot)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(p)) Readers.parquet(spark, snapshot) else delta.limit(0)
+        graft.sources.JdbcUpsert.mergeByKey(existing, delta,
+          Seq("milestone_id"), "updated_at")
+      },
+      df => graft.sources.Writers.parquetReplace(df, s"${cfg.outDir}/milestones")))
     // profiling over the produced dims/facts (reference: third DAG)
     runner.add(Pipeline.Stage("profiling",
       Seq("dim_company", "dim_funds", "fct_investments"),

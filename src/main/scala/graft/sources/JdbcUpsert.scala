@@ -71,16 +71,20 @@ object JdbcUpsert {
   /** Lake-side upsert equivalent (SURVEY §7.4 option (c)): merge a delta
     * batch into an existing snapshot keeping the newest row per key —
     * what `dropDuplicates`-on-union gives when `versionCol` orders
-    * versions. Pure DataFrame; no DB. */
+    * versions. Version ties resolve in favor of the DELTA row (the
+    * reference's `if_row_exists='update'` semantics: an incoming row
+    * replaces the stored one), which also makes same-batch replays
+    * deterministic. Pure DataFrame; no DB. */
   def mergeByKey(existing: DataFrame, delta: DataFrame,
                  keyCols: Seq[String], versionCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc)
-    existing.unionByName(delta)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    existing.withColumn("__src", lit(0))
+      .unionByName(delta.withColumn("__src", lit(1)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__src")
   }
 }

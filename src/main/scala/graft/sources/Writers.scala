@@ -27,6 +27,22 @@ object Writers {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol).parquet(path)
 
+  /** Snapshot replace that is safe when `df` READS from `path` (Spark
+    * refuses a direct overwrite of an input path): write to a sibling
+    * temp dir, then swap via filesystem rename — the upsert-merge sink
+    * shape (staging `milestones` snapshot). Hadoop FS API, so the same
+    * code path works on local disk and HDFS-like stores. */
+  def parquetReplace(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val tmp = new Path(path + "__tmp")
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"parquetReplace: rename $tmp -> $target failed")
+  }
+
   /** S8: CSV with header. */
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -67,8 +67,19 @@ class VcPipelineSpec extends SparkSpec {
     put("acquisition", acq.toDF("acquisition_id", "acquiring_object_id",
       "acquired_object_id", "term_code", "price_amount", "price_currency_code",
       "acquired_at", "source_description"))
+
+    put("milestones", milestonesDf(Seq(
+      (1, "c:1", "first customer", ts("2020-01-01 08:00:00"), ts("2020-01-01 08:00:00")),
+      (2, "c:2", "series a", ts("2020-01-02 08:00:00"), ts("2020-01-02 08:00:00")))))
     dir
   }
+
+  private def milestonesDf(rows: Seq[(Int, String, String, Timestamp, Timestamp)]) =
+    rows.toDF("milestone_id", "object_id", "description", "created_at", "updated_at")
+      .select($"created_at", $"description", $"created_at".cast("string").as("milestone_at"),
+        lit("m-code").as("milestone_code"), $"milestone_id", $"object_id",
+        $"description".as("source_description"), lit(null).cast("string").as("source_url"),
+        $"updated_at")
 
   test("full pipeline run produces the whole warehouse") {
     val out = Files.createTempDirectory("vc_out").toString
@@ -88,6 +99,34 @@ class VcPipelineSpec extends SparkSpec {
     assert(read("fct_investments").join(dimC, Seq("sk_company_id"), "left_anti").count() == 0)
     // profiling covered the three profiled tables
     assert(read("data_profile").select("table_name").distinct().count() == 3)
+  }
+
+  test("milestones: keyed upsert across runs, delta wins, idempotent replay") {
+    val out = Files.createTempDirectory("vc_out_ms").toString
+    val staging = writeStaging()
+    assert(VcPipeline.run(spark, VcPipeline.Config(staging, out))("milestones")
+      == Pipeline.Completed())
+    def snapshot() = spark.read.parquet(s"$out/milestones")
+      .select("milestone_id", "description", "updated_at")
+      .orderBy("milestone_id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(snapshot() == Seq((1, "first customer"), (2, "series a")))
+
+    // day 2: milestone 1 updated (newer updated_at), milestone 3 new
+    milestonesDf(Seq(
+      (1, "c:1", "first customer REVISED", ts("2020-01-01 08:00:00"), ts("2020-01-05 08:00:00")),
+      (3, "f:3", "fund closed", ts("2020-01-05 08:00:00"), ts("2020-01-05 08:00:00"))))
+      .write.mode("overwrite").parquet(s"$staging/milestones.parquet")
+    assert(VcPipeline.run(spark, VcPipeline.Config(staging, out))("milestones")
+      == Pipeline.Completed())
+    val day2 = Seq((1, "first customer REVISED"), (2, "series a"), (3, "fund closed"))
+    assert(snapshot() == day2)
+
+    // replaying day 2 must not change the snapshot (same keys, same
+    // versions — delta rows deterministically replace their twins)
+    assert(VcPipeline.run(spark, VcPipeline.Config(staging, out))("milestones")
+      == Pipeline.Completed())
+    assert(snapshot() == day2)
   }
 
   test("empty staging table skips its stage and dependents only") {
