@@ -139,6 +139,36 @@ class VcPipelineSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$out/fct_acquisition")))
   }
 
+  test("append mode: two-day replay, continued dense keys, idempotent day 2") {
+    val out = Files.createTempDirectory("vc_out_append").toString
+    val staging = writeStaging()
+    def dimC() = spark.read.parquet(s"$out/dim_company")
+      .select("sk_company_id", "nk_company_id").orderBy("sk_company_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    // day 1 (ds 2020-01-02 keeps rows created 2020-01-01): company c:1
+    VcPipeline.run(spark, VcPipeline.Config(staging, out,
+      incrementalDs = Some("2020-01-02"), appendMode = true))
+    assert(dimC() == Seq((1L, "c:1")))
+
+    // day 2: c:2 and f:3 append with keys continuing from the stored max;
+    // the day's investments resolve against the FULL dim (c:1 from day 1)
+    VcPipeline.run(spark, VcPipeline.Config(staging, out,
+      incrementalDs = Some("2020-01-03"), appendMode = true))
+    val day2Keys = Seq((1L, "c:1"), (2L, "c:2"), (3L, "f:3"))
+    assert(dimC() == day2Keys)
+    assert(spark.read.parquet(s"$out/fct_investments").count() == 1)
+
+    // replay of day 2 is idempotent: no duplicate keys, no duplicate facts
+    VcPipeline.run(spark, VcPipeline.Config(staging, out,
+      incrementalDs = Some("2020-01-03"), appendMode = true))
+    assert(dimC() == day2Keys)
+    assert(spark.read.parquet(s"$out/fct_investments").count() == 1)
+    // key density: surrogate keys are exactly 1..n with no gaps
+    val sks = dimC().map(_._1)
+    assert(sks == (1L to sks.length))
+  }
+
   test("incremental mode keeps only rows created on ds-1") {
     val out = Files.createTempDirectory("vc_out_incr").toString
     val results = VcPipeline.run(spark,
