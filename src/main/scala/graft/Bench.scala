@@ -21,21 +21,24 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names.contains(k) })
-    // best-of-N wall clock per query (default 2) — single-shot timings on
-    // a shared box vary ±30%; min is the standard throughput estimator.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = selected.map { case (name, fn) =>
+    // MEDIAN of N runs (default 3) in FIXED (sorted-name) order —
+    // round-2 showed single-shot timings of untouched queries moving
+    // 2-3x between rounds (GC / Map-iteration-order / JIT effects);
+    // the median over a deterministic order is robust to one bad run
+    // without hiding a consistent regression the way min can.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None } // failed run: no timing
       }
       // all runs failed -> explicit -1 sentinel, never a time-to-throw
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> (if (times.nonEmpty) times.sorted.apply(times.length / 2) else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

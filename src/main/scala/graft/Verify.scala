@@ -43,7 +43,9 @@ object Verify {
     // aux tables for hash-importing oracles (see queries.OracleAux):
     // written after the query dumps so a pathological aux build can't
     // starve the main gate; failures degrade those oracles, not the run.
-    val auxDir = s"$outDir/_oracle_aux"
+    // A SIBLING of outDir, not inside it — the driver enumerates outDir's
+    // children as query results, and the aux dump is not a query.
+    val auxDir = new java.io.File(outDir).getAbsolutePath.stripSuffix("/") + "_aux"
     graft.queries.OracleAux.tables.foreach { case (name, fn) =>
       val task = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = {

@@ -13,28 +13,66 @@ import org.apache.spark.sql.functions._
   * never shuffles. NULL FKs are not violations (SQL FK semantics). */
 object Integrity {
 
-  /** Child rows whose `childKey` has no match in `parent.parentKey`. */
+  /** Child rows whose `childKey` has no match in `parent.parentKey`.
+    * No distinct on the parent side: anti-join existence semantics are
+    * unaffected by duplicate build-side keys, and the distinct would add
+    * a full shuffle stage before the broadcast. (A non-broadcast
+    * sort-merge anti join also dedups effectively during the merge.) */
   def fkViolations(child: DataFrame, childKey: String,
                    parent: DataFrame, parentKey: String,
                    broadcastParent: Boolean = true): DataFrame = {
-    val p = parent.select(col(parentKey).as("__pk")).distinct()
+    val p = parent.select(col(parentKey).as("__pk"))
     val pSide = if (broadcastParent) broadcast(p) else p
     child.filter(col(childKey).isNotNull)
       .join(pSide, col(childKey) === col("__pk"), "left_anti")
   }
 
   /** One summary row per declared FK: (fk_name, child_key, n_violations).
-    * All FKs are checked in ONE Spark job: each check is a global
-    * aggregate (so zero-violation FKs still produce a row) and the
-    * per-FK aggregates are unioned into a single lazy plan — the caller's
-    * one action runs them together, instead of N serial count() jobs
-    * from the driver. */
+    *
+    * All FKs are checked in ONE Spark job AND one scan per distinct child
+    * table: FKs sharing a child are fused — the child is scanned once,
+    * left-joined against each parent's broadcast distinct-key set, and a
+    * single aggregate computes every FK's violation count as
+    * `count(when(fk isNotNull && pk isNull))`; the one-row result explodes
+    * back into per-FK rows. (The round-2 version unioned 8 independent
+    * per-FK aggregates — one job, but each subtree re-scanned its child.)
+    * Parent key-sets are built once per (parent, key) so identical
+    * broadcast subtrees canonicalize and the exchange is reused.
+    * Everything is lazy: building the report runs no jobs. */
   def report(spark: SparkSession,
-             fks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
-    fks.map { case (name, child, childKey, parent, parentKey) =>
-      fkViolations(child, childKey, parent, parentKey)
-        .agg(count(lit(1)).as("n_violations"))
-        .select(lit(name).as("fk_name"), lit(childKey).as("child_key"),
-          col("n_violations"))
+             fks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    import scala.collection.mutable
+    val parentKeys = mutable.Map.empty[(DataFrame, String), DataFrame]
+    def keysOf(parent: DataFrame, key: String): DataFrame =
+      parentKeys.getOrElseUpdate((parent, key), parent.select(col(key)).distinct())
+
+    // group by child frame IDENTITY (Dataset doesn't override equals),
+    // preserving declaration order
+    val groups = mutable.LinkedHashMap.empty[DataFrame, mutable.ArrayBuffer[(String, String, DataFrame, String, Int)]]
+    fks.zipWithIndex.foreach { case ((name, child, ck, parent, pk), i) =>
+      groups.getOrElseUpdate(child, mutable.ArrayBuffer.empty) += ((name, ck, parent, pk, i))
+    }
+
+    groups.map { case (child, group) =>
+      val childCols = group.map(_._2).distinct.map(col)
+      val joined = group.foldLeft(child.select(childCols.toSeq: _*)) {
+        case (acc, (_, ck, parent, pk, i)) =>
+          val pkCol = s"__pk_$i"
+          acc.join(broadcast(keysOf(parent, pk).select(col(pk).as(pkCol))),
+            col(ck) === col(pkCol), "left")
+      }
+      val counts = group.map { case (_, ck, _, _, i) =>
+        count(when(col(ck).isNotNull && col(s"__pk_$i").isNull, lit(1))).as(s"__v_$i")
+      }
+      val agged = joined.agg(counts.head, counts.tail.toSeq: _*)
+      val entries = group.map { case (name, ck, _, _, i) =>
+        struct(lit(name).as("fk_name"), lit(ck).as("child_key"),
+          col(s"__v_$i").as("n_violations"))
+      }
+      agged.select(explode(array(entries.toSeq: _*)).as("__fk"))
+        .select(col("__fk.fk_name").as("fk_name"),
+          col("__fk.child_key").as("child_key"),
+          col("__fk.n_violations").as("n_violations"))
     }.reduce(_ unionByName _)
+  }
 }

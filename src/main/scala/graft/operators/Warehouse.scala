@@ -30,9 +30,34 @@ object Warehouse {
   private def maybeBroadcast(df: DataFrame, on: Boolean): DataFrame =
     if (on) broadcast(df) else df
 
+  /** Plans whose optimizer size estimate is at or below this use the
+    * single-window dense-key path; above it, the range-bucket path.
+    * 64 MB ≈ a high-hundreds-of-thousands-row dimension with a few string
+    * columns — comfortably inside one task's sort budget, far below where
+    * the range path's fixed cost (sampling pass + two extra exchanges)
+    * pays for itself. */
+  val DenseKeySmallBytes: Long = 64L << 20
+
   /** Dense surrogate key by natural-key order + offset (dimension load).
     *
-    * Scale-safe construction (no single-partition pass over the data):
+    * Size-aware dispatch: toy and mid-size dimensions take
+    * [[withDenseKeyWindowed]] (one exchange, no sampling pass); anything
+    * whose optimizer stats estimate exceeds `smallThresholdBytes` takes
+    * the scale-safe [[withDenseKeyRanged]] path. The estimate comes from
+    * `optimizedPlan.stats` — driver-side plan metadata (file sizes ×
+    * filter/project selectivity), no job. The two variants are
+    * bit-identical for unique keys (spec-proven), so dispatch can never
+    * change results. */
+  def withDenseKey(df: DataFrame, keyName: String, orderCol: String,
+                   offset: Long = 0L, partitions: Int = 0,
+                   smallThresholdBytes: Long = DenseKeySmallBytes): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(smallThresholdBytes))
+      withDenseKeyWindowed(df, keyName, orderCol, offset)
+    else withDenseKeyRanged(df, keyName, orderCol, offset, partitions)
+  }
+
+  /** Scale-safe construction (no single-partition pass over the data):
     *  1. range-repartition by the natural key — partition i holds keys
     *     strictly below partition i+1's;
     *  2. row_number within each range bucket (hash exchange on the bucket
@@ -44,8 +69,8 @@ object Warehouse {
     * orderCol)` regardless of where the sampled range bounds fall, so the
     * result is bit-identical to [[withDenseKeyWindowed]] for unique keys.
     * `offset` carries the max existing key for incremental appends. */
-  def withDenseKey(df: DataFrame, keyName: String, orderCol: String,
-                   offset: Long = 0L, partitions: Int = 0): DataFrame = {
+  def withDenseKeyRanged(df: DataFrame, keyName: String, orderCol: String,
+                         offset: Long = 0L, partitions: Int = 0): DataFrame = {
     val n = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
     val local = df.repartitionByRange(n, col(orderCol))
@@ -63,9 +88,11 @@ object Warehouse {
       .drop("__pid", "__rn", "__off")
   }
 
-  /** The round-1 global-window variant: a single-partition sort of the
-    * whole frame. Kept for genuinely tiny frames where one extra shuffle
-    * costs more than the serialization; [[withDenseKey]] is the default. */
+  /** The global-window variant: a single-partition sort of the whole
+    * frame. The right plan for small/mid dimensions, where one task sorts
+    * everything and the range path's sampling pass + extra exchanges are
+    * pure overhead; [[withDenseKey]] dispatches here below
+    * [[DenseKeySmallBytes]]. */
   def withDenseKeyWindowed(df: DataFrame, keyName: String, orderCol: String,
                            offset: Long = 0L): DataFrame =
     df.withColumn(keyName,

@@ -58,13 +58,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), s"range join degenerated to nested loop:\n$p")
   }
 
-  test("dense surrogate keys: single-partition shuffles carry only bucket counts") {
+  test("dense surrogate keys (ranged): single-partition shuffles carry only bucket counts") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
     // AQE off so executedPlan exposes raw exchanges with their metrics
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val df = SparkEntry.queries("dim_company_build")(spark, d)
+      // force the scale path (threshold 0) — dispatch picks windowed at sf0.001
+      val df = graft.operators.Warehouse.withDenseKey(
+        graft.Tables.customer(spark, d).select(col("c_custkey"), col("c_name")),
+        "sk", "c_custkey", smallThresholdBytes = 0L)
       assert(df.collect().length > 30)
       val singles = df.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
@@ -75,6 +79,24 @@ class PlanSpec extends SparkSpec {
           s"single-partition shuffle moved $written rows — data-sized, not the bucket-count aggregate")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dense surrogate keys: size-aware dispatch picks windowed for small plans, ranged at scale") {
+    import org.apache.spark.sql.functions.col
+    val dim = graft.Tables.customer(spark, d).select(col("c_custkey"), col("c_name"))
+    // small plan (sf0.001 customer is KBs) -> windowed: no range repartition
+    val small = graft.operators.Warehouse.withDenseKey(dim, "sk", "c_custkey")
+      .queryExecution.executedPlan.toString
+    assert(!small.contains("rangepartitioning"),
+      s"small dim took the range-bucket path:\n$small")
+    // forced-large -> ranged: range exchange present, and outputs identical
+    val ranged = graft.operators.Warehouse.withDenseKey(
+      dim, "sk", "c_custkey", smallThresholdBytes = 0L)
+    assert(ranged.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+    val a = graft.operators.Warehouse.withDenseKeyWindowed(dim, "sk", "c_custkey")
+      .orderBy("sk").collect().toSeq
+    val b = ranged.orderBy("sk").collect().toSeq
+    assert(a == b, "windowed and ranged dense keys diverged")
   }
 
   test("q1 aggregation is partial+final (map-side combine present)") {

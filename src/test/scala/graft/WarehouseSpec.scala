@@ -98,6 +98,15 @@ class WarehouseSpec extends SparkSpec {
       assert(rep.length == 2)
       assert(rep(0).getString(0) == "child_fk" && rep(0).getLong(2) == 1L)
       assert(rep(1).getString(0) == "self_fk" && rep(1).getLong(2) == 0L)
+      // FUSED: both FKs share `child`, so the plan scans it once as the
+      // aggregate input (its parent-key-set appearances are broadcast
+      // sides). Round-2's union-of-aggregates scanned the child per FK.
+      // `fk` is only read by the fused scan (parent key-sets read nk/id)
+      val p = repDf.queryExecution.executedPlan.toString
+      val childScans = p.linesIterator
+        .count(l => l.contains("LocalTableScan") && l.contains("fk#"))
+      assert(childScans == 1,
+        s"expected 1 fused child scan, got $childScans:\n$p")
     } finally spark.sparkContext.clearJobGroup()
   }
 
