@@ -32,14 +32,21 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None } // failed run: no timing
-      }
+      }.sorted
       // all runs failed -> explicit -1 sentinel, never a time-to-throw
-      name -> (if (times.nonEmpty) times.sorted.apply(times.length / 2) else -1.0)
+      name -> (if (times.nonEmpty) times else Seq(-1.0))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def med(ts: Seq[Double]) = ts(ts.length / 2)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + med(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-query min/max spread alongside the median, so a 1.3x move can
+    // be told from noise without re-running (a median inside last round's
+    // [min,max] band is noise; outside it is a real shift)
+    val spread = results.map { case (k, v) =>
+      s"\"" + k + "\":[" + v.head + "," + med(v) + "," + v.last + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map(r => med(r._2)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

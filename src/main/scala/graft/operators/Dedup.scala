@@ -36,13 +36,32 @@ object Dedup {
 
   // ---- n-gram Jaccard ----------------------------------------------------
 
-  /** Distinct word n-gram shingles of a text column. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(c)
+  /** Distinct word n-gram shingles of a text column.
+    *
+    * PERF NOTE: this Column form inlines the tokenizer INSIDE the
+    * `transform` lambda, and Spark performs no subexpression elimination
+    * across lambda elements — the tokenizer re-runs once per shingle
+    * (~50× per doc; measured 3× on the whole x3 pipeline). Fine for
+    * one-off expressions; every DataFrame pipeline below materializes
+    * the token array first (see [[tokenized]]) and shingles from the
+    * attribute via [[shinglesFromTokens]]. */
+  def shingles(c: Column, n: Int): Column =
+    shinglesFromTokens(TextAnalysis.tokens(c), n)
+
+  /** Shingles from a token-array column — pass a MATERIALIZED attribute
+    * (not an inline tokenizer expression) so the per-element `slice`
+    * reads a per-row value instead of re-deriving the array. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+
+  /** (id, __toks) with the token array materialized behind a projection
+    * boundary. CollapseProject keeps the boundary (the alias is non-cheap
+    * and multiply-referenced), so downstream shingle/prefix lambdas
+    * evaluate the tokenizer exactly once per row. */
+  private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
 
   /** Jaccard similarity of two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -82,13 +101,12 @@ object Dedup {
     // ~3 KB/doc instead of ~20 KB of strings, and the verify intersects
     // compare longs. Collision probability across a corpus's gram
     // vocabulary is ~|V|²/2^65 — immaterial to the jaccard value.
-    val toks = TextAnalysis.tokens(col(textCol))
     // block size via a window count — same shuffle key as the candidate
     // self-join, so the partitioning is computed once and reused.
-    val withKey = df.select(
-      col(idCol).as("id"),
-      transform(shingles(col(textCol), n), g => xxhash64(g)).as("grams"),
-      concat_ws(" ", slice(toks, lit(1), lit(2))).as("prefix"))
+    val withKey = tokenized(df, idCol, textCol).select(
+      col("id"),
+      transform(shinglesFromTokens(col("__toks"), n), g => xxhash64(g)).as("grams"),
+      concat_ws(" ", slice(col("__toks"), lit(1), lit(2))).as("prefix"))
       .withColumn("n_grams", size(col("grams")))
       .withColumn("__bc", count(lit(1)).over(
         Window.partitionBy(col("prefix"), col("n_grams"))))
@@ -102,10 +120,14 @@ object Dedup {
     // measured 2× SLOWER here: with long-hashed grams the array shuffle
     // is only ~3 KB/doc, while each extra join leg re-tokenizes the
     // corpus (no common-subexpression reuse across DataFrame branches).
+    // merge hint: both sides then share one Exchange(prefix, n_grams) —
+    // the same shuffle the block-count window already needs — so the
+    // shingle pipeline is computed once and reused, instead of once per
+    // broadcast side (see minhashLshPairs candidate join).
     val small = withKey.filter(col("__bc") <= maxBlockSize)
     val smallPairs = verify(
       small.select(col("id").as("id_a"), col("grams").as("grams_a"),
-        col("prefix"), col("n_grams"))
+        col("prefix"), col("n_grams")).hint("merge")
         .join(small.select(col("id").as("id_b"), col("grams").as("grams_b"),
           col("prefix"), col("n_grams")),
           Seq("prefix", "n_grams"))
@@ -127,7 +149,7 @@ object Dedup {
       .withColumn("bucket", xxhash64(col("pos"), col("col").cast("string")))
       .select("id", "prefix", "n_grams", "pos", "bucket")
     val bigCands = banded.select(col("id").as("id_a"), col("prefix"),
-      col("n_grams"), col("pos"), col("bucket"))
+      col("n_grams"), col("pos"), col("bucket")).hint("merge")
       .join(banded.select(col("id").as("id_b"), col("prefix"),
         col("n_grams"), col("pos"), col("bucket")),
         Seq("prefix", "n_grams", "pos", "bucket"))
@@ -136,8 +158,8 @@ object Dedup {
     val gramsById = withKey.select(col("id"), col("grams"))
     val bigPairs = verify(
       bigCands
-        .join(gramsById.select(col("id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
-        .join(gramsById.select(col("id").as("id_b"), col("grams").as("grams_b")), Seq("id_b")))
+        .join(gramsById.select(col("id").as("id_a"), col("grams").as("grams_a")).hint("merge"), Seq("id_a"))
+        .join(gramsById.select(col("id").as("id_b"), col("grams").as("grams_b")).hint("merge"), Seq("id_b")))
 
     smallPairs.unionByName(bigPairs)
   }
@@ -177,8 +199,8 @@ object Dedup {
     * this expression form is kept as the pure-SQL-plannable variant. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 128): DataFrame = {
-    val hashRows = df.select(col(idCol).as("id"),
-      explode(transform(shingles(col(textCol), n),
+    val hashRows = tokenized(df, idCol, textCol).select(col("id"),
+      explode(transform(shinglesFromTokens(col("__toks"), n),
         s => TextAnalysis.tokenHash32(s))).as("h"))
     val lanes = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MinhashPrime))).as(s"m$i")
@@ -222,8 +244,8 @@ object Dedup {
     * as [[minhashSignatures]]). */
   def minhashSignaturesTyped(df: DataFrame, idCol: String, textCol: String,
                              n: Int = 3, numHashes: Int = 128): DataFrame = {
-    val hashRows = df.select(col(idCol).as("id"),
-      explode(transform(shingles(col(textCol), n),
+    val hashRows = tokenized(df, idCol, textCol).select(col("id"),
+      explode(transform(shinglesFromTokens(col("__toks"), n),
         s => TextAnalysis.tokenHash32(s))).as("h"))
     val agg = udaf(new MinhashArrayAgg(numHashes, hashParams(numHashes).toArray))
     hashRows.groupBy(col("id")).agg(agg(col("h")).as("sig"))
@@ -241,8 +263,8 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     // hashed shingle sets for the verify step (same rationale as in
     // ngramJaccardPairs: narrow shuffle, long compares)
-    val grams = df.select(col(idCol).as("id"),
-      transform(shingles(col(textCol), n), g => xxhash64(g)).as("grams"))
+    val grams = tokenized(df, idCol, textCol).select(col("id"),
+      transform(shinglesFromTokens(col("__toks"), n), g => xxhash64(g)).as("grams"))
     val sigs = minhashSignaturesTyped(df, idCol, textCol, n, numHashes)
 
     val banded = sigs.select(col("id"),
@@ -252,15 +274,27 @@ object Dedup {
       .withColumn("bucket", xxhash64(col("band"), col("col").cast("string")))
       .select("id", "band", "bucket")
 
+    // SELF-JOIN AS SORT-MERGE, NOT BROADCAST: with a broadcast the
+    // signature pipeline (scan → shingle-explode → minhash aggregate →
+    // band Generate) is planned TWICE — once streamed, once under the
+    // BroadcastExchange — because ReuseExchange can only unify identical
+    // exchanges. Forcing shuffle-merge makes both sides the SAME
+    // Exchange(hashpartitioning(band, bucket)) subtree, so the second is
+    // a ReusedExchange and signatures are computed exactly once
+    // (PlanSpec-asserted). Also the only shape that exists at corpus
+    // scale, where the banded side cannot broadcast.
     val candidates = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .hint("merge")
       .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
+    // same reuse argument for the two grams attach legs: both shuffle the
+    // grams subtree by its id — one Exchange, one ReusedExchange.
     candidates
-      .join(grams.select(col("id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
-      .join(grams.select(col("id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
+      .join(grams.select(col("id").as("id_a"), col("grams").as("grams_a")).hint("merge"), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("grams_b")).hint("merge"), Seq("id_b"))
       .withColumn("jaccard_sim", jaccard(col("grams_a"), col("grams_b")))
       .filter(col("jaccard_sim") >= threshold)
       .select("id_a", "id_b", "jaccard_sim")
@@ -332,7 +366,9 @@ object Dedup {
     // hamming filter BEFORE distinct: bit_count is a per-row bit op, so
     // filtering first shrinks the dedup shuffle to the near-dup pairs
     // instead of every band collision.
-    a.join(b, Seq("band", "bucket"))
+    // merge hint: identical-exchange self-join so the simhash aggregate
+    // is computed once and reused (see minhashLshPairs candidate join).
+    a.hint("merge").join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)

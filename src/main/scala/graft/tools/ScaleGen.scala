@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator: replicates an existing testdata
+  * directory `factor`× with remapped keys, producing a larger scale
+  * factor for benchmarking (e.g. sf0.1 → sf1). Usage:
+  *
+  *   runMain graft.tools.ScaleGen <inDir> <outDir> [factor]
+  *
+  * Design — the goal is a FAIR scale test, i.e. 10× the data should carry
+  * ~10× the work for every operator class, the way a real 10× corpus
+  * would, with no accidental quadratic blow-ups from the replication
+  * itself and no broken FK topology:
+  *
+  *  - Every key domain is offset per copy by a fixed stride (10^7, far
+  *    above any key at the source scale), so each copy is a disjoint,
+  *    internally consistent universe: orders still match their customers,
+  *    lineitems their orders/parts/suppliers. Join fan-outs per key are
+  *    IDENTICAL to the source data; only cardinality grows.
+  *  - region/nation stay fixed (TPC-H convention: dims that model the
+  *    world don't grow with scale). Their FKs remain valid because
+  *    nation/region keys are never remapped.
+  *  - documents.text is caesar-shifted per copy (copy 0 = identity):
+  *    token counts, lengths, and within-copy dup/near-dup structure are
+  *    exactly preserved, but cross-copy shingles never collide, so dup
+  *    pairs grow linearly with the corpus — a replicated-verbatim corpus
+  *    would instead make every block/bucket 10× hotter and every dup a
+  *    100-pair clique, benchmarking the generator's artifact rather than
+  *    the operator.
+  *  - embeddings get a per-copy deterministic sign-flip pattern (copy 0 =
+  *    identity). A sign flip is an orthogonal transform: norms and
+  *    within-copy cosines are preserved BIT-IDENTICALLY (float negation
+  *    is exact), while cross-copy cosines of cloned vectors decorrelate —
+  *    the corpus grows 10× without growing each LSH bucket 10× hot.
+  *  - events keep their timestamps (10× event density per window — that
+  *    IS the realistic scale-up) with user/event ids offset per copy.
+  */
+object ScaleGen {
+
+  /** Key-domain stride between copies; far above any source-scale key. */
+  val Stride = 10000000L
+
+  private def caesar(c: Column, shift: Int): Column = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val s = ((shift % 26) + 26) % 26
+    val rl = lower.drop(s) + lower.take(s)
+    val ru = upper.drop(s) + upper.take(s)
+    translate(translate(c, lower, rl), upper, ru)
+  }
+
+  /** ±1 multiplier pattern for copy k at vector index i: pseudo-random
+    * across (k, i), identity at k=0, distinct per copy pair — so the
+    * composition of any two copies' patterns is itself pseudo-random and
+    * cloned vectors land in unrelated LSH buckets. */
+  private def signFlip(x: Column, i: Column, k: Int): Column = {
+    val bit = shiftrightunsigned(
+      lit(k.toLong) * (i.cast("long") + 17L) * lit(2654435761L), 13)
+      .bitwiseAND(lit(1L))
+    when(bit === 1L, -x).otherwise(x)
+  }
+
+  /** `factor` stacked copies of `df`, transformed per copy index. */
+  private def copies(df: DataFrame, factor: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until factor).map(k => f(df, k)).reduce(_ unionByName _)
+
+  private def offsetKeys(df: DataFrame, k: Int, keys: String*): DataFrame =
+    keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * Stride)))
+
+  def main(args: Array[String]): Unit = {
+    val inDir  = args(0)
+    val outDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def in(name: String) = spark.read.parquet(s"$inDir/$name.parquet")
+    def out(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+
+    // fixed world dims: copied verbatim, never remapped
+    out(in("region"), "region", 1)
+    out(in("nation"), "nation", 1)
+
+    out(copies(in("customer"), factor)(offsetKeys(_, _, "c_custkey")),
+      "customer", 4)
+    out(copies(in("supplier"), factor)(offsetKeys(_, _, "s_suppkey")),
+      "supplier", 2)
+    out(copies(in("part"), factor)(offsetKeys(_, _, "p_partkey")),
+      "part", 4)
+    out(copies(in("orders"), factor)(offsetKeys(_, _, "o_orderkey", "o_custkey")),
+      "orders", 16)
+    out(copies(in("lineitem"), factor)(
+      offsetKeys(_, _, "l_orderkey", "l_partkey", "l_suppkey")),
+      "lineitem", 32)
+    out(copies(in("events"), factor)(offsetKeys(_, _, "event_id", "user_id")),
+      "events", 16)
+
+    out(copies(in("documents"), factor) { (df, k) =>
+      offsetKeys(df, k, "doc_id").withColumn("text", caesar(col("text"), k))
+    }, "documents", 8)
+
+    out(copies(in("embeddings"), factor) { (df, k) =>
+      offsetKeys(df, k, "vec_id").withColumn("embedding",
+        transform(col("embedding"), (x, i) => signFlip(x, i, k)))
+    }, "embeddings", 8)
+
+    spark.stop()
+  }
+}

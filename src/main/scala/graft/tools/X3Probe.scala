@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextAnalysis
+
+/** Throwaway component-timing probe for minhashLshPairs (dev only). */
+object X3Probe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.core.GraftSession.get()
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val df = graft.queries.TextQueries.nearDupCorpus(spark, d)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name: rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("tokenize-only")(df.select(explode(TextAnalysis.tokens(col("text")))).count())
+    time("shingle+hash")(df.select(explode(transform(Dedup.shingles(col("text"), 3),
+      g => xxhash64(g)))).count())
+    time("grams-arrays")(df.select(col("doc_id"),
+      transform(Dedup.shingles(col("text"), 3), g => xxhash64(g)).as("grams")).count())
+    time("sigs-typed")(Dedup.minhashSignaturesTyped(df, "doc_id", "text", 3, 128).count())
+    time("full-x3")(Dedup.minhashLshPairs(df, "doc_id", "text", 3, 16, 8, 0.6).count())
+    spark.stop()
+  }
+}

@@ -99,6 +99,32 @@ class PlanSpec extends SparkSpec {
     assert(a == b, "windowed and ranged dense keys diverged")
   }
 
+  test("dedup LSH self-joins reuse exchanges; signatures computed once") {
+    // ReuseExchange only unifies IDENTICAL exchanges, so the banded
+    // candidate joins are forced to sort-merge (Dedup merge hints): both
+    // sides become the same Exchange subtree and the second is a
+    // ReusedExchange. Visible only in the FINAL adaptive plan, post-
+    // execution — the initial plan always shows both subtrees.
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, d)
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    // x3: banded self-join + the two grams-attach legs each reuse
+    val x3 = finalPlan("x3_minhash_lsh")
+    assert("ReusedExchange".r.findAllIn(x3).length >= 2, x3)
+    assert("Generate explode".r.findAllIn(x3).length == 1,
+      s"minhash signature pipeline computed more than once:\n$x3")
+    // x4: banded self-join reuses the simhash-aggregate exchange
+    val x4 = finalPlan("x4_simhash")
+    assert("ReusedExchange".r.findAllIn(x4).length >= 1, x4)
+    assert("Generate explode".r.findAllIn(x4).length == 1,
+      s"simhash aggregate computed more than once:\n$x4")
+    // x2: block self-join shares the (prefix, n_grams) shingle exchange
+    val x2 = finalPlan("x2_ngram_jaccard")
+    assert("ReusedExchange".r.findAllIn(x2).length >= 1, x2)
+  }
+
   test("q1 aggregation is partial+final (map-side combine present)") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("HashAggregate"), p)
