@@ -41,4 +41,34 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** S3A object-store settings for an S3-compatible endpoint (MinIO,
+    * Ceph, AWS) — the engine's equivalent of the reference wiring
+    * hadoop-aws onto its session (reference
+    * `dags/vcapital_staging/tasks/extract_db.py:18-31`: endpoint +
+    * access/secret key + path-style access + SSL toggle). Credentials
+    * should come from the caller's secret store, never source.
+    *
+    * Pure configuration: paths like `s3a://bucket/…` then work in every
+    * reader/writer in [[graft.sources.Readers]]/`Writers` unchanged,
+    * provided the hadoop-aws + aws-sdk jars are on the cluster
+    * classpath (they ship with most managed Spark distributions; they
+    * are not in this repo's test environment, so coverage here is a
+    * conf-landing unit test, not a live read). */
+  def s3aConf(endpoint: String, accessKey: String, secretKey: String,
+              pathStyleAccess: Boolean = true,
+              sslEnabled: Boolean = false): Map[String, String] = Map(
+    "fs.s3a.endpoint"                -> endpoint,
+    "fs.s3a.access.key"              -> accessKey,
+    "fs.s3a.secret.key"              -> secretKey,
+    "fs.s3a.path.style.access"       -> pathStyleAccess.toString,
+    "fs.s3a.connection.ssl.enabled"  -> sslEnabled.toString,
+    "fs.s3a.impl" -> "org.apache.hadoop.fs.s3a.S3AFileSystem")
+
+  /** Apply filesystem conf onto a live session's Hadoop configuration
+    * (session-wide: affects every subsequent read/write). */
+  def withHadoopConf(spark: SparkSession, conf: Map[String, String]): SparkSession = {
+    conf.foreach { case (k, v) => spark.sparkContext.hadoopConfiguration.set(k, v) }
+    spark
+  }
 }

@@ -17,7 +17,12 @@ object Integrity {
     * No distinct on the parent side: anti-join existence semantics are
     * unaffected by duplicate build-side keys, and the distinct would add
     * a full shuffle stage before the broadcast. (A non-broadcast
-    * sort-merge anti join also dedups effectively during the merge.) */
+    * sort-merge anti join also dedups effectively during the merge.)
+    * Caveat when `broadcastParent` is set: the broadcast carries every
+    * duplicate parent key, so it is sized by parent ROWS, not distinct
+    * keys. Fine for the intended use (dimensions with unique/PK-like
+    * keys); for a parent with heavy key duplication either pass
+    * `parent.select(key).distinct()` yourself or disable the broadcast. */
   def fkViolations(child: DataFrame, childKey: String,
                    parent: DataFrame, parentKey: String,
                    broadcastParent: Boolean = true): DataFrame = {
@@ -38,6 +43,8 @@ object Integrity {
     * per-FK aggregates — one job, but each subtree re-scanned its child.)
     * Parent key-sets are built once per (parent, key) so identical
     * broadcast subtrees canonicalize and the exchange is reused.
+    * Rows come back in FK declaration order (the index rides through the
+    * exploded structs into a final sort — O(#FKs) rows, not data-sized).
     * Everything is lazy: building the report runs no jobs. */
   def report(spark: SparkSession,
              fks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
@@ -66,13 +73,15 @@ object Integrity {
       }
       val agged = joined.agg(counts.head, counts.tail.toSeq: _*)
       val entries = group.map { case (name, ck, _, _, i) =>
-        struct(lit(name).as("fk_name"), lit(ck).as("child_key"),
+        struct(lit(i).as("i"), lit(name).as("fk_name"), lit(ck).as("child_key"),
           col(s"__v_$i").as("n_violations"))
       }
       agged.select(explode(array(entries.toSeq: _*)).as("__fk"))
-        .select(col("__fk.fk_name").as("fk_name"),
+        .select(col("__fk.i").as("__i"),
+          col("__fk.fk_name").as("fk_name"),
           col("__fk.child_key").as("child_key"),
           col("__fk.n_violations").as("n_violations"))
     }.reduce(_ unionByName _)
+      .orderBy(col("__i")).drop("__i")
   }
 }

@@ -45,14 +45,21 @@ object Warehouse {
     * whose optimizer stats estimate exceeds `smallThresholdBytes` takes
     * the scale-safe [[withDenseKeyRanged]] path. The estimate comes from
     * `optimizedPlan.stats` — driver-side plan metadata (file sizes ×
-    * filter/project selectivity), no job. The two variants are
-    * bit-identical for unique keys (spec-proven), so dispatch can never
-    * change results. */
+    * filter/project selectivity), no job. For UNIQUE `orderCol` values
+    * the two variants are bit-identical (spec-proven), so dispatch can
+    * never change results; with duplicate keys both variants break ties
+    * nondeterministically (and differently), as any `row_number` over a
+    * non-unique order does — callers needing stable keys on duplicates
+    * must extend `orderCol` to a unique composite first.
+    *
+    * An explicit `partitions > 0` is a request for the ranged path (the
+    * windowed variant has no partition knob), so it bypasses the size
+    * estimate. */
   def withDenseKey(df: DataFrame, keyName: String, orderCol: String,
                    offset: Long = 0L, partitions: Int = 0,
                    smallThresholdBytes: Long = DenseKeySmallBytes): DataFrame = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= BigInt(smallThresholdBytes))
+    if (partitions <= 0 && est <= BigInt(smallThresholdBytes))
       withDenseKeyWindowed(df, keyName, orderCol, offset)
     else withDenseKeyRanged(df, keyName, orderCol, offset, partitions)
   }

@@ -53,15 +53,32 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus"))
     },
 
-    // sketch aggregates (HLL distinct, approximate percentile) — engine
-    // results are not DuckDB-reproducible (different sketch impls), so
-    // this is a rows-only gate entry; SketchStreamDedupSpec bounds the
-    // error vs the exact values.
+    // sketch aggregates (HLL distinct, approximate percentile). The raw
+    // sketch values are not DuckDB-reproducible (different sketch
+    // impls), so the gate asserts the PUBLISHED ERROR BOUNDS by
+    // construction: Spark emits each bound check as a boolean next to
+    // the exact aggregates; the oracle emits the same exact aggregates
+    // (cross-checked for real) plus literal TRUEs. A sketch regression
+    // flips a boolean and fails the hash compare. Bounds: HLL++ default
+    // relativeSD 0.05 -> 3-sigma 15%; percentile_approx accuracy 1000 ->
+    // rank error <= 1/1000, asserted generously as "approx median lies
+    // between the exact 0.49 and 0.51 quantiles".
     "sk1_sketches" -> { (s, d) =>
       lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey")).as("__hll_parts"),
+        approx_count_distinct(col("l_orderkey")).as("__hll_orders"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("__amed"),
+        percentile(col("l_quantity"), lit(0.49)).as("__q49"),
+        percentile(col("l_quantity"), lit(0.51)).as("__q51"))
+        .select(col("exact_parts"), col("exact_orders"),
+          (abs(col("__hll_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.15).as("hll_parts_ok"),
+          (abs(col("__hll_orders") - col("exact_orders")) <=
+            col("exact_orders") * 0.15).as("hll_orders_ok"),
+          (col("__amed") >= col("__q49") && col("__amed") <= col("__q51"))
+            .as("median_ok"))
     },
 
     // MapType round-trip (SURVEY §1.2 JSONB-analog): per-user counts
@@ -127,6 +144,15 @@ object AnalyticsQueries {
       """SELECT user_id, event_type, count(*) AS n
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    // the exact columns are genuinely cross-checked; the *_ok booleans
+    // are TRUE literals here because only Spark can see its own sketch
+    // values — Spark computes the bound check, so a drifted sketch
+    // flips its boolean and hash-mismatches against these TRUEs.
+    "sk1_sketches" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  TRUE AS hll_parts_ok, TRUE AS hll_orders_ok, TRUE AS median_ok
+        |FROM lineitem""".stripMargin,
     "pc1_percentiles" ->
       """SELECT quantile_cont(l_quantity, 0.25) AS q25,
         |  quantile_cont(l_quantity, 0.5) AS q50,

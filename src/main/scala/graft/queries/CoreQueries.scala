@@ -92,10 +92,12 @@ object CoreQueries {
 
     // §2.5 surrogate keys: dense row_number-equivalent keys by natural-key
     // order + offset — what the reference delegates to Postgres BIGSERIAL.
-    // Uses the production scale-safe path (range buckets + per-bucket
-    // rank + cumulative offsets; no single-partition pass over the data).
+    // Calls the RANGED variant explicitly (not the size dispatcher, which
+    // would route every tested scale to the windowed path) so the oracle
+    // gate keeps covering the production scale path: range buckets +
+    // per-bucket rank + cumulative offsets, no single-partition pass.
     "w1_surrogate_keys" -> { (s, d) =>
-      graft.operators.Warehouse.withDenseKey(
+      graft.operators.Warehouse.withDenseKeyRanged(
         customer(s, d).select(col("c_custkey"), col("c_name")),
         "sk_customer_id", "c_custkey", offset = 100L)
         .orderBy(col("c_custkey"))

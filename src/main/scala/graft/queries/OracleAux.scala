@@ -14,8 +14,11 @@ import graft.operators.Dedup
   * hash (minhash lanes, banding, bucket joins, vote sums, polynomial
   * folds, jaccard/hamming verification, thresholds, ranking) is then a
   * genuine cross-engine check in DuckDB. `Verify` writes each table to
-  * `<outDir>/_oracle_aux/<name>` and substitutes [[Placeholder]] in the
-  * oracle SQL with that absolute path at dump time.
+  * the SIBLING directory `<outDir>_aux/<name>` — outside `outDir`
+  * itself, because the driver treats every parquet under `outDir` as a
+  * gated query result and would flag the aux dumps as phantom queries —
+  * and substitutes [[Placeholder]] in the oracle SQL with that absolute
+  * path at dump time.
   */
 object OracleAux {
 

@@ -18,35 +18,102 @@ import org.apache.spark.sql.types._
   */
 object JdbcUpsert {
 
-  /** Build the PostgreSQL `INSERT … ON CONFLICT DO UPDATE` statement for
-    * a schema. Exposed for tests (no live DB in the test environment). */
-  def upsertStatement(table: String, schema: StructType, keyCols: Seq[String]): String = {
-    val cols = schema.fields.map(_.name)
-    val placeholders = cols.map(_ => "?").mkString(", ")
-    val updates = cols.filterNot(keyCols.contains)
-      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
-    s"""INSERT INTO $table (${cols.mkString(", ")}) VALUES ($placeholders)
-       |ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $updates""".stripMargin
+  /** Target-dialect seam: each dialect yields the parameterized
+    * single-row upsert statement plus the field-index bind order its
+    * placeholders expect. The `foreachPartition` execute path below is
+    * dialect-agnostic and shared — so a live test against any one
+    * dialect (Derby MERGE in `JdbcSpec`) exercises the identical
+    * connection/batch/commit code the Postgres path runs in production. */
+  sealed trait Dialect {
+    def statement(table: String, schema: StructType, keyCols: Seq[String]): String
+    /** Placeholder bind order as schema field indices. */
+    def bindOrder(schema: StructType, keyCols: Seq[String]): Seq[Int]
   }
 
-  private def bind(ps: PreparedStatement, row: Row, schema: StructType): Unit =
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
-      val v = if (row.isNullAt(i)) null else row.get(i)
+  /** PostgreSQL `INSERT … ON CONFLICT (pk) DO UPDATE` — the statement
+    * pangres emits for `if_row_exists='update'`. Placeholders appear in
+    * schema order. */
+  case object Postgres extends Dialect {
+    def statement(table: String, schema: StructType, keyCols: Seq[String]): String = {
+      val cols = schema.fields.map(_.name)
+      val placeholders = cols.map(_ => "?").mkString(", ")
+      val updates = cols.filterNot(keyCols.contains)
+        .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      s"""INSERT INTO $table (${cols.mkString(", ")}) VALUES ($placeholders)
+         |ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $updates""".stripMargin
+    }
+    def bindOrder(schema: StructType, keyCols: Seq[String]): Seq[Int] =
+      schema.fields.indices.toSeq
+  }
+
+  /** SQL:2003 `MERGE INTO` against a one-row dummy table — the portable
+    * form Derby/DB2 accept (Derby ≥10.11; `SYSIBM.SYSDUMMY1` is its
+    * built-in one-row table). Untyped `?` params need explicit CASTs in
+    * Derby, so placeholders carry the column's SQL type. Placeholders
+    * appear keys-first (ON), then non-keys (UPDATE SET), then all
+    * columns (INSERT VALUES). */
+  case object Merge extends Dialect {
+    private def sqlType(dt: DataType): String = dt match {
+      case LongType          => "BIGINT"
+      case IntegerType       => "INTEGER"
+      case ShortType         => "SMALLINT"
+      case DoubleType        => "DOUBLE"
+      case FloatType         => "REAL"
+      case BooleanType       => "BOOLEAN"
+      case DateType          => "DATE"
+      case TimestampType     => "TIMESTAMP"
+      case d: DecimalType    => s"DECIMAL(${d.precision},${d.scale})"
+      case _                 => "VARCHAR(32672)"
+    }
+    def statement(table: String, schema: StructType, keyCols: Seq[String]): String = {
+      def p(f: StructField) = s"CAST(? AS ${sqlType(f.dataType)})"
+      val keys = schema.fields.filter(f => keyCols.contains(f.name))
+      val rest = schema.fields.filterNot(f => keyCols.contains(f.name))
+      val on = keys.map(f => s"t.${f.name} = ${p(f)}").mkString(" AND ")
+      val set = rest.map(f => s"${f.name} = ${p(f)}").mkString(", ")
+      val cols = schema.fields.map(_.name).mkString(", ")
+      val vals = schema.fields.map(p).mkString(", ")
+      s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1 ON $on
+         |WHEN MATCHED THEN UPDATE SET $set
+         |WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)""".stripMargin
+    }
+    def bindOrder(schema: StructType, keyCols: Seq[String]): Seq[Int] = {
+      val idx = schema.fields.indices
+      val keys = idx.filter(i => keyCols.contains(schema.fields(i).name))
+      val rest = idx.filterNot(i => keyCols.contains(schema.fields(i).name))
+      (keys ++ rest ++ idx).toSeq
+    }
+  }
+
+  /** Build the PostgreSQL `INSERT … ON CONFLICT DO UPDATE` statement for
+    * a schema. Exposed for statement-shape tests. */
+  def upsertStatement(table: String, schema: StructType, keyCols: Seq[String]): String =
+    Postgres.statement(table, schema, keyCols)
+
+  private def bind(ps: PreparedStatement, row: Row, schema: StructType,
+                   order: Seq[Int]): Unit =
+    order.zipWithIndex.foreach { case (fi, pi) =>
+      val f = schema.fields(fi)
+      val v = if (row.isNullAt(fi)) null else row.get(fi)
       (v, f.dataType) match {
-        case (null, _)              => ps.setObject(i + 1, null)
-        case (x: java.math.BigDecimal, _: DecimalType) => ps.setBigDecimal(i + 1, x)
-        case (x: java.sql.Timestamp, TimestampType)    => ps.setTimestamp(i + 1, x)
-        case (x: java.sql.Date, DateType)              => ps.setDate(i + 1, x)
-        case (x, _)                 => ps.setObject(i + 1, x)
+        case (null, _)              => ps.setObject(pi + 1, null)
+        case (x: java.math.BigDecimal, _: DecimalType) => ps.setBigDecimal(pi + 1, x)
+        case (x: java.sql.Timestamp, TimestampType)    => ps.setTimestamp(pi + 1, x)
+        case (x: java.sql.Date, DateType)              => ps.setDate(pi + 1, x)
+        case (x, _)                 => ps.setObject(pi + 1, x)
       }
     }
 
-  /** Execute the upsert. `connections` bounds DB fan-in. */
+  /** Execute the upsert. `connections` bounds DB fan-in. Rows within one
+    * batch must carry distinct keys (dedupe upstream with
+    * [[mergeByKey]]/`dropDuplicates` — same requirement pangres has). */
   def upsert(df: DataFrame, url: String, table: String,
              props: java.util.Properties, keyCols: Seq[String],
-             connections: Int = 8, batchSize: Int = 1000): Unit = {
+             connections: Int = 8, batchSize: Int = 1000,
+             dialect: Dialect = Postgres): Unit = {
     val schema = df.schema
-    val sql = upsertStatement(table, schema, keyCols)
+    val sql = dialect.statement(table, schema, keyCols)
+    val order = dialect.bindOrder(schema, keyCols)
     val (user, pass) = (props.getProperty("user"), props.getProperty("password"))
     df.coalesce(connections).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
@@ -56,7 +123,7 @@ object JdbcUpsert {
           val ps = conn.prepareStatement(sql)
           var n = 0
           rows.foreach { r =>
-            bind(ps, r, schema)
+            bind(ps, r, schema, order)
             ps.addBatch()
             n += 1
             if (n % batchSize == 0) ps.executeBatch()

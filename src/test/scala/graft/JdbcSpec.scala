@@ -3,12 +3,15 @@ package graft
 import java.sql.DriverManager
 import java.util.Properties
 import org.apache.spark.sql.functions._
-import graft.sources.{Readers, Writers}
+import graft.sources.{JdbcUpsert, Readers, Writers}
 
 /** Live JDBC integration against embedded Derby (ships with Spark):
-  * S5 append sink round-trips through S1 scans, plain and partitioned.
-  * (Derby has no ON CONFLICT, so the Postgres upsert path is covered by
-  * statement-shape tests in SourcesSpec instead.) */
+  * S5 append sink round-trips through S1 scans, plain and partitioned;
+  * S7 keyed upsert drives the real `foreachPartition` execute path via
+  * the MERGE dialect (Derby has no ON CONFLICT, but the SQL:2003 MERGE
+  * it does accept shares the identical connection/batch/commit code —
+  * only the statement text differs, which SourcesSpec shape-tests for
+  * the Postgres form). */
 class JdbcSpec extends SparkSpec {
   import spark.implicits._
 
@@ -43,6 +46,53 @@ class JdbcSpec extends SparkSpec {
     assert(parts.agg(sum($"bal")).collect()(0).getDecimal(0) ==
       plain.agg(sum($"bal")).collect()(0).getDecimal(0))
   }
+
+  test("live keyed upsert (MERGE dialect): insert + update through the real execute path") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE milestones (id BIGINT PRIMARY KEY, name VARCHAR(64), amount DECIMAL(18,2))")
+    } finally conn.close()
+
+    def batch(ids: Range, tag: String) = ids.map(i =>
+      (i.toLong, s"${tag}_$i", BigDecimal(i * 100, 2)))
+      .toDF("id", "name", "amount")
+      .select($"id", $"name", $"amount".cast("decimal(18,2)").as("amount"))
+
+    // seed: 60 fresh keys -> all rows take the NOT MATCHED (insert) arm;
+    // batchSize=16 forces multiple executeBatch flushes per partition
+    JdbcUpsert.upsert(batch(1 to 60, "v1"), url, "milestones", props,
+      keyCols = Seq("id"), connections = 2, batchSize = 16,
+      dialect = JdbcUpsert.Merge)
+    // delta: 31..90 -> 30 updates (MATCHED arm) + 30 inserts, same call
+    JdbcUpsert.upsert(batch(31 to 90, "v2"), url, "milestones", props,
+      keyCols = Seq("id"), connections = 2, batchSize = 16,
+      dialect = JdbcUpsert.Merge)
+
+    val back = Readers.jdbc(spark, url, "milestones", props)
+    assert(back.count() == 90)                       // PK held: no dup inserts
+    def nameOf(id: Long) =
+      back.filter($"ID" === id).select("NAME").collect()(0).getString(0)
+    assert(nameOf(10L) == "v1_10")                   // untouched by delta
+    assert(nameOf(40L) == "v2_40")                   // overlapping key updated
+    assert(nameOf(90L) == "v2_90")                   // new key inserted
+    assert(back.filter($"NAME".startsWith("v2_")).count() == 60)
+  }
+
+  test("merge and postgres dialects bind the same number of placeholders") {
+    val schema = batchSchema
+    val pg = JdbcUpsert.Postgres
+    val mg = JdbcUpsert.Merge
+    val pgSql = pg.statement("t", schema, Seq("id"))
+    val mgSql = mg.statement("t", schema, Seq("id"))
+    assert(pgSql.count(_ == '?') == pg.bindOrder(schema, Seq("id")).length)
+    assert(mgSql.count(_ == '?') == mg.bindOrder(schema, Seq("id")).length)
+    // merge binds keys (ON), non-keys (SET), then every column (VALUES)
+    assert(mg.bindOrder(schema, Seq("id")) == Seq(0, 1, 2, 0, 1, 2))
+  }
+
+  private def batchSchema =
+    Seq((1L, "a", BigDecimal(1))).toDF("id", "name", "amount").schema
 
   test("jdbc subquery pushdown (derived-table scan, reference S1 shape)") {
     val sub = Readers.jdbc(spark, url,

@@ -96,4 +96,14 @@ class SourcesSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(got == Seq((2, "b"), (10, "a")).sortBy(_._1))
   }
+
+  test("s3a conf pass-through lands on the session hadoop configuration") {
+    graft.core.GraftSession.withHadoopConf(spark,
+      graft.core.GraftSession.s3aConf("http://localhost:9000", "ak", "sk"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.endpoint") == "http://localhost:9000")
+    assert(hc.get("fs.s3a.path.style.access") == "true")
+    assert(hc.get("fs.s3a.connection.ssl.enabled") == "false")
+    assert(hc.get("fs.s3a.impl") == "org.apache.hadoop.fs.s3a.S3AFileSystem")
+  }
 }
