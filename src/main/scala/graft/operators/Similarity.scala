@@ -120,4 +120,63 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine_sim")
   }
+
+  /** KNN graph: approximate top-k nearest neighbors for EVERY vector
+    * (all-docs-as-queries) — the shape a corpus-scale dedup-by-nearest
+    * or diversity-sampling pass actually runs, where neither side is a
+    * bounded query set and NOTHING can broadcast.
+    *
+    * Construction:
+    *  1. L hyperplane tables band every vector to (t, bucket) — ids
+    *     only downstream; vectors never ride a wide shuffle.
+    *  2. Hub-bucket cap: within each (t, bucket) only the
+    *     `maxBucketSize` smallest ids stay (deterministic), so a hot
+    *     bucket (near-constant-sign region of the corpus) contributes
+    *     O(cap²) candidate pairs instead of |bucket|² — same bounding
+    *     idea as [[Dedup.ngramJaccardPairs]]'s block cap. The ranking
+    *     window needs exactly the (t, bucket) hash partitioning the
+    *     self-join needs, so the cap costs no extra exchange.
+    *  3. Banded SORT-MERGE self-join (never broadcast): both sides are
+    *     the identical exchange subtree, so the second is a
+    *     ReusedExchange and banding is computed once.
+    *  4. Candidate distinct on the two ids, then vectors re-attach via
+    *     two merge joins on id — again one exchange + one reuse.
+    *  5. Exact cosine ranks per query; `row_number` keeps top-k.
+    *
+    * Expected cost at corpus scale: O(n·L) banding rows (ids only),
+    * candidate volume bounded by Σ_buckets cap², and exactly ONE
+    * corpus-wide (id, vector) exchange for the re-attach — computed
+    * once, ReusedExchange on the second leg. That single vector shuffle
+    * is inherent to all-docs-as-queries (every vector must meet its
+    * candidate list); everything else moves (long, long) pairs. */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int = 10,
+               planes: Int = 6, tables: Int = 8,
+               maxBucketSize: Int = 256): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val capW = Window.partitionBy(col("t"), col("bucket")).orderBy(col("id"))
+    val banded = base.select(col("id"),
+      posexplode(array((0 until tables).map(t =>
+        hyperplaneSignature(col("v"), planes, t)): _*)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+      .withColumn("__rn", row_number().over(capW))
+      .filter(col("__rn") <= maxBucketSize)
+      .select("id", "t", "bucket")
+    val candidates = banded.select(col("id").as("query_id"), col("t"), col("bucket"))
+      .hint("merge")
+      .join(banded.select(col("id").as("neighbor_id"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    candidates
+      .join(base.select(col("id").as("query_id"), col("v").as("q")).hint("merge"),
+        Seq("query_id"))
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("n")).hint("merge"),
+        Seq("neighbor_id"))
+      .withColumn("cosine_sim", cosine(col("q"), col("n")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine_sim")
+  }
 }

@@ -41,6 +41,15 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // KNN graph: top-k neighbors for EVERY vector — nothing broadcasts,
+    // banded sort-merge self-join with a deterministic hub-bucket cap.
+    "y3_knn_graph" -> { (s, d) =>
+      Similarity.knnGraph(embeddings(s, d), "vec_id", "embedding",
+        k = 5, planes = 4, tables = 4, maxBucketSize = 64)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // embedding-cosine near-dup pairs via hyperplane-LSH candidates.
     "x5_embedding_near_dup" -> { (s, d) =>
       Dedup.embeddingCosinePairs(nearDupEmbeddings(s, d), "vec_id", "embedding",
@@ -133,6 +142,37 @@ object SimilarityQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
          |  round(cs, 6) AS cosine_sim
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // y3: same code-generated hyperplanes; the hub-bucket cap is the
+    // identical row_number-by-id window, so capping is cross-checked too.
+    "y3_knn_graph" -> {
+      val banded = (0 until 4).map(t =>
+        s"SELECT vec_id, $t AS t, ${sqlSignature("v", 4, t)} AS bucket FROM base")
+        .mkString(" UNION ALL ")
+      s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+         |banded0 AS ($banded),
+         |banded AS (
+         |  SELECT vec_id, t, bucket,
+         |    row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) AS rn
+         |  FROM banded0),
+         |capped AS (SELECT vec_id, t, bucket FROM banded WHERE rn <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
+         |  WHERE a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id, ${sqlCosine("q.v", "n.v")} AS cs
+         |  FROM cand c
+         |  JOIN base q ON q.vec_id = c.query_id
+         |  JOIN base n ON n.vec_id = c.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cs,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |  round(cs, 6) AS cosine_sim
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
     "x5_embedding_near_dup" ->

@@ -125,6 +125,17 @@ class PlanSpec extends SparkSpec {
     assert("ReusedExchange".r.findAllIn(x2).length >= 1, x2)
   }
 
+  test("knn graph never broadcasts the corpus; banding computed once") {
+    val df = SparkEntry.queries("y3_knn_graph")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastExchange"),
+      s"all-docs-as-queries must not broadcast any corpus-derived side:\n$p")
+    val fin = p.split("== Initial Plan ==").head
+    assert("ReusedExchange".r.findAllIn(fin).length >= 2,
+      s"banded self-join and vector re-attach legs must reuse exchanges:\n$fin")
+  }
+
   test("q1 aggregation is partial+final (map-side combine present)") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("HashAggregate"), p)

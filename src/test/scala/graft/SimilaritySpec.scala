@@ -72,6 +72,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnGraph finds every planted twin at rank 1") {
+    // all-docs-as-queries: every id must get a neighbor list, and a
+    // cosine≈1 twin must top it (twins share every hyperplane bucket,
+    // so LSH candidate generation cannot miss them).
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.select($"vec_id", Similarity.toDouble($"embedding").as("embedding"))
+    val twin = emb.select(($"vec_id" + 100000L).as("vec_id"),
+      transform(Similarity.toDouble($"embedding"), x => x * 1.001).as("embedding"))
+    val corpus = base.unionByName(twin)
+    val n = corpus.count()
+    val top1 = Similarity.knnGraph(corpus, "vec_id", "embedding", k = 3)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(top1.size == n, s"every vector must appear as a query: ${top1.size}/$n")
+    val twinned = top1.count { case (q, nb) =>
+      nb == q + 100000L || q == nb + 100000L }
+    assert(twinned == n, s"twin at rank 1 for $twinned/$n queries")
+  }
+
+  test("knnGraph caps hub buckets deterministically") {
+    // 40 identical vectors all land in the same bucket in every table;
+    // cap=8 must bound each id's candidates to the 8 smallest ids
+    // (minus self), independent of partitioning.
+    val same = (0L until 40L).map(i => (i, Seq.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.knnGraph(same, "vec_id", "embedding",
+      k = 39, planes = 4, tables = 2, maxBucketSize = 8)
+    val byQuery = got.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    // only the 8 smallest ids survive banding -> queries are 0..7 and
+    // each sees the other 7 capped ids
+    assert(byQuery.keySet == (0L until 8L).toSet, byQuery.keySet.toSeq.sorted)
+    byQuery.foreach { case (q, nbs) =>
+      assert(nbs.map(_._2).toSet == (0L until 8L).toSet - q) }
+  }
+
   test("multimodal decode: checksum over bytes, batch independence") {
     val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.fromDocuments(docs)
