@@ -51,7 +51,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.StreamingQueries.queries ++
       graft.queries.WindowSetQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.DatasetQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -67,5 +68,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracle ++
       graft.queries.StreamingQueries.oracle ++
       graft.queries.WindowSetQueries.oracle ++
-      graft.queries.AnalyticsQueries.oracle
+      graft.queries.AnalyticsQueries.oracle ++
+      graft.queries.DatasetQueries.oracle
 }

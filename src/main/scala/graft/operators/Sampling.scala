@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, mixing, and shuffling for training-data
+  * curation at corpus scale — engine extensions beyond the reference's
+  * ELT surface (which has no sampling stage; these are the operations a
+  * 100 TB pretraining pipeline composes around the dedup/quality steps).
+  *
+  * Everything keys off `xxhash64(key, seed)`:
+  *  - DETERMINISTIC and partition-independent: membership depends only
+  *    on the row's key and the seed, never on task layout — reruns,
+  *    retries, and different cluster sizes select the same rows.
+  *  - NO SHUFFLE for sampling/mixing: a sample is a pure filter pushed
+  *    against the scan; mixing N strata at N rates is one scan, not N.
+  *  - Seeds separate concerns: a different seed gives a statistically
+  *    independent subset (epoch remixes), the same seed reproduces.
+  */
+object Sampling {
+
+  /** Hash-bucket resolution: rates are quantized to 1/1e6. */
+  val Buckets: Long = 1000000L
+
+  /** Deterministic bucket in [0, 1e6) for (key, seed). */
+  def hashBucket(key: Column, seed: Long): Column =
+    pmod(xxhash64(key, lit(seed)), lit(Buckets))
+
+  /** Keep ~`fraction` of rows, selected by key hash (reproducible,
+    * partition-independent; no shuffle — a scan-side filter). */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double,
+                   seed: Long): DataFrame =
+    df.filter(hashBucket(col(keyCol), seed) < math.round(fraction * Buckets))
+
+  /** Per-stratum sampling rates in one pass — weighted dataset mixing.
+    * A stratum absent from `fractions` gets `defaultFraction`. Exact
+    * one-scan semantics: the stratum picks a threshold, the key hash
+    * decides membership. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double, seed: Long): DataFrame = {
+    val threshold = fractions.foldLeft(
+      lit(math.round(defaultFraction * Buckets))) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit(math.round(f * Buckets))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), seed) < threshold)
+  }
+
+  /** Multi-epoch mix: one independently-seeded stratified sample per
+    * epoch, tagged with its epoch index. Epoch e's subset is
+    * statistically independent of epoch e+1's (different hash seed), yet
+    * every epoch is individually reproducible. */
+  def epochMix(df: DataFrame, keyCol: String, strataCol: String,
+               fractions: Map[String, Double], defaultFraction: Double,
+               epochs: Int, baseSeed: Long): DataFrame =
+    (0 until epochs).map { e =>
+      stratifiedSample(df, keyCol, strataCol, fractions, defaultFraction,
+        baseSeed + e).withColumn("epoch", lit(e))
+    }.reduce(_ unionByName _)
+
+  /** Deterministic global shuffle: assigns each row its position in the
+    * pseudo-random permutation ordered by (xxhash64(key, seed), key) —
+    * the tie-break keeps the permutation total even across hash
+    * collisions. Built on the scale-safe ranged dense-key construction
+    * (range-partitioned parallel rank + tiny offset broadcast), so no
+    * single-task sort of the corpus exists in the plan. */
+  def shuffledPositions(df: DataFrame, keyCol: String, seed: Long,
+                        positionName: String = "position"): DataFrame =
+    Warehouse.withDenseKeyRanged(
+      df.withColumn("__h", xxhash64(col(keyCol), lit(seed))),
+      positionName, Seq("__h", keyCol), 0L, 0)
+      .drop("__h")
+}

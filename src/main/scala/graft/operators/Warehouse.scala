@@ -77,13 +77,21 @@ object Warehouse {
     * result is bit-identical to [[withDenseKeyWindowed]] for unique keys.
     * `offset` carries the max existing key for incremental appends. */
   def withDenseKeyRanged(df: DataFrame, keyName: String, orderCol: String,
-                         offset: Long = 0L, partitions: Int = 0): DataFrame = {
+                         offset: Long = 0L, partitions: Int = 0): DataFrame =
+    withDenseKeyRanged(df, keyName, Seq(orderCol), offset, partitions)
+
+  /** Multi-column variant: rank order is the lexicographic tuple of
+    * `orderCols` — the form a deterministic global shuffle needs
+    * (hash-then-id ordering; see [[Sampling.shuffledPositions]]). */
+  def withDenseKeyRanged(df: DataFrame, keyName: String, orderCols: Seq[String],
+                         offset: Long, partitions: Int): DataFrame = {
     val n = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
-    val local = df.repartitionByRange(n, col(orderCol))
+    val cols = orderCols.map(col)
+    val local = df.repartitionByRange(n, cols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(col(orderCol))))
+        Window.partitionBy(col("__pid")).orderBy(cols: _*)))
     val offW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid"))

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.{Packing, Sampling}
+
+/** Training-dataset curation operators: deterministic sampling, weighted
+  * mixing, epoch remixes, sequence packing, global shuffle. The sampling
+  * decisions key off xxhash64 (no DuckDB equivalent), so the per-doc
+  * hash buckets are dumped as an aux table ([[OracleAux]]) and every
+  * POLICY — stratum thresholds, epoch seeds, packing arithmetic,
+  * permutation ordering — is recomputed in SQL on top of them. */
+object DatasetQueries {
+
+  /** Seeds are part of the contract: same seed = same subset. */
+  private val SampleSeed = 1001L
+  private val EpochBase  = 2000L
+  private val ShuffleSeed = 777L
+
+  private val LangRates   = Map("en" -> 0.5, "de" -> 0.2)
+  private val SourceRates = Map("src0" -> 1.0, "src1" -> 0.5)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deterministic stratified sample: per-language rates, one scan,
+    // membership independent of partitioning (pure filter — no shuffle).
+    "ds1_stratified_sample" -> { (s, d) =>
+      Sampling.stratifiedSample(documents(s, d), "doc_id", "lang",
+        LangRates, defaultFraction = 0.1, seed = SampleSeed)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // weighted source mixing across 2 independently-seeded epochs.
+    "ds2_epoch_mix" -> { (s, d) =>
+      Sampling.epochMix(documents(s, d), "doc_id", "source",
+        SourceRates, defaultFraction = 0.25, epochs = 2, baseSeed = EpochBase)
+        .groupBy(col("epoch"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("epoch"), col("source"))
+    },
+
+    // sequence packing: documents on a token tape in doc_id order,
+    // chunked into 2048-token bins; offsets via the scale-safe
+    // two-level running sum (no corpus-sized single-task window).
+    "ds3_sequence_packing" -> { (s, d) =>
+      val docs = documents(s, d).select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.packSequences(docs, "n_tokens", "doc_id", budget = 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          col("bin_id"), col("bin_offset"))
+        .orderBy(col("doc_id"))
+    },
+
+    // deterministic global shuffle: the full pseudo-random permutation,
+    // positions assigned by the parallel ranged-rank construction.
+    "ds4_doc_shuffle" -> { (s, d) =>
+      Sampling.shuffledPositions(documents(s, d)
+        .select(col("doc_id"), col("lang")), "doc_id", ShuffleSeed)
+        .select(col("position"), col("doc_id"), col("lang"))
+        .orderBy(col("position"))
+    }
+  )
+
+  private val aux = "read_parquet('__AUX__/ds_doc_hash/*.parquet')"
+
+  private def caseThreshold(strataCol: String, rates: Map[String, Double],
+                            default: Double): String = {
+    val whens = rates.toSeq.sortBy(_._1).map { case (k, f) =>
+      s"WHEN '$k' THEN ${math.round(f * Sampling.Buckets)}"
+    }.mkString(" ")
+    s"CASE $strataCol $whens ELSE ${math.round(default * Sampling.Buckets)} END"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "ds1_stratified_sample" ->
+      s"""SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN $aux a USING (doc_id)
+         |WHERE a.b_sample < ${caseThreshold("d.lang", LangRates, 0.1)}
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "ds2_epoch_mix" ->
+      s"""WITH picked AS (
+         |  SELECT 0 AS epoch, d.source FROM documents d JOIN $aux a USING (doc_id)
+         |  WHERE a.b_epoch0 < ${caseThreshold("d.source", SourceRates, 0.25)}
+         |  UNION ALL
+         |  SELECT 1 AS epoch, d.source FROM documents d JOIN $aux a USING (doc_id)
+         |  WHERE a.b_epoch1 < ${caseThreshold("d.source", SourceRates, 0.25)})
+         |SELECT CAST(epoch AS INT) AS epoch, source,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM picked GROUP BY epoch, source ORDER BY epoch, source""".stripMargin,
+
+    "ds3_sequence_packing" -> {
+      val toks = TextQueries.toksSql
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toks) AS INT) AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_offset
+         |  FROM t)
+         |SELECT doc_id, n_tokens, start_offset,
+         |  CAST(start_offset // 2048 AS BIGINT) AS bin_id,
+         |  CAST(start_offset % 2048 AS BIGINT) AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "ds4_doc_shuffle" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY a.h_shuffle, d.doc_id) AS BIGINT)
+         |    AS position,
+         |  d.doc_id, d.lang
+         |FROM documents d JOIN $aux a USING (doc_id)
+         |ORDER BY position""".stripMargin
+  )
+}

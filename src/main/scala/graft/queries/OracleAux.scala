@@ -50,6 +50,17 @@ object OracleAux {
       TextQueries.nearDupCorpus(s, d).select(col("doc_id"),
         explode(transform(Dedup.shingles(col("text"), 3),
           g => xxhash64(g))).as("g"))
+    },
+    // ds*: per-doc hash buckets for every sampling/shuffle seed the
+    // dataset-curation queries use — the DECISIONS (thresholds, epoch
+    // composition, permutation order) are recomputed in SQL on top.
+    "ds_doc_hash" -> { (s, d) =>
+      import graft.operators.Sampling.hashBucket
+      documents(s, d).select(col("doc_id"),
+        hashBucket(col("doc_id"), 1001L).as("b_sample"),
+        hashBucket(col("doc_id"), 2000L).as("b_epoch0"),
+        hashBucket(col("doc_id"), 2001L).as("b_epoch1"),
+        xxhash64(col("doc_id"), lit(777L)).as("h_shuffle"))
     }
   )
 }

@@ -112,7 +112,7 @@ object TextQueries {
     }
   )
 
-  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  private[queries] val toksSql = "string_split_regex(trim(text), '\\s+')"
   private val punctSql =
     """(length(text) - length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g')))"""
 

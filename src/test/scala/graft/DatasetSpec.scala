@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Packing, Sampling}
+
+/** Dataset-curation specs: deterministic sampling/mixing/shuffle and
+  * sequence packing — determinism, partition-independence, rate
+  * adherence, permutation totality, packing arithmetic. */
+class DatasetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.01"
+  private def docs = graft.Tables.documents(spark, d)
+
+  test("sampleByHash is deterministic and partition-independent") {
+    val a = Sampling.sampleByHash(docs.repartition(1), "doc_id", 0.3, 42L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.sampleByHash(docs.repartition(13), "doc_id", 0.3, 42L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "membership must depend only on (key, seed)")
+    assert(a.nonEmpty && a.size < docs.count())
+  }
+
+  test("sampleByHash is a scan-side filter — no shuffle in the plan") {
+    val p = Sampling.sampleByHash(docs, "doc_id", 0.3, 42L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+  }
+
+  test("stratified rates are honored within binomial tolerance") {
+    val n = docs.count().toDouble
+    val got = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.2), 0.1, 7L)
+      .groupBy("lang").agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate(l: String) = got.getOrElse(l, 0L).toDouble / strata(l)
+    // ~100+ docs per stratum at sf0.01: 4-sigma binomial ~ +/-0.2
+    assert(math.abs(rate("en") - 0.5) < 0.2, s"en rate ${rate("en")}")
+    assert(math.abs(rate("de") - 0.2) < 0.2, s"de rate ${rate("de")}")
+  }
+
+  test("epochMix epochs are independently seeded, both reproducible") {
+    val mix = Sampling.epochMix(docs, "doc_id", "source",
+      Map("src0" -> 1.0), 0.25, epochs = 2, baseSeed = 99L)
+    val e0 = mix.filter($"epoch" === 0).select("doc_id").collect().map(_.getLong(0)).toSet
+    val e1 = mix.filter($"epoch" === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(e0 != e1, "different epoch seeds must select different subsets")
+    // src0 rate 1.0 -> every src0 doc in every epoch
+    val src0 = docs.filter($"source" === "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(src0.subsetOf(e0) && src0.subsetOf(e1))
+  }
+
+  test("shuffledPositions is a total deterministic permutation, not id order") {
+    val n = docs.count()
+    val pos = Sampling.shuffledPositions(docs.select("doc_id"), "doc_id", 5L)
+    val rows = pos.collect().map(r =>
+      (r.getAs[Long]("position"), r.getAs[Long]("doc_id")))
+    assert(rows.map(_._1).sorted.toSeq == (1L to n).toSeq,
+      "positions must be exactly 1..n")
+    val again = Sampling.shuffledPositions(docs.select("doc_id"), "doc_id", 5L)
+      .collect().map(r => (r.getAs[Long]("position"), r.getAs[Long]("doc_id")))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, "same seed, same permutation")
+    val byPos = rows.sortBy(_._1).map(_._2).toSeq
+    assert(byPos != byPos.sorted, "a permutation in id order is not shuffled")
+    val other = Sampling.shuffledPositions(docs.select("doc_id"), "doc_id", 6L)
+      .collect().map(r => (r.getAs[Long]("position"), r.getAs[Long]("doc_id")))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(byPos != other, "different seed, different permutation")
+  }
+
+  test("packSequences: hand-computed offsets, bins, and tails") {
+    val in = Seq((1L, 5), (2L, 3), (3L, 4), (4L, 7)).toDF("id", "toks")
+    val got = Packing.packSequences(in, "toks", "id", budget = 6L)
+      .orderBy("id")
+      .select("id", "start_offset", "bin_id", "bin_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // tape: [0,5) [5,8) [8,12) [12,19) ; bins of 6: 0..5 | 6..11 | 12..17
+    assert(got.toSeq == Seq((1L, 0L, 0L, 0L), (2L, 5L, 0L, 5L),
+      (3L, 8L, 1L, 2L), (4L, 12L, 2L, 0L)))
+  }
+
+  test("packSequences is partition-count independent") {
+    val in = (1L to 1000L).map(i => (i, (i % 17).toInt + 1)).toDF("id", "toks")
+    val a = Packing.packSequences(in, "toks", "id", 64L, partitions = 1)
+      .orderBy("id").select("start_offset").collect().map(_.getLong(0)).toSeq
+    val b = Packing.packSequences(in, "toks", "id", 64L, partitions = 7)
+      .orderBy("id").select("start_offset").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    // exclusive prefix sum sanity: last start = total - last size
+    val total = in.agg(sum($"toks")).first().getLong(0)
+    assert(a.last == total - ((1000 % 17) + 1))
+  }
+}
