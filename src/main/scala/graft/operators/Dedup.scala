@@ -241,7 +241,16 @@ object Dedup {
   }
 
   /** Signature computation via the typed array aggregator (same output
-    * as [[minhashSignatures]]). */
+    * as [[minhashSignatures]]).
+    *
+    * Measured alternative (round 4, sf0.1 / 20k docs): a pure-projection
+    * form — grams32 materialized, then 128 `array_min(transform(...))`
+    * lanes with no explode/aggregate/exchange — is 2.1× SLOWER (3.9 s vs
+    * 1.8 s, X3Probe): per-lane `transform` allocates an array per row per
+    * lane, while this aggregator's while-loop updates one buffer in
+    * place. The explode+aggregate shape also stays map-side combinable,
+    * which the projection form can't improve on anyway (it has no
+    * shuffle to combine into). Don't "simplify" this to expressions. */
   def minhashSignaturesTyped(df: DataFrame, idCol: String, textCol: String,
                              n: Int = 3, numHashes: Int = 128): DataFrame = {
     val hashRows = tokenized(df, idCol, textCol).select(col("id"),
