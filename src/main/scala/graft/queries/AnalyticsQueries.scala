@@ -95,6 +95,30 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // salted two-stage aggregation over a hot key (5 event types x 20%
+    // of the table each): results must be IDENTICAL to the plain
+    // groupBy — the oracle is the unsalted SQL. Long sums only (exact,
+    // associative — a double sum would expose re-association order).
+    "sw1_salted_agg" -> { (s, d) =>
+      graft.operators.Skew.saltedAggregate(events(s, d), "event_type",
+        Map("sum_event_id" -> col("event_id"), "sum_user_id" -> col("user_id")),
+        saltSource = col("event_id"), salts = 16)
+        .orderBy(col("event_type"))
+    },
+
+    // salted replicated-build join against a 5-row weight dim, rolled
+    // up per type — transparency vs the plain join is the check.
+    "sw2_salted_join" -> { (s, d) =>
+      import s.implicits._
+      val dim = Seq(("click", 1L), ("view", 2L), ("signup", 3L),
+        ("purchase", 4L), ("error", 5L)).toDF("event_type", "weight")
+      graft.operators.Skew.saltedJoin(events(s, d), dim, Seq("event_type"),
+        saltSource = col("event_id"), salts = 8)
+        .groupBy(col("event_type"), col("weight"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id") * col("weight")).as("wsum"))
+        .orderBy(col("event_type"))
+    },
+
     // exact percentiles (linear interpolation) + exact distinct counts.
     "pc1_percentiles" -> { (s, d) =>
       lineitem(s, d).agg(
@@ -144,6 +168,21 @@ object AnalyticsQueries {
       """SELECT user_id, event_type, count(*) AS n
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    "sw1_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sw2_salted_join" ->
+      """WITH dim(event_type, weight) AS (VALUES
+        |  ('click', 1), ('view', 2), ('signup', 3), ('purchase', 4), ('error', 5))
+        |SELECT e.event_type, CAST(d.weight AS BIGINT) AS weight,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(e.user_id * d.weight) AS BIGINT) AS wsum
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type, d.weight ORDER BY e.event_type""".stripMargin,
+
     // the exact columns are genuinely cross-checked; the *_ok booleans
     // are TRUE literals here because only Spark can see its own sketch
     // values — Spark computes the bound check, so a drifted sketch
