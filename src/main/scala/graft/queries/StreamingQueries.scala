@@ -37,6 +37,17 @@ object StreamingQueries {
         .as[EventsStream.UserEvent]
       EventsStream.userRunningTotals(typed).toDF()
         .orderBy(col("user_id"))
+    },
+
+    // the streaming upsert sink's merge step (latest row per key by
+    // version), batch-parity form — the multi-batch streaming run of the
+    // same fold is asserted equal in StreamingSpec.
+    "b4_latest_snapshot" -> { (s, d) =>
+      val ev = events(s, d).select(
+        col("user_id"), col("event_id"), col("event_type"), col("value"))
+      graft.sources.JdbcUpsert.mergeByKey(
+        ev.limit(0), ev, Seq("user_id"), "event_id")
+        .orderBy(col("user_id"))
     }
   )
 
@@ -68,6 +79,11 @@ object StreamingQueries {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
         |  max(value) AS max_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "b4_latest_snapshot" ->
+      """SELECT user_id, event_id, event_type, value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming over the events table — the streaming story the
@@ -111,6 +111,51 @@ object EventsStream {
           UserSummary(uid, next.n, next.totalCents / 100.0, next.maxValue)
       }
   }
+
+  /** Incremental keyed-snapshot maintenance from a stream — the
+    * streaming form of the reference's milestones upsert (pangres
+    * `if_row_exists='update'`): each micro-batch folds into the parquet
+    * snapshot at `snapshotDir` via
+    * [[graft.sources.JdbcUpsert.mergeByKey]], keeping the newest row
+    * per key. Result is batch-boundary independent when `versionCol` is
+    * unique per key (latest-wins is associative), so rate limits and
+    * restarts can't change the snapshot — StreamingSpec asserts
+    * multi-batch == single-batch == batch parity.
+    *
+    * Snapshot swap is write-new-then-rename on the filesystem (the
+    * minimal dependency-free form; a production deployment would swap a
+    * table pointer in a metastore / table format instead — same merge
+    * semantics, different commit protocol). */
+  def upsertSnapshotSink(stream: DataFrame, keyCols: Seq[String],
+                         versionCol: String, snapshotDir: String,
+                         checkpointDir: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val snap = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = snap.getFileSystem(hconf)
+        val merged =
+          if (fs.exists(snap))
+            graft.sources.JdbcUpsert.mergeByKey(
+              spark.read.parquet(snapshotDir), batch, keyCols, versionCol)
+          else batch.withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols.map(col): _*)
+              .orderBy(col(versionCol).desc)))
+            .filter(col("__rn") === 1).drop("__rn")
+        // the merge reads the live snapshot, so materialize to a sibling
+        // and swap — never overwrite a path that feeds the running plan
+        val tmp = new org.apache.hadoop.fs.Path(snapshotDir + s"__b$batchId")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(snap)) fs.delete(snap, true)
+        fs.rename(tmp, snap)
+        ()
+      }
+      .start()
 
   /** Run a streaming transform over `dir` with Trigger.AvailableNow into
     * an in-memory table; returns the final result. Used by specs to

@@ -56,4 +56,33 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
     assert(got == want)
   }
+
+  test("upsert snapshot sink: multi-batch stream == latest-per-key batch") {
+    // stage events as MULTIPLE files so maxFilesPerTrigger=4 yields
+    // several micro-batches (batch-boundary independence is the claim)
+    val src = java.nio.file.Files.createTempDirectory("events_many").toString
+    graft.Tables.events(spark, dir).repartition(9)
+      .write.mode("overwrite").parquet(src)
+    val snapDir = java.nio.file.Files.createTempDirectory("snap").toString + "/current"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val q = EventsStream.upsertSnapshotSink(
+      EventsStream.readEvents(spark, src),
+      keyCols = Seq("user_id"), versionCol = "event_id",
+      snapshotDir = snapDir, checkpointDir = ckpt)
+    q.awaitTermination()
+    assert(q.recentProgress.length > 1, "expected multiple micro-batches")
+    val snapshot = spark.read.parquet(snapDir)
+      .select("user_id", "event_id", "event_type")
+    val batch = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      EventsStream.withEventTime(graft.Tables.events(spark, dir))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)))
+        .filter(col("__rn") === 1)
+        .select("user_id", "event_id", "event_type")
+    }
+    assert(norm(snapshot) == norm(batch))
+    assert(snapshot.count() > 0)
+  }
 }
