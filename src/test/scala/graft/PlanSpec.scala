@@ -123,6 +123,11 @@ class PlanSpec extends SparkSpec {
     // x2: block self-join shares the (prefix, n_grams) shingle exchange
     val x2 = finalPlan("x2_ngram_jaccard")
     assert("ReusedExchange".r.findAllIn(x2).length >= 1, x2)
+    // x5: bucket self-join must sort-merge (never broadcast the corpus)
+    // and reuse the signature-projection exchange
+    val x5 = finalPlan("x5_embedding_near_dup")
+    assert(!x5.contains("BroadcastExchange"), x5)
+    assert("ReusedExchange".r.findAllIn(x5).length >= 1, x5)
   }
 
   test("knn graph never broadcasts the corpus; banding computed once") {
