@@ -32,6 +32,58 @@ object Integrity {
       .join(pSide, col(childKey) === col("__pk"), "left_anti")
   }
 
+  /** FK violations via Bloom-filter reductions on BOTH sides — the
+    * shape for parents too large to broadcast exactly. [[fkViolations]]
+    * broadcasts the parent key set; at corpus scale (1e9+ distinct
+    * parent keys) that either OOMs or forces a full two-sided sort-merge
+    * anti join. This variant (long-typed keys; hash string keys to
+    * xxhash64 longs on both sides first):
+    *
+    *  1. PARENT bloom (≈170 MB at 1e8 keys / 1% fpp — broadcastable
+    *     where the exact key set is not) splits the child scan-side:
+    *     `might_contain = false` is a CERTAIN violation (no false
+    *     negatives), emitted without touching any join. Only the
+    *     `maybe` rows continue.
+    *  2. CHILD bloom prunes the PARENT to keys some child row might
+    *     reference — the classic bloom semi-join reduction. False
+    *     positives only KEEP extra parent rows, never drop a referenced
+    *     key, so the anti join's answer is unchanged while its build
+    *     side shrinks from |parent| to ≈|referenced| + fpp·|parent| —
+    *     usually back under the broadcast threshold.
+    *  3. The residual anti join (`maybe` vs pruned parent) removes the
+    *     parent-bloom false positives.
+    *
+    * Result is EXACTLY [[fkViolations]] (spec-asserted, incl. planted
+    * violations); only the data movement changes. Both predicates use
+    * Spark's native codegen'd BloomFilterMightContain — the serialized
+    * filter rides the plan as a binary literal, no UDF in the scan. */
+  def fkViolationsBloom(child: DataFrame, childKey: String,
+                        parent: DataFrame, parentKey: String,
+                        expectedKeys: Long = 1000000L,
+                        fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    def bloomPredicate(df: DataFrame, key: String): Column => Column = {
+      val bloom = df.stat.bloomFilter(key, expectedKeys, fpp)
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      val bytes = out.toByteArray
+      df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_might_contain",
+        exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+      v => call_function("graft_might_contain", lit(bytes), v.cast("long"))
+    }
+    val notNull = child.filter(col(childKey).isNotNull)
+    val inParentBloom = bloomPredicate(parent, parentKey)
+    val certain = notNull.filter(!inParentBloom(col(childKey)))
+    val maybe = notNull.filter(inParentBloom(col(childKey)))
+    val inChildBloom = bloomPredicate(notNull, childKey)
+    val parentPruned = parent.select(col(parentKey).as("__pk"))
+      .filter(inChildBloom(col("__pk")))
+    maybe.join(parentPruned, col(childKey) === col("__pk"), "left_anti")
+      .unionByName(certain)
+  }
+
   /** One summary row per declared FK: (fk_name, child_key, n_violations).
     *
     * All FKs are checked in ONE Spark job AND one scan per distinct child

@@ -222,6 +222,17 @@ object WarehouseQueries {
         .select(col("investment_id"), col("funded_object_id"))
         .orderBy(col("investment_id"))
     },
+    // bloom-reduced FK check (the huge-parent shape): planted orphans
+    // (every 97th order points at a nonexistent customer) must surface
+    // EXACTLY as in the plain anti join the oracle runs.
+    "ri2_fk_violations_bloom" -> { (s, d) =>
+      val staged = orders(s, d).select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("cust_fk"))
+      graft.operators.Integrity.fkViolationsBloom(
+        staged, "cust_fk", customer(s, d), "c_custkey")
+        .orderBy(col("o_orderkey"))
+    },
     "fct_acquisition_build" -> { (s, d) =>
       // dd_acquisition_id collides when (l_orderkey, l_linenumber) repeats
       // in the synthetic lineitem — extend the sort to all non-null cols.
@@ -370,6 +381,17 @@ object WarehouseQueries {
          |JOIN dim_company_keyed c ON rel.relationship_object_id = c.nk_company_id
          |ORDER BY sk_people_id, sk_company_id, relationship_start_at,
          |  title NULLS FIRST, is_past NULLS FIRST, relationship_end_at NULLS FIRST""".stripMargin,
+
+    "ri2_fk_violations_bloom" ->
+      """WITH staged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS cust_fk
+        |  FROM orders)
+        |SELECT o_orderkey, cust_fk FROM staged
+        |WHERE cust_fk IS NOT NULL
+        |  AND cust_fk NOT IN (SELECT c_custkey FROM customer)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "ri1_fk_violations" ->
       s"""WITH $dimCompanySql,

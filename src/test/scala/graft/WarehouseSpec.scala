@@ -74,6 +74,26 @@ class WarehouseSpec extends SparkSpec {
     assert(got(2).isNullAt(got(2).fieldIndex("funding_round_type")))
   }
 
+  test("Integrity: bloom-reduced FK check equals the exact anti join") {
+    import graft.operators.Integrity
+    // 10k child rows over 1k parent keys with ~1% planted orphans
+    val parent = (1L to 1000L).map(i => (i, s"p$i")).toDF("pk", "pname")
+    val child = (1L to 10000L).map { i =>
+      (i, if (i % 101 == 0) 5000L + i else (i % 1000L) + 1L)
+    }.toDF("id", "fk")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val exact = ids(Integrity.fkViolations(child, "fk", parent, "pk"))
+    assert(exact.nonEmpty)
+    val bloom = ids(Integrity.fkViolationsBloom(child, "fk", parent, "pk"))
+    assert(bloom == exact)
+    // adversarial: tiny capacity -> high false-positive rate; the exact
+    // residual join must still remove every FP (result unchanged)
+    val noisy = ids(Integrity.fkViolationsBloom(child, "fk", parent, "pk",
+      expectedKeys = 10L, fpp = 0.5))
+    assert(noisy == exact)
+  }
+
   test("Integrity: FK violations and summary report") {
     import graft.operators.Integrity
     val parent = Seq(("c:1", 1), ("c:2", 2)).toDF("nk", "sk")
