@@ -82,6 +82,26 @@ class DatasetSpec extends SparkSpec {
       (3L, 8L, 1L, 2L), (4L, 12L, 2L, 0L)))
   }
 
+  test("packSequences: single-partition shuffles carry only per-range totals") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val in = (1L to 5000L).map(i => (i, (i % 13).toInt + 1)).toDF("id", "toks")
+      val df = Packing.packSequences(in, "toks", "id", 64L, partitions = 8)
+      assert(df.count() == 5000)
+      val singles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      assert(singles.nonEmpty, "expected the offset-window single-partition shuffle")
+      singles.foreach { e =>
+        val written = e.metrics("shuffleRecordsWritten").value
+        assert(written <= 8,
+          s"single-partition shuffle moved $written rows — data-sized, not the per-range totals")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("packSequences is partition-count independent") {
     val in = (1L to 1000L).map(i => (i, (i % 17).toInt + 1)).toDF("id", "toks")
     val a = Packing.packSequences(in, "toks", "id", 64L, partitions = 1)
