@@ -34,6 +34,40 @@ object Dedup {
       .select(col(idCol).as("drop_id"), col(textCol))
   }
 
+  // ---- pair lists -> clusters --------------------------------------------
+
+  /** Connected components over an undirected pair list — the step that
+    * turns every near-dup PAIR output above into actionable CLUSTERS
+    * (keep `cluster_id == id`, drop the rest, and a dup group collapses
+    * to its smallest id deterministically).
+    *
+    * Min-label propagation: every node starts labeled with itself; each
+    * iteration every node takes the min of its own and its neighbors'
+    * labels. Converges in `diameter` iterations — near-dup clusters are
+    * clique-ish (diameter 1-2), so the default bound is generous; raise
+    * it for chain-shaped graphs (spec covers a 6-node path). Each
+    * iteration is one shuffle join + partial-aggregated min — no
+    * driver-side iteration state, no collect; label monotonicity makes
+    * extra iterations harmless (idempotent at fixpoint).
+    *
+    * Output: (id, cluster_id) for every id that appears in `pairs`. */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+                 maxIters: Int = 6): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to maxIters) {
+      val nbMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("__nb"))
+      labels = labels.join(nbMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__nb"), col("label"))).as("label"))
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   // ---- n-gram Jaccard ----------------------------------------------------
 
   /** Distinct word n-gram shingles of a text column.

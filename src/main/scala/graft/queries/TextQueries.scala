@@ -103,6 +103,16 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // pair list -> clusters: components over the x3 pairs; canonical
+    // doc per dup group = min id (deterministic keep-one policy).
+    "x6_dup_clusters" -> { (s, d) =>
+      val pairs = Dedup.minhashLshPairs(nearDupCorpus(s, d), "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+      Dedup.components(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash near-dup pairs — 64-bit signatures, 7 bands so recall at
     // hamming <= 6 is pigeonhole-EXACT (no LSH luck in the gate result).
     "x4_simhash" -> { (s, d) =>
@@ -147,6 +157,43 @@ object TextQueries {
        |     THEN CAST(len(list_filter($toksSql,
        |       t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
        |       / len($toksSql) ELSE 0.0 END - 0.3)) * 0.3""".stripMargin
+
+  /** Full x3 pair derivation in DuckDB (no final ORDER BY — reusable as
+    * a CTE body by x6's component closure). */
+  private lazy val minhashPairsSql: String = {
+    val params = graft.operators.Dedup.hashParams(128)
+    val prime = graft.operators.Dedup.MinhashPrime
+    val lanes = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $prime) AS m$i"
+    }.mkString(", ")
+    val bandsSql = (0 until 16).map { b =>
+      val cols = (0 until 8).map(r => s"m${b * 8 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH h32 AS (
+       |  SELECT doc_id, h FROM read_parquet('__AUX__/x3_gram_h32/*.parquet')),
+       |g64 AS (
+       |  SELECT DISTINCT doc_id, g FROM read_parquet('__AUX__/x3_gram_h64/*.parquet')),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM g64 GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $lanes FROM h32 GROUP BY doc_id),
+       |banded AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN g64 ga ON ga.doc_id = c.id_a
+       |  JOIN g64 gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT i.id_a, i.id_b,
+       |  CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard_sim
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.id_a
+       |JOIN sizes sb ON sb.doc_id = i.id_b
+       |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.6""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "cur1_curation_pipeline" ->
@@ -227,41 +274,24 @@ object TextQueries {
     // x3: full minhash→band→bucket-join→jaccard-verify pipeline in
     // DuckDB over Spark-dumped shingle hashes — the 128-lane family,
     // 16×8 banding, candidate join, and threshold all cross-checked.
-    "x3_minhash_lsh" -> {
-      val params = graft.operators.Dedup.hashParams(128)
-      val prime = graft.operators.Dedup.MinhashPrime
-      val lanes = params.zipWithIndex.map { case ((a, b), i) =>
-        s"min((h * $a + $b) % $prime) AS m$i"
-      }.mkString(", ")
-      val bandsSql = (0 until 16).map { b =>
-        val cols = (0 until 8).map(r => s"m${b * 8 + r}").mkString(", ")
-        s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM sigs"
-      }.mkString(" UNION ALL ")
-      s"""WITH h32 AS (
-         |  SELECT doc_id, h FROM read_parquet('__AUX__/x3_gram_h32/*.parquet')),
-         |g64 AS (
-         |  SELECT DISTINCT doc_id, g FROM read_parquet('__AUX__/x3_gram_h64/*.parquet')),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM g64 GROUP BY doc_id),
-         |sigs AS (SELECT doc_id, $lanes FROM h32 GROUP BY doc_id),
-         |banded AS ($bandsSql),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS i
-         |  FROM cand c
-         |  JOIN g64 ga ON ga.doc_id = c.id_a
-         |  JOIN g64 gb ON gb.doc_id = c.id_b AND gb.g = ga.g
-         |  GROUP BY c.id_a, c.id_b)
-         |SELECT i.id_a, i.id_b,
-         |  CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard_sim
-         |FROM inter i
-         |JOIN sizes sa ON sa.doc_id = i.id_a
-         |JOIN sizes sb ON sb.doc_id = i.id_b
-         |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.6
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "x3_minhash_lsh" -> s"$minhashPairsSql\nORDER BY id_a, id_b",
+
+    // x6: connected components over the x3 pair list — the oracle closes
+    // the SAME pairs transitively (recursive CTE; labels = min reachable
+    // id), so a wrong/unconverged Spark label propagation hash-fails.
+    "x6_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
 
     // x4: 64-bit simhash bit votes, 7-band blocking, hamming verify in
     // DuckDB over Spark-dumped token hashes.

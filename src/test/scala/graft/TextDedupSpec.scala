@@ -100,4 +100,21 @@ class TextDedupSpec extends SparkSpec {
       Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.0).select("id_a", "id_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ++ lsh))
   }
+
+  test("components: chains, cliques, and isolated pairs converge to min labels") {
+    import graft.operators.Dedup
+    // chain 1-2-3-4-5-6 (diameter 5, needs multi-hop propagation),
+    // clique {10,11,12}, isolated pair {20,21}
+    val pairs = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L),
+      (10L,11L),(10L,12L),(11L,12L),(20L,21L)).toDF("id_a","id_b")
+    val got = Dedup.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(got(_) == 1L), got)
+    assert(Seq(10L,11L,12L).forall(got(_) == 10L), got)
+    assert(Seq(20L,21L).forall(got(_) == 20L), got)
+    // under-iterated propagation must NOT silently converge on the chain
+    val shallow = Dedup.components(pairs, "id_a", "id_b", maxIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shallow(6L) != 1L, "2 iterations cannot close a diameter-5 chain (guards the iteration bound's meaning)")
+  }
 }
