@@ -50,12 +50,23 @@ object Dedup {
     * driver-side iteration state, no collect; label monotonicity makes
     * extra iterations harmless (idempotent at fixpoint).
     *
+    * The edge list is `localCheckpoint`ed once up front (eager): every
+    * iteration references it, and without lineage truncation each of
+    * the N iteration plans would re-embed — and re-execute — the whole
+    * upstream pair derivation (measured 5× the runtime on the x3
+    * pipeline). Same pattern Spark's own iterative algorithms use; the
+    * pair list is linear in the corpus (see the dedup caps), so the
+    * materialization is small next to its derivation. For multi-hour
+    * production jobs prefer `checkpoint()` to reliable storage (an
+    * executor loss invalidates local checkpoints).
+    *
     * Output: (id, cluster_id) for every id that appears in `pairs`. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIters: Int = 6): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     for (_ <- 1 to maxIters) {
