@@ -54,15 +54,33 @@ object Integrity {
     *     parent-bloom false positives.
     *
     * Result is EXACTLY [[fkViolations]] (spec-asserted, incl. planted
-    * violations); only the data movement changes. Both predicates use
-    * Spark's native codegen'd BloomFilterMightContain — the serialized
-    * filter rides the plan as a binary literal, no UDF in the scan. */
+    * violations and NULL child keys — both variants filter NULLs out, per
+    * SQL FK semantics); only the data movement changes. Both predicates
+    * use Spark's native codegen'd BloomFilterMightContain — the serialized
+    * filter rides the plan as a binary literal, no UDF in the scan.
+    *
+    * Keys MUST be integral (byte/short/int/long): the bloom probe casts
+    * to long, and a non-numeric string key would cast to NULL and make
+    * every row silently vanish from the result. Guarded with a fail-fast
+    * `require` on BOTH key columns — hash string keys to xxhash64 longs
+    * on both sides first. */
   def fkViolationsBloom(child: DataFrame, childKey: String,
                         parent: DataFrame, parentKey: String,
                         expectedKeys: Long = 1000000L,
                         fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def requireIntegral(df: DataFrame, key: String, side: String): Unit = {
+      val dt = df.schema(key).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"fkViolationsBloom: $side key '$key' must be an integral type " +
+          s"(got ${dt.simpleString}) — a non-integral key would cast to NULL in " +
+          "the bloom probe and silently drop every row; hash string keys to " +
+          "xxhash64 longs on both sides first")
+    }
+    requireIntegral(child, childKey, "child")
+    requireIntegral(parent, parentKey, "parent")
     def bloomPredicate(df: DataFrame, key: String): Column => Column = {
       val bloom = df.stat.bloomFilter(key, expectedKeys, fpp)
       val out = new java.io.ByteArrayOutputStream()

@@ -129,41 +129,65 @@ object Similarity {
     * Construction:
     *  1. L hyperplane tables band every vector to (t, bucket) — ids
     *     only downstream; vectors never ride a wide shuffle.
-    *  2. Hub-bucket cap: within each (t, bucket) only the
-    *     `maxBucketSize` smallest ids stay (deterministic), so a hot
-    *     bucket (near-constant-sign region of the corpus) contributes
-    *     O(cap²) candidate pairs instead of |bucket|² — same bounding
-    *     idea as [[Dedup.ngramJaccardPairs]]'s block cap. The ranking
-    *     window needs exactly the (t, bucket) hash partitioning the
-    *     self-join needs, so the cap costs no extra exchange.
-    *  3. Banded SORT-MERGE self-join (never broadcast): both sides are
-    *     the identical exchange subtree, so the second is a
-    *     ReusedExchange and banding is computed once.
+    *  2. Hub-bucket cap on the NEIGHBOR side only: within each
+    *     (t, bucket) only the `maxBucketSize` smallest ids stay as
+    *     candidate NEIGHBORS (deterministic). The QUERY side is
+    *     uncapped — every id's own banding row is exempt, so every id
+    *     queries its buckets' survivors and full query coverage holds
+    *     even inside a hot bucket. Candidate volume per bucket is
+    *     |bucket|·cap instead of |bucket|² — Σ over buckets ≤ n·L·cap,
+    *     LINEAR in the corpus (the capped-both-sides Σ cap² bound is
+    *     smaller, but silently drops capped-out ids from the output —
+    *     a violated contract, not a saving). The ranking window needs
+    *     exactly the (t, bucket) hash partitioning the self-join needs,
+    *     so the cap costs no extra exchange.
+    *  3. Banded SORT-MERGE self-join (never broadcast): both legs read
+    *     the identical banding exchange subtree (the cap's window sits
+    *     ABOVE it), so the second leg is a ReusedExchange and banding
+    *     is computed once.
     *  4. Candidate distinct on the two ids, then vectors re-attach via
     *     two merge joins on id — again one exchange + one reuse.
     *  5. Exact cosine ranks per query; `row_number` keeps top-k.
     *
+    * An id can still be absent from `query_id` only when LSH gives it no
+    * candidate at all (alone in every bucket it lands in) — inherent to
+    * any LSH scheme, independent of the cap.
+    *
     * Expected cost at corpus scale: O(n·L) banding rows (ids only),
-    * candidate volume bounded by Σ_buckets cap², and exactly ONE
-    * corpus-wide (id, vector) exchange for the re-attach — computed
-    * once, ReusedExchange on the second leg. That single vector shuffle
-    * is inherent to all-docs-as-queries (every vector must meet its
+    * candidate volume ≤ n·L·cap, and exactly ONE corpus-wide
+    * (id, vector) exchange for the re-attach — computed once,
+    * ReusedExchange on the second leg. That single vector shuffle is
+    * inherent to all-docs-as-queries (every vector must meet its
     * candidate list); everything else moves (long, long) pairs. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int = 10,
                planes: Int = 6, tables: Int = 8,
                maxBucketSize: Int = 256): DataFrame = {
-    val base = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    // null ids are dropped EXPLICITLY (meaningless in a knn graph):
+    // downstream joins infer isnotnull on the query leg but can't push
+    // it through the cap's window on the neighbor leg — filtering here
+    // keeps both legs' scan subtrees identical so the exchange is reused
+    val base = emb.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     val capW = Window.partitionBy(col("t"), col("bucket")).orderBy(col("id"))
+    // one EXPLICIT (t, bucket) repartition both join legs hang off: the
+    // cap's window sits ABOVE it, so the query leg, the window, and the
+    // sort-merge join all consume the same exchange (ReusedExchange) and
+    // the signature computation runs exactly once. (Leaving Spark to
+    // plan the shuffles instead would push a partial WindowGroupLimit
+    // BELOW the neighbor leg's exchange — the two subtrees then differ,
+    // nothing is reused, and banding is computed twice.)
     val banded = base.select(col("id"),
       posexplode(array((0 until tables).map(t =>
         hyperplaneSignature(col("v"), planes, t)): _*)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+      .repartition(col("t"), col("bucket"))
+    val capped = banded
       .withColumn("__rn", row_number().over(capW))
       .filter(col("__rn") <= maxBucketSize)
       .select("id", "t", "bucket")
     val candidates = banded.select(col("id").as("query_id"), col("t"), col("bucket"))
       .hint("merge")
-      .join(banded.select(col("id").as("neighbor_id"), col("t"), col("bucket")),
+      .join(capped.select(col("id").as("neighbor_id"), col("t"), col("bucket")),
         Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()

@@ -146,6 +146,8 @@ object SimilarityQueries {
 
     // y3: same code-generated hyperplanes; the hub-bucket cap is the
     // identical row_number-by-id window, so capping is cross-checked too.
+    // Query leg is UNCAPPED (every id queries its bucket's survivors);
+    // only the neighbor leg is capped — mirrors Similarity.knnGraph.
     "y3_knn_graph" -> {
       val banded = (0 until 4).map(t =>
         s"SELECT vec_id, $t AS t, ${sqlSignature("v", 4, t)} AS bucket FROM base")
@@ -159,7 +161,7 @@ object SimilarityQueries {
          |capped AS (SELECT vec_id, t, bucket FROM banded WHERE rn <= 64),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-         |  FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
+         |  FROM banded0 a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
          |  WHERE a.vec_id <> b.vec_id),
          |scored AS (
          |  SELECT c.query_id, c.neighbor_id, ${sqlCosine("q.v", "n.v")} AS cs

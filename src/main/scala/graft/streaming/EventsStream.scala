@@ -122,10 +122,19 @@ object EventsStream {
     * restarts can't change the snapshot — StreamingSpec asserts
     * multi-batch == single-batch == batch parity.
     *
-    * Snapshot swap is write-new-then-rename on the filesystem (the
+    * Snapshot swap is write-new-then-RENAME-ASIDE on the filesystem (the
     * minimal dependency-free form; a production deployment would swap a
     * table pointer in a metastore / table format instead — same merge
-    * semantics, different commit protocol). */
+    * semantics, different commit protocol). The swap never holds the
+    * snapshot in a deleted state: `snap` is renamed to `snap__old`
+    * BEFORE `tmp` takes its place, so a crash at any point leaves either
+    * the old or the new directory recoverable — [[recoverSnapshot]]
+    * (called at the top of every batch) renames a stranded `__old` back.
+    * Every `fs.rename` result is checked; a batch that cannot complete
+    * the swap fails loudly instead of committing its checkpoint. A
+    * missing snapshot with `batchId > 0` (checkpoint says prior batches
+    * committed) also fails loudly rather than silently rebuilding state
+    * from one micro-batch. */
   def upsertSnapshotSink(stream: DataFrame, keyCols: Seq[String],
                          versionCol: String, snapshotDir: String,
                          checkpointDir: String,
@@ -138,6 +147,11 @@ object EventsStream {
         val hconf = spark.sparkContext.hadoopConfiguration
         val snap = new org.apache.hadoop.fs.Path(snapshotDir)
         val fs = snap.getFileSystem(hconf)
+        recoverSnapshot(fs, snap)
+        if (batchId > 0 && !fs.exists(snap))
+          sys.error(s"upsertSnapshotSink: checkpoint is at batch $batchId but " +
+            s"snapshot $snap is missing (and no __old to recover) — refusing to " +
+            "silently rebuild state from a single micro-batch")
         val merged =
           if (fs.exists(snap))
             graft.sources.JdbcUpsert.mergeByKey(
@@ -151,11 +165,37 @@ object EventsStream {
         // and swap — never overwrite a path that feeds the running plan
         val tmp = new org.apache.hadoop.fs.Path(snapshotDir + s"__b$batchId")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(snap)) fs.delete(snap, true)
-        fs.rename(tmp, snap)
+        val old = oldPath(snap)
+        if (fs.exists(snap) && !fs.rename(snap, old))
+          sys.error(s"upsertSnapshotSink: rename-aside $snap -> $old failed")
+        if (!fs.rename(tmp, snap)) {
+          // put the old snapshot back before failing, if it moved
+          if (fs.exists(old)) fs.rename(old, snap)
+          sys.error(s"upsertSnapshotSink: swap $tmp -> $snap failed")
+        }
+        if (fs.exists(old)) fs.delete(old, true)
         ()
       }
       .start()
+
+  private def oldPath(snap: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(snap.toString + "__old")
+
+  /** Crash recovery for [[upsertSnapshotSink]]'s rename-aside swap: if a
+    * crash landed between `snap -> snap__old` and `tmp -> snap`, the live
+    * snapshot is the stranded `__old` — rename it back. If BOTH exist the
+    * crash was after the new snapshot took its place; the `__old` is just
+    * leftover garbage and is deleted. Idempotent, no-op in steady state. */
+  def recoverSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+                      snap: org.apache.hadoop.fs.Path): Unit = {
+    val old = oldPath(snap)
+    if (fs.exists(old)) {
+      if (!fs.exists(snap)) {
+        if (!fs.rename(old, snap))
+          sys.error(s"upsertSnapshotSink: recovery rename $old -> $snap failed")
+      } else fs.delete(old, true)
+    }
+  }
 
   /** Run a streaming transform over `dir` with Trigger.AvailableNow into
     * an in-memory table; returns the final result. Used by specs to

@@ -92,20 +92,22 @@ class SimilaritySpec extends SparkSpec {
     assert(twinned == n, s"twin at rank 1 for $twinned/$n queries")
   }
 
-  test("knnGraph caps hub buckets deterministically") {
+  test("knnGraph caps hub buckets but keeps every id as a query") {
     // 40 identical vectors all land in the same bucket in every table;
-    // cap=8 must bound each id's candidates to the 8 smallest ids
-    // (minus self), independent of partitioning.
+    // cap=8 bounds each id's candidate NEIGHBORS to the 8 smallest ids
+    // (minus self), but the query leg is uncapped — ALL 40 ids must
+    // appear as query_id (the round-4 advice contract: the hub cap may
+    // not evict a vector from the output entirely).
     val same = (0L until 40L).map(i => (i, Seq.fill(64)(1.0f))).toDF("vec_id", "embedding")
     val got = Similarity.knnGraph(same, "vec_id", "embedding",
       k = 39, planes = 4, tables = 2, maxBucketSize = 8)
     val byQuery = got.select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-    // only the 8 smallest ids survive banding -> queries are 0..7 and
-    // each sees the other 7 capped ids
-    assert(byQuery.keySet == (0L until 8L).toSet, byQuery.keySet.toSeq.sorted)
+    assert(byQuery.keySet == (0L until 40L).toSet,
+      s"every id must query its bucket's survivors: ${byQuery.keySet.size}/40")
     byQuery.foreach { case (q, nbs) =>
-      assert(nbs.map(_._2).toSet == (0L until 8L).toSet - q) }
+      assert(nbs.map(_._2).toSet == (0L until 8L).toSet - q,
+        s"neighbors of $q must be the capped survivors minus self") }
   }
 
   test("multimodal decode: checksum over bytes, batch independence") {

@@ -85,4 +85,61 @@ class StreamingSpec extends SparkSpec {
     assert(norm(snapshot) == norm(batch))
     assert(snapshot.count() > 0)
   }
+
+  test("snapshot swap: rename-aside recovery covers every crash window") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val root = java.nio.file.Files.createTempDirectory("swap").toString
+    val snap = new Path(root + "/current")
+    val old = new Path(root + "/current__old")
+    def mk(p: Path, tag: String): Unit = {
+      fs.mkdirs(p); val o = fs.create(new Path(p, "part")); o.writeUTF(tag); o.close()
+    }
+    def tag(p: Path): String = {
+      val i = fs.open(new Path(p, "part")); val t = i.readUTF(); i.close(); t
+    }
+    // crash BETWEEN snap->old and tmp->snap: only __old exists — the
+    // live snapshot must come back
+    mk(old, "v1")
+    EventsStream.recoverSnapshot(fs, snap)
+    assert(fs.exists(snap) && !fs.exists(old) && tag(snap) == "v1")
+    // crash AFTER tmp->snap but before delete(__old): new snapshot wins,
+    // stale __old is garbage-collected
+    mk(old, "v1-stale")
+    EventsStream.recoverSnapshot(fs, snap)
+    assert(tag(snap) == "v1" && !fs.exists(old))
+    // steady state: no-op
+    EventsStream.recoverSnapshot(fs, snap)
+    assert(tag(snap) == "v1")
+  }
+
+  test("snapshot sink fails loudly when checkpoint outruns a deleted snapshot") {
+    // checkpoint says batch 0 committed; snapshot vanished out-of-band ->
+    // the next batch must refuse to rebuild state from one micro-batch
+    val src = java.nio.file.Files.createTempDirectory("events_inc").toString
+    graft.Tables.events(spark, dir).limit(100).write.mode("overwrite")
+      .parquet(src + "/f1")
+    val snapDir = java.nio.file.Files.createTempDirectory("snap2").toString + "/current"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt2").toString
+    def run() = {
+      val q = EventsStream.upsertSnapshotSink(
+        spark.readStream.schema(graft.Tables.events(spark, dir).schema)
+          .option("recursiveFileLookup", "true").parquet(src),
+        keyCols = Seq("user_id"), versionCol = "event_id",
+        snapshotDir = snapDir, checkpointDir = ckpt)
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(snapDir).count() > 0)
+    // delete the snapshot out-of-band, add new data, restart (batchId=1)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(snapDir), true)
+    graft.Tables.events(spark, dir).limit(50).write.mode("overwrite")
+      .parquet(src + "/f2")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+    assert(e.getMessage.contains("refusing") ||
+      Option(e.getCause).exists(_.getMessage.contains("refusing")), e.getMessage)
+  }
 }

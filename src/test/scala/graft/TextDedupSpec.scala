@@ -112,9 +112,23 @@ class TextDedupSpec extends SparkSpec {
     assert((1L to 6L).forall(got(_) == 1L), got)
     assert(Seq(10L,11L,12L).forall(got(_) == 10L), got)
     assert(Seq(20L,21L).forall(got(_) == 20L), got)
-    // under-iterated propagation must NOT silently converge on the chain
-    val shallow = Dedup.components(pairs, "id_a", "id_b", maxIters = 2)
+    // a diameter > maxIters graph must FAIL LOUDLY, never return split
+    // clusters (round-4 advice: no silent non-convergence)
+    val e = intercept[IllegalStateException] {
+      Dedup.components(pairs, "id_a", "id_b", maxIters = 2)
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
+
+  test("components: early exit stops at the fixpoint, not at maxIters") {
+    import graft.operators.Dedup
+    // a clique converges in 1 propagation + 1 confirming pass; a huge
+    // maxIters must not change the answer or run extra passes' worth of
+    // cost — we can only observe the ANSWER here, the early exit itself
+    // is the while-loop's converged flag
+    val pairs = Seq((10L, 11L), (10L, 12L), (11L, 12L)).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs, "id_a", "id_b", maxIters = 1000)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(shallow(6L) != 1L, "2 iterations cannot close a diameter-5 chain (guards the iteration bound's meaning)")
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L), got)
   }
 }

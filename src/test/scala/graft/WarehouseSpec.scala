@@ -94,6 +94,28 @@ class WarehouseSpec extends SparkSpec {
     assert(noisy == exact)
   }
 
+  test("Integrity: bloom variant matches exact on NULL keys, rejects non-integral keys") {
+    import graft.operators.Integrity
+    // NULL child keys are not violations (SQL FK semantics) in EITHER
+    // variant — round-4 advice asked for proven parity here
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(99L), None, None).toDF("fk")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("fk").collect().map(_.getLong(0)).sorted.toSeq
+    val exact = ids(Integrity.fkViolations(child, "fk", parent, "pk"))
+    val bloom = ids(Integrity.fkViolationsBloom(child, "fk", parent, "pk"))
+    assert(exact == Seq(99L), exact)
+    assert(bloom == exact)
+    // a string key would cast("long") -> NULL in the bloom probe and
+    // silently drop every row — must fail fast instead
+    val sParent = Seq("a", "b").toDF("pk")
+    val sChild = Seq("a", "z").toDF("fk")
+    val e = intercept[IllegalArgumentException] {
+      Integrity.fkViolationsBloom(sChild, "fk", sParent, "pk")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("Integrity: FK violations and summary report") {
     import graft.operators.Integrity
     val parent = Seq(("c:1", 1), ("c:2", 2)).toDF("nk", "sk")
