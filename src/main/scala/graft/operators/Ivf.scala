@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate-nearest-neighbor over an embedding
+  * column — the classic coarse-quantizer scale path (FAISS IVF-Flat
+  * shape) complementing [[Similarity.lshTopK]]:
+  *
+  *  1. a SMALL set of centroids partitions the corpus into C inverted
+  *     lists (cluster assignment);
+  *  2. a query probes only its `nprobe` nearest centroids' lists;
+  *  3. exact cosine ranks the candidates (n·nprobe/C of the corpus).
+  *
+  * Scale design: the quantizer is tiny BY CONSTRUCTION (C vectors, e.g.
+  * 2^10-2^16 at corpus scale), so the centroids live on the driver and
+  * ride into the plan as LITERAL arrays. Assignment and probe-selection
+  * are then pure map-side expressions — codegen'd, no UDF, and the
+  * corpus NEVER shuffles: candidate selection is a broadcast join of
+  * (query, probed-centroid) pairs against the assigned corpus, and only
+  * scored candidate rows reach the top-k window's exchange. Training
+  * (optional Lloyd refinement) aggregates per-component means
+  * DISTRIBUTED (groupBy cluster, component) and collects only C·dim
+  * values back — never the data.
+  *
+  * Ranking vs a fixed row's vector v uses `dot(v, c) / |c|` with |c| a
+  * precomputed literal: for fixed v this orders identically to cosine
+  * (|v| > 0 is a common positive factor; |v| = 0 scores every centroid
+  * 0 either way) and avoids re-deriving norm(v) once per centroid lane
+  * (Spark does no subexpression elimination across array/struct lanes).
+  * The final candidate scoring is full cosine.
+  *
+  * Seeds are a deterministic modulo-spread sample (`vec_id % stride ==
+  * 0`, smallest C) — SQL-expressible, so the whole lloydIters=0 path is
+  * cross-checked end-to-end by the DuckDB oracle; Lloyd refinement is
+  * float-order sensitive (Spark's avg is partition-order dependent in
+  * the last ulp) and is therefore covered by property specs, not the
+  * hash gate. */
+object Ivf {
+
+  /** One centroid: id, vector, and its precomputed L2 norm. */
+  final case class Centroid(cid: Int, v: Seq[Double], norm: Double)
+
+  private def mkCentroid(cid: Int, v: Seq[Double]): Centroid =
+    Centroid(cid, v, math.sqrt(v.map(x => x * x).sum))
+
+  /** Deterministic seed centroids: the `c` smallest ids with
+    * `id % stride == 0` (modulo-spread sample of the corpus). Collects
+    * exactly c vectors — the IVF contract is a quantizer that fits the
+    * driver. */
+  def seedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                    c: Int, stride: Long = 7L): Seq[Centroid] = {
+    val rows = emb.filter(col(idCol).isNotNull && col(idCol) % stride === 0)
+      .orderBy(col(idCol))
+      .limit(c)
+      .select(Similarity.toDouble(col(vecCol)).as("v"))
+      .collect()
+    require(rows.nonEmpty, s"seedCentroids: no rows with $idCol % $stride == 0")
+    rows.toSeq.zipWithIndex.map { case (r, i) =>
+      mkCentroid(i, r.getSeq[Double](0))
+    }
+  }
+
+  /** `dot(v, centroid) / |centroid|` — cosine-equivalent ranking score
+    * for a fixed row vector (see object doc). */
+  private def centScore(v: Column, cent: Centroid): Column = {
+    val cv = array(cent.v.map(lit): _*)
+    if (cent.norm > 0) Similarity.dot(v, cv) / lit(cent.norm) else lit(0.0)
+  }
+
+  /** Array of the `n` nearest centroid ids for vector column `v`,
+    * nearest first, ties to the smaller cid — a single codegen'd
+    * expression (array_sort on (−score, cid) structs). */
+  def nearestCids(v: Column, centroids: Seq[Centroid], n: Int): Column = {
+    val entries = centroids.map { c =>
+      struct((-centScore(v, c)).as("negscore"), lit(c.cid).as("cid"))
+    }
+    slice(transform(array_sort(array(entries: _*)), e => e.getField("cid")), 1, n)
+  }
+
+  /** Corpus with its cluster assignment — one map-side expression, no
+    * shuffle, no quantizer join. Output: (id, v, cluster_id). */
+  def assign(emb: DataFrame, idCol: String, vecCol: String,
+             centroids: Seq[Centroid]): DataFrame =
+    emb.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
+      .withColumn("cluster_id", element_at(nearestCids(col("v"), centroids, 1), 1))
+
+  /** Lloyd refinement: `iters` rounds of (map-side assign → distributed
+    * per-component mean → collect C·dim means). An emptied cluster keeps
+    * its previous centroid (standard k-means fallback). */
+  def lloydRefine(emb: DataFrame, idCol: String, vecCol: String,
+                  seeds: Seq[Centroid], iters: Int): Seq[Centroid] = {
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val means = assign(emb, idCol, vecCol, cents)
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map(c => means.get(c.cid) match {
+        case Some(v) => mkCentroid(c.cid, v)
+        case None    => c // emptied cluster: keep previous centroid
+      })
+    }
+    cents
+  }
+
+  /** IVF ANN top-k for a bounded query set: train/seed the quantizer,
+    * assign the corpus map-side, probe `nprobe` lists per query via a
+    * broadcast of (query_id, cluster_id) pairs, rank candidates with
+    * exact cosine. Output: (query_id, rank, neighbor_id, cosine_sim) —
+    * same shape as [[Similarity.bruteForceTopK]] / [[Similarity.lshTopK]].
+    *
+    * Expected scanned fraction per query ≈ nprobe/C of the corpus; the
+    * corpus-side plan is scan → map-side assign → broadcast-hash join →
+    * score, with the ONLY wide exchange carrying already-scored
+    * candidate rows into the per-query top-k window. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int = 10, c: Int = 16,
+              nprobe: Int = 4, lloydIters: Int = 0,
+              stride: Long = 7L): DataFrame = {
+    val seeds = seedCentroids(emb, idCol, vecCol, c, stride)
+    val cents =
+      if (lloydIters > 0) lloydRefine(emb, idCol, vecCol, seeds, lloydIters)
+      else seeds
+    val assigned = assign(emb, idCol, vecCol, cents)
+    val probes = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"),
+        Similarity.toDouble(col(vecCol)).as("q"))
+      .withColumn("cluster_id",
+        explode(nearestCids(col("q"), cents, math.min(nprobe, cents.size))))
+    // a corpus row lives in exactly ONE list and probe cids are distinct
+    // per query, so the join emits each (query, candidate) at most once —
+    // no distinct needed (unlike multi-table LSH)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    assigned
+      .join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cosine_sim", Similarity.cosine(col("q"), col("v")))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine_sim")
+  }
+}

@@ -50,6 +50,15 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // IVF ANN: modulo-spread seed quantizer, map-side assignment,
+    // nprobe inverted lists per query, exact cosine within candidates.
+    "y4_ann_ivf" -> { (s, d) =>
+      graft.operators.Ivf.ivfTopK(embeddings(s, d), "vec_id", "embedding",
+        QueryIds, k = 10, c = 16, nprobe = 4, lloydIters = 0, stride = 7L)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // embedding-cosine near-dup pairs via hyperplane-LSH candidates.
     "x5_embedding_near_dup" -> { (s, d) =>
       Dedup.embeddingCosinePairs(nearDupEmbeddings(s, d), "vec_id", "embedding",
@@ -175,6 +184,47 @@ object SimilarityQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
          |  round(cs, 6) AS cosine_sim
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // y4: the ENTIRE IVF path is mirrored in SQL — seed selection
+    // (vec_id % 7 == 0, smallest 16), cosine-equivalent centroid score
+    // dot(v,c)/|c|, argmax assignment, nprobe probe lists, exact-cosine
+    // ranking — no aux tables, full hash-match.
+    "y4_ann_ivf" -> {
+      val centScore = s"${sqlDot("b.v", "s.cv")} / ${sqlNorm("s.cv")}"
+      s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+         |cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |    v AS cv
+         |  FROM (SELECT vec_id, v FROM base WHERE vec_id % 7 = 0
+         |        ORDER BY vec_id LIMIT 16)),
+         |cscored AS (
+         |  SELECT b.vec_id, s.cid, $centScore AS score
+         |  FROM base b CROSS JOIN cents s),
+         |cranked AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+         |  FROM cscored),
+         |assigned AS (
+         |  SELECT b.vec_id, b.v, r.cid AS cluster_id
+         |  FROM base b JOIN cranked r ON r.vec_id = b.vec_id AND r.rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cluster_id FROM cranked
+         |  WHERE vec_id IN (${QueryIds.mkString(", ")}) AND rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${sqlCosine("q.v", "a.v")} AS cs
+         |  FROM probes p
+         |  JOIN assigned a ON a.cluster_id = p.cluster_id
+         |  JOIN base q ON q.vec_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cs,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |  round(cs, 6) AS cosine_sim
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
     "x5_embedding_near_dup" ->

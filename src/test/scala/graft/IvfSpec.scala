@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, Similarity}
+
+/** IVF ANN specs: exactness at nprobe=c, twin recall at nprobe<c,
+  * Lloyd refinement properties, and the no-corpus-shuffle plan shape. */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = graft.Tables.embeddings(spark, sf)
+
+  test("ivfTopK with nprobe=c is exactly brute force") {
+    // probing every inverted list makes the candidate set the whole
+    // corpus, so IVF must reproduce the exact top-k
+    val qs = Seq(0L, 1L, 2L, 3L)
+    val c = 8
+    val ivf = Ivf.ivfTopK(emb, "vec_id", "embedding", qs, k = 10, c = c,
+      nprobe = c).collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(ivf.sorted == bf.sorted, "nprobe=c must equal brute force")
+  }
+
+  test("ivfTopK finds the planted twin at rank 1 with nprobe<c") {
+    // a positively-scaled twin has cosine 1 to its query, hence the same
+    // argmax centroid — the query's own list is always its first probe,
+    // so the twin can never be missed regardless of nprobe
+    val base = emb.select($"vec_id", Similarity.toDouble($"embedding").as("embedding"))
+    val twin = emb.select(($"vec_id" + 100000L).as("vec_id"),
+      transform(Similarity.toDouble($"embedding"), x => x * 1.001).as("embedding"))
+    val corpus = base.unionByName(twin)
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val top1 = Ivf.ivfTopK(corpus, "vec_id", "embedding", qs, k = 1, c = 16,
+      nprobe = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toMap
+    qs.foreach(q => assert(top1(q) == q + 100000L,
+      s"twin of $q must share its inverted list and rank first"))
+  }
+
+  test("lloydRefine moves centroids to cluster means and separates clusters") {
+    // two tight blobs on orthogonal axes; two seeds, one per blob after
+    // refinement — assignment must split the data exactly by blob
+    val blobA = (0L until 20L).map(i => (i, Seq(10.0 + (i % 3) * 0.1, 0.0)))
+    val blobB = (0L until 20L).map(i => (i + 100L, Seq(0.0, 10.0 + (i % 3) * 0.1)))
+    val df = (blobA ++ blobB).toDF("vec_id", "embedding")
+    // stride 100 seeds from both blobs (ids 0 and 100)
+    val seeds = Ivf.seedCentroids(df, "vec_id", "embedding", c = 2, stride = 100L)
+    assert(seeds.size == 2)
+    val refined = Ivf.lloydRefine(df, "vec_id", "embedding", seeds, iters = 2)
+    val assigned = Ivf.assign(df, "vec_id", "embedding", refined)
+      .select("id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val aClusters = blobA.map(x => assigned(x._1)).toSet
+    val bClusters = blobB.map(x => assigned(x._1)).toSet
+    assert(aClusters.size == 1 && bClusters.size == 1 && aClusters != bClusters,
+      s"blobs must land in distinct single clusters: $aClusters vs $bClusters")
+    // refined centroid of blob A points along x (mean of the blob)
+    val ca = refined(assigned(0L)).v
+    assert(ca(0) > 9.9 && math.abs(ca(1)) < 1e-9, s"centroid A ≈ blob-A mean: $ca")
+  }
+
+  test("lloydRefine keeps the previous centroid for an emptied cluster") {
+    // both seeds come from blob ids 0 and 7 (stride 7); a far-away seed
+    // that captures no points after reassignment must survive unchanged
+    val pts = (0L until 10L).map(i => (i * 7L, Seq(1.0, 0.0)))
+    val df = (pts :+ (9999L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val seeds = Seq(Ivf.Centroid(0, Seq(1.0, 0.0), 1.0),
+      Ivf.Centroid(1, Seq(-1.0, 0.0), 1.0))
+    val refined = Ivf.lloydRefine(df, "vec_id", "embedding", seeds, iters = 1)
+    assert(refined(1).v == Seq(-1.0, 0.0), "emptied cluster keeps its centroid")
+    assert(refined(0).v == Seq(1.0, 0.0), "cluster 0 mean is the blob itself")
+  }
+
+  test("ivfTopK plan: corpus never shuffles pre-join; probes broadcast") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.types.ArrayType
+    val df = Ivf.ivfTopK(emb, "vec_id", "embedding", Seq(0L, 1L), k = 5, c = 8)
+    val root: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val bcasts = root.collect { case e: BroadcastExchangeExec => e }
+    assert(bcasts.nonEmpty, "probe side must broadcast")
+    val shuffles = root.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1,
+      s"exactly the top-k window exchange expected, got ${shuffles.size}")
+    shuffles.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        "the only shuffle must carry scored (query, neighbor, sim) rows, " +
+          "not vectors: " +
+          e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+    }
+  }
+}
