@@ -323,6 +323,55 @@ object Dedup {
     hashRows.groupBy(col("id")).agg(agg(col("h")).as("sig"))
   }
 
+  /** Shared-scan variant of [[minhashLshPairs]]: ONE tokenize+shingle
+    * pass feeds both the signature aggregate and the verify-side shingle
+    * sets — the combined (id, sig, grams) aggregate is materialized via
+    * a LAZY localCheckpoint, so the banded self-join and the two grams
+    * attach legs all read the same computed blocks instead of each
+    * re-deriving the text pipeline (tokenization is the dominant CPU
+    * cost; the plain path runs it twice). grams is collect_set-deduped —
+    * [[jaccard]] is set-based, so the value is unchanged (spec-asserted
+    * identical output). Docs with zero shingles drop out of the exploded
+    * rows, which is output-neutral: they can never be banded candidates,
+    * and grams only re-attaches to candidates.
+    *
+    * The materialization is (id, 128 longs, distinct-gram longs) — the
+    * exact state a production dedup would checkpoint; for multi-hour
+    * jobs prefer `checkpoint()` to reliable storage (executor loss
+    * invalidates local checkpoints). */
+  def minhashLshPairsShared(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
+                            threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val rows = tokenized(df, idCol, textCol).select(col("id"),
+      explode(shinglesFromTokens(col("__toks"), n)).as("g"))
+      .select(col("id"), TextAnalysis.tokenHash32(col("g")).as("h32"),
+        xxhash64(col("g")).as("h64"))
+    val agg = udaf(new MinhashArrayAgg(numHashes, hashParams(numHashes).toArray))
+    val sigGrams = rows.groupBy(col("id"))
+      .agg(agg(col("h32")).as("sig"), collect_set(col("h64")).as("grams"))
+      .localCheckpoint(false)
+    val banded = sigGrams.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumn("bucket", xxhash64(col("band"), col("col").cast("string")))
+      .select("id", "band", "bucket")
+    val candidates = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .hint("merge")
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val grams = sigGrams.select(col("id"), col("grams"))
+    candidates
+      .join(grams.select(col("id").as("id_a"), col("grams").as("grams_a")).hint("merge"), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("grams_b")).hint("merge"), Seq("id_b"))
+      .withColumn("jaccard_sim", jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard_sim") >= threshold)
+      .select("id_a", "id_b", "jaccard_sim")
+  }
+
   /** LSH candidate pairs + exact-Jaccard verification.
     * bands×rowsPerBand hashes; a pair is a candidate if any band of its
     * signatures matches exactly (equality join on (band, bucket-hash)).

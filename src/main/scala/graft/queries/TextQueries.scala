@@ -98,7 +98,7 @@ object TextQueries {
     // MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join;
     // engine-hash-based — rows-only check + recall spec vs exact Jaccard).
     "x3_minhash_lsh" -> { (s, d) =>
-      Dedup.minhashLshPairs(nearDupCorpus(s, d), "doc_id", "text",
+      Dedup.minhashLshPairsShared(nearDupCorpus(s, d), "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -106,7 +106,7 @@ object TextQueries {
     // pair list -> clusters: components over the x3 pairs; canonical
     // doc per dup group = min id (deterministic keep-one policy).
     "x6_dup_clusters" -> { (s, d) =>
-      val pairs = Dedup.minhashLshPairs(nearDupCorpus(s, d), "doc_id", "text",
+      val pairs = Dedup.minhashLshPairsShared(nearDupCorpus(s, d), "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
       Dedup.components(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))

@@ -42,6 +42,9 @@ object X3Probe {
         .select(expr("count(distinct xxhash64(sig))")).collect()(0).getLong(0)
     })
     time("full-x3")(Dedup.minhashLshPairs(df, "doc_id", "text", 3, 16, 8, 0.6).count())
+    time("full-x3-shared")(Dedup.minhashLshPairsShared(df, "doc_id", "text", 3, 16, 8, 0.6).count())
+    time("full-x3-again")(Dedup.minhashLshPairs(df, "doc_id", "text", 3, 16, 8, 0.6).count())
+    time("full-x3-shared-again")(Dedup.minhashLshPairsShared(df, "doc_id", "text", 3, 16, 8, 0.6).count())
     spark.stop()
   }
 }

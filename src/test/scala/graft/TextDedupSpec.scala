@@ -101,6 +101,19 @@ class TextDedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ++ lsh))
   }
 
+  test("shared-scan minhash LSH is row-identical to the plain path") {
+    // the shared variant changes only data movement (one tokenize pass,
+    // checkpointed (id, sig, grams)); pairs AND jaccard doubles must be
+    // bit-identical — collect_set dedup is invisible to set-based jaccard
+    val corpus = graft.queries.TextQueries.nearDupCorpus(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = rows(Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 16, 8, 0.6))
+    val shared = rows(Dedup.minhashLshPairsShared(corpus, "doc_id", "text", 3, 16, 8, 0.6))
+    assert(plain.nonEmpty && shared == plain,
+      s"|plain|=${plain.size} |shared|=${shared.size} diff=${(plain diff shared).take(3)}")
+  }
+
   test("components: chains, cliques, and isolated pairs converge to min labels") {
     import graft.operators.Dedup
     // chain 1-2-3-4-5-6 (diameter 5, needs multi-hop propagation),
