@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Corpus-statistics relevance scoring — TF-IDF term extraction and BM25
+  * document ranking — the quality/relevance layer of a training-data
+  * curation pipeline (keyword profiling, query-anchored filtering).
+  *
+  * Scale design: everything derives from ONE exploded (doc, term) pass
+  * aggregated map-side-combinably to (doc, term, tf) — the corpus text
+  * is never shuffled; the only wide exchanges carry (doc, term, tf)
+  * triples (linear in token count, distinct per doc), the vocabulary
+  * aggregate, and the final per-doc top-k window. Global scalars
+  * (corpus size, average doc length) are 1-row aggregates broadcast
+  * into the scoring projection.
+  *
+  * Float parity: scores use ln(), whose last ulp is library-dependent,
+  * so scores are ROUNDED (6 dp) and every rank/row_number orders by the
+  * ROUNDED value with a deterministic tie-break — rank boundaries can
+  * then never depend on sub-rounding noise between engines. */
+object Ranking {
+
+  /** (doc_id, term, tf): one explode + one hash aggregate (map-side
+    * combinable). Docs with zero tokens vanish (no terms to score). */
+  def termFreqs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Smoothed idf: ln((N+1)/(df+1)) + 1 — strictly positive, so a term
+    * present in every document still scores. */
+  private def idfSmooth(nDocs: Column, dfT: Column): Column =
+    log((nDocs + lit(1.0)) / (dfT + lit(1.0))) + lit(1.0)
+
+  /** Top-k TF-IDF terms per document.
+    * Output: (doc_id, rank, term, tf, df_t, tfidf), tfidf rounded 6 dp,
+    * rank over (tfidf desc, term asc). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    val tf = termFreqs(df, idCol, textCol)
+    // tf rows are distinct per (doc, term), so df_t is a plain count
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * idfSmooth(col("n_docs"), col("df_t")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df_t", "tfidf")
+  }
+
+  /** BM25 top-k documents for a fixed query term set (Robertson/Okapi,
+    * k1/b defaults). Corpus statistics (N, avgdl) are computed over docs
+    * with at least one token — the only docs that can score.
+    * Output: (rank, doc_id, score), score rounded 6 dp, rank over
+    * (score desc, doc_id asc). */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String], k1: Double = 1.2,
+                  b: Double = 0.75, k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopDocs: empty query")
+    val tf = termFreqs(df, idCol, textCol)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val corpus = dl.select(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val matched = tf.filter(col("term").isin(queryTerms: _*))
+    val dft = matched.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val contrib = matched
+      .join(dft, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df_t") + lit(0.5))
+          / (col("df_t") + lit(0.5))))
+      .withColumn("c",
+        col("idf") * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    // top-k via sort+limit (plans as TakeOrderedAndProject — per-partition
+    // top-k then a k-row merge on the driver side of the exchange), NOT a
+    // global row_number window, which would shuffle EVERY doc's score to
+    // one partition; the rank window then runs over k rows only
+    val topk = contrib.groupBy(col("doc_id"))
+      .agg(round(sum(col("c")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    topk.withColumn("rank", row_number().over(w))
+      .select("rank", "doc_id", "score")
+  }
+}

@@ -56,6 +56,19 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // corpus-statistics relevance: top-5 TF-IDF terms per document.
+    "t4_tfidf" -> { (s, d) =>
+      graft.operators.Ranking.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // BM25 top-20 documents for a fixed query term set.
+    "t5_bm25" -> { (s, d) =>
+      graft.operators.Ranking.bm25TopDocs(documents(s, d), "doc_id", "text",
+        Seq("data", "join", "vector", "scan", "window"), k = 20)
+        .orderBy(col("rank"))
+    },
+
     // end-to-end curation: the full training-data flow in one query —
     // language filter -> quality threshold -> exact dedup (canonical id)
     // -> per-language stats of the surviving corpus.
@@ -256,6 +269,56 @@ object TextQueries {
     "x1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // t4/t5: ln()'s last ulp is library-dependent, so scores are rounded
+    // to 6 dp on BOTH sides and ranks order by the ROUNDED value with a
+    // deterministic tie-break. Double constants that the engine computes
+    // (k1+1, 1-b) are written as the same ARITHMETIC in SQL — IEEE +/-
+    // are exactly specified, literals like 2.2 need not parse to the
+    // computed sum's bits.
+    "t4_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, t -> len(t) > 0)) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dft.df_t,
+         |    round(tf.tf * (ln((n.n_docs + 1.0) / (dft.df_t + 1.0)) + 1.0), 6) AS tfidf
+         |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, tf, df_t, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, term ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df_t, tfidf
+         |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "t5_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, t -> len(t) > 0)) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |matched AS (SELECT * FROM tf
+         |  WHERE term IN ('data', 'join', 'vector', 'scan', 'window')),
+         |dft AS (SELECT term, count(*) AS df_t FROM matched GROUP BY 1),
+         |contrib AS (
+         |  SELECT m.doc_id,
+         |    ln(1.0 + (c.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+         |      * (m.tf * (1.2 + 1.0))
+         |      / (m.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / c.avgdl)) AS cc
+         |  FROM matched m JOIN dft d USING (term) JOIN dl l USING (doc_id)
+         |  CROSS JOIN corpus c),
+         |scores AS (SELECT doc_id, round(sum(cc), 6) AS score
+         |  FROM contrib GROUP BY 1),
+         |ranked AS (SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM scores)
+         |SELECT CAST(rank AS INT) AS rank, doc_id, score
+         |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // t3: rolling polynomial fold over Spark-dumped token hashes (see
     // OracleAux — the hash import; the ordered fold is cross-checked).
