@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -66,6 +66,39 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** Audio frame windows: overlapping fixed-size windows with a hop —
+    * the STFT framing an audio feature extractor consumes (e.g. 25 ms
+    * windows / 10 ms hop at some sample rate, expressed in bytes).
+    * FULL windows only: a payload shorter than `winSize` produces no
+    * rows, and the last window starts at the largest multiple of `hop`
+    * with `start + winSize <= n_bytes` (standard STFT convention).
+    *
+    * Pure expressions, no UDF and no kernel: window geometry is
+    * arithmetic over octet_length, and the boundary content bytes are
+    * extracted from the BINARY payload via substring→hex→conv (works on
+    * arbitrary bytes, not just text payloads — spec covers 0x00/0xFF).
+    * A real pipeline would hand `substring(media, start+1, winSize)`
+    * slices to the decode kernel (see [[decodeFeatures]] for the batch
+    * shape); the boundary bytes here make the gate verify actual
+    * payload content, not just geometry.
+    * Output: (media_id, window_idx, start_byte, first_byte, last_byte). */
+  def audioWindows(media: DataFrame, winSize: Int = 400, hop: Int = 160): DataFrame = {
+    require(winSize > 0 && hop > 0, s"audioWindows: winSize=$winSize hop=$hop")
+    val n = octet_length(col("media"))
+    // guard BEFORE sequence(): Spark's sequence(0, -1) steps DOWNWARD
+    def byteAt(pos: Column): Column =
+      conv(hex(substring(col("media"), pos, lit(1))), 16, 10).cast("int")
+    media
+      .filter(n >= winSize)
+      .withColumn("window_idx",
+        explode(sequence(lit(0), floor((n - winSize) / hop).cast("int"))))
+      .withColumn("start_byte", col("window_idx") * hop)
+      .withColumn("first_byte", byteAt(col("start_byte") + 1))
+      .withColumn("last_byte", byteAt(col("start_byte") + winSize))
+      .select(col("media_id"), col("window_idx"), col("start_byte"),
+        col("first_byte"), col("last_byte"))
   }
 
   /** Frame sampling: split the payload into fixed-size frames and keep

@@ -79,6 +79,14 @@ object SimilarityQueries {
       Multimodal.sampleFrames(Multimodal.fromDocuments(documents(s, d)),
         frameSize = 256, every = 2)
         .orderBy(col("media_id"), col("frame_idx"))
+    },
+
+    // multimodal: overlapping audio frame windows (STFT shape) with
+    // content boundary bytes from the binary payload.
+    "m3_audio_windows" -> { (s, d) =>
+      Multimodal.audioWindows(Multimodal.fromDocuments(documents(s, d)),
+        winSize = 400, hop = 160)
+        .orderBy(col("media_id"), col("window_idx"))
     }
   )
 
@@ -260,6 +268,24 @@ object SimilarityQueries {
         |SELECT media_id, frame_idx,
         |  CAST(least(256, n_bytes - frame_idx * 256) AS INT) AS frame_bytes
         |FROM frames WHERE least(256, n_bytes - frame_idx * 256) > 0
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // m3: the corpus payload is ASCII text bytes, so byte positions are
+    // character positions and unicode(slice) mirrors the engine's
+    // substring->hex->conv byte extraction exactly.
+    "m3_audio_windows" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |w AS (
+        |  SELECT media_id, text, CAST(i AS INT) AS window_idx
+        |  FROM m, unnest(generate_series(0,
+        |    CAST(floor((n - 400) / 160) AS INT))) AS t(i)
+        |  WHERE n >= 400)
+        |SELECT media_id, window_idx,
+        |  CAST(window_idx * 160 AS INT) AS start_byte,
+        |  CAST(unicode(text[window_idx*160 + 1 : window_idx*160 + 1]) AS INT) AS first_byte,
+        |  CAST(unicode(text[window_idx*160 + 400 : window_idx*160 + 400]) AS INT) AS last_byte
+        |FROM w ORDER BY media_id, window_idx""".stripMargin
   )
 }

@@ -124,6 +124,23 @@ class SimilaritySpec extends SparkSpec {
     assert(feats.map(_.toString).toSeq == feats64.map(_.toString).toSeq)
   }
 
+  test("audio windows: STFT geometry and boundary bytes on raw binary") {
+    // 10-byte payload 0x00,0x10,...,0x90; winSize=4 hop=2 -> starts 0,2,4,6
+    // (start 8 would need bytes through 11 — full windows only)
+    val bytes = Array.tabulate(10)(i => (i * 16).toByte)
+    val media = Seq((1L, bytes)).toDF("media_id", "media")
+    val got = Multimodal.audioWindows(media, winSize = 4, hop = 2)
+      .orderBy("window_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (0, 0, 0x00, 0x30), (1, 2, 0x20, 0x50), (2, 4, 0x40, 0x70), (3, 6, 0x60, 0x90)),
+      s"got ${got.toSeq}")
+    // 0x90 > 127 proves the hex->conv path reads BYTES, not chars
+    val short = Seq((2L, Array[Byte](1, 2, 3))).toDF("media_id", "media")
+    assert(Multimodal.audioWindows(short, winSize = 4, hop = 2).isEmpty,
+      "payload shorter than winSize yields no windows")
+  }
+
   test("frame sampling covers every other frame with correct tail size") {
     val docs = Seq((1L, "x" * 600)).toDF("doc_id", "text") // 600 bytes -> frames 0,1,2
     val frames = Multimodal.sampleFrames(Multimodal.fromDocuments(docs), 256, 2)
