@@ -28,6 +28,17 @@ object JdbcUpsert {
     def statement(table: String, schema: StructType, keyCols: Seq[String]): String
     /** Placeholder bind order as schema field indices. */
     def bindOrder(schema: StructType, keyCols: Seq[String]): Seq[Int]
+    /** Version-guarded form: the update arm fires only when the incoming
+      * `versionCol` is STRICTLY newer than the stored row's, so the
+      * table converges to the newest version per key under ANY arrival
+      * order (out-of-order micro-batches, replays) — blind upsert is
+      * last-writer-wins, which is wrong the moment batches aren't
+      * version-monotone. Equal versions no-op: a retried batch re-lands
+      * identical state (idempotent). */
+    def versionedStatement(table: String, schema: StructType,
+                           keyCols: Seq[String], versionCol: String): String
+    def versionedBindOrder(schema: StructType, keyCols: Seq[String],
+                           versionCol: String): Seq[Int]
   }
 
   /** PostgreSQL `INSERT … ON CONFLICT (pk) DO UPDATE` — the statement
@@ -43,6 +54,20 @@ object JdbcUpsert {
          |ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $updates""".stripMargin
     }
     def bindOrder(schema: StructType, keyCols: Seq[String]): Seq[Int] =
+      schema.fields.indices.toSeq
+    def versionedStatement(table: String, schema: StructType,
+                           keyCols: Seq[String], versionCol: String): String = {
+      val cols = schema.fields.map(_.name)
+      val placeholders = cols.map(_ => "?").mkString(", ")
+      val updates = cols.filterNot(keyCols.contains)
+        .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      // alias the target: EXCLUDED vs t disambiguates the guard columns
+      s"""INSERT INTO $table AS t (${cols.mkString(", ")}) VALUES ($placeholders)
+         |ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $updates
+         |WHERE EXCLUDED.$versionCol > t.$versionCol""".stripMargin
+    }
+    def versionedBindOrder(schema: StructType, keyCols: Seq[String],
+                           versionCol: String): Seq[Int] =
       schema.fields.indices.toSeq
   }
 
@@ -83,6 +108,29 @@ object JdbcUpsert {
       val rest = idx.filterNot(i => keyCols.contains(schema.fields(i).name))
       (keys ++ rest ++ idx).toSeq
     }
+    def versionedStatement(table: String, schema: StructType,
+                           keyCols: Seq[String], versionCol: String): String = {
+      def p(f: StructField) = s"CAST(? AS ${sqlType(f.dataType)})"
+      val keys = schema.fields.filter(f => keyCols.contains(f.name))
+      val rest = schema.fields.filterNot(f => keyCols.contains(f.name))
+      val ver = schema.fields(schema.fieldIndex(versionCol))
+      val on = keys.map(f => s"t.${f.name} = ${p(f)}").mkString(" AND ")
+      val set = rest.map(f => s"${f.name} = ${p(f)}").mkString(", ")
+      val cols = schema.fields.map(_.name).mkString(", ")
+      val vals = schema.fields.map(p).mkString(", ")
+      s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1
+         |ON $on
+         |WHEN MATCHED AND ${p(ver)} > t.${ver.name} THEN UPDATE SET $set
+         |WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)""".stripMargin
+    }
+    /** keys (ON), version (MATCHED guard), non-keys (SET), all (VALUES). */
+    def versionedBindOrder(schema: StructType, keyCols: Seq[String],
+                           versionCol: String): Seq[Int] = {
+      val idx = schema.fields.indices
+      val keys = idx.filter(i => keyCols.contains(schema.fields(i).name))
+      val rest = idx.filterNot(i => keyCols.contains(schema.fields(i).name))
+      (keys ++ Seq(schema.fieldIndex(versionCol)) ++ rest ++ idx).toSeq
+    }
   }
 
   /** Build the PostgreSQL `INSERT … ON CONFLICT DO UPDATE` statement for
@@ -110,10 +158,21 @@ object JdbcUpsert {
   def upsert(df: DataFrame, url: String, table: String,
              props: java.util.Properties, keyCols: Seq[String],
              connections: Int = 8, batchSize: Int = 1000,
-             dialect: Dialect = Postgres): Unit = {
+             dialect: Dialect = Postgres,
+             versionCol: Option[String] = None): Unit = {
     val schema = df.schema
-    val sql = dialect.statement(table, schema, keyCols)
-    val order = dialect.bindOrder(schema, keyCols)
+    versionCol.foreach { v =>
+      require(!keyCols.contains(v),
+        s"upsert: versionCol '$v' cannot be a key column")
+      require(schema.fieldNames.contains(v),
+        s"upsert: versionCol '$v' not in schema ${schema.fieldNames.mkString(",")}")
+    }
+    val sql = versionCol
+      .map(v => dialect.versionedStatement(table, schema, keyCols, v))
+      .getOrElse(dialect.statement(table, schema, keyCols))
+    val order = versionCol
+      .map(v => dialect.versionedBindOrder(schema, keyCols, v))
+      .getOrElse(dialect.bindOrder(schema, keyCols))
     val (user, pass) = (props.getProperty("user"), props.getProperty("password"))
     df.coalesce(connections).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {

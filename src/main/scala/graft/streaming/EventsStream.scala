@@ -178,6 +178,42 @@ object EventsStream {
       }
       .start()
 
+  /** Stream micro-batches into a keyed JDBC upsert through the
+    * [[graft.sources.JdbcUpsert.Dialect]] seam — the streaming form of
+    * the reference's milestones upsert (pangres `if_row_exists='update'`,
+    * reference `load.py:94-118`), replacing its daily re-extract cadence
+    * with continuous catch-up.
+    *
+    * Each micro-batch is deduped to one row per key (newest `versionCol`
+    * wins) before the batched single-statement upsert executes — the
+    * per-batch distinct-key requirement [[graft.sources.JdbcUpsert.upsert]]
+    * shares with pangres. The upsert runs VERSION-GUARDED (update arm
+    * fires only for strictly newer versions), so the table converges to
+    * the newest version per key under any micro-batch arrival order —
+    * file streams are not version-monotone — and foreachBatch's
+    * at-least-once retries are idempotent (equal version → no-op). */
+  def jdbcUpsertSink(stream: DataFrame, keyCols: Seq[String],
+                     versionCol: String, url: String, table: String,
+                     props: java.util.Properties, checkpointDir: String,
+                     dialect: graft.sources.JdbcUpsert.Dialect = graft.sources.JdbcUpsert.Postgres,
+                     connections: Int = 8,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dedup = batch.withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)
+            .orderBy(col(versionCol).desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+        graft.sources.JdbcUpsert.upsert(dedup, url, table, props, keyCols,
+          connections = connections, dialect = dialect,
+          versionCol = Some(versionCol))
+        ()
+      }
+      .start()
+
   private def oldPath(snap: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(snap.toString + "__old")
 

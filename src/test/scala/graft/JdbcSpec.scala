@@ -79,6 +79,62 @@ class JdbcSpec extends SparkSpec {
     assert(back.filter($"NAME".startsWith("v2_")).count() == 60)
   }
 
+  test("version-guarded upsert keeps the newer row when an older one arrives late") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE versioned (id BIGINT PRIMARY KEY, ver BIGINT, name VARCHAR(64))")
+    } finally conn.close()
+    def put(ver: Long, name: String): Unit =
+      JdbcUpsert.upsert(Seq((1L, ver, name)).toDF("id", "ver", "name"),
+        url, "versioned", props, keyCols = Seq("id"),
+        dialect = JdbcUpsert.Merge, versionCol = Some("ver"))
+    put(5L, "v5")
+    put(3L, "v3-late")   // stale: guard must reject
+    put(5L, "v5")        // equal version: idempotent no-op
+    put(7L, "v7")        // newer: wins
+    val back = Readers.jdbc(spark, url, "versioned", props).collect()
+    assert(back.length == 1)
+    assert(back(0).getAs[Long]("VER") == 7L && back(0).getAs[String]("NAME") == "v7",
+      s"got ${back(0)}")
+  }
+
+  test("streaming jdbc upsert sink converges to newest version per key (live Derby MERGE)") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE user_latest (user_id BIGINT PRIMARY KEY, event_id BIGINT, event_type VARCHAR(64))")
+    } finally conn.close()
+    val dir = "/root/testdata/sf0.001"
+    // many files -> several micro-batches; file order is NOT
+    // version-monotone, which is exactly what the guard must absorb
+    val src = java.nio.file.Files.createTempDirectory("ev_jdbc").toString
+    graft.Tables.events(spark, dir).repartition(9).write.mode("overwrite").parquet(src)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_jdbc").toString
+    val q = graft.streaming.EventsStream.jdbcUpsertSink(
+      graft.streaming.EventsStream.readEvents(spark, src)
+        .select($"user_id", $"event_id", $"event_type"),
+      keyCols = Seq("user_id"), versionCol = "event_id",
+      url = url, table = "user_latest", props = props, checkpointDir = ckpt,
+      dialect = JdbcUpsert.Merge, connections = 2)
+    q.awaitTermination()
+    assert(q.recentProgress.length > 1, "expected multiple micro-batches")
+    val got = Readers.jdbc(spark, url, "user_latest", props)
+      .select($"USER_ID", $"EVENT_ID", $"EVENT_TYPE")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = {
+      import org.apache.spark.sql.expressions.Window
+      graft.Tables.events(spark, dir)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"event_id".desc)))
+        .filter($"__rn" === 1)
+        .select($"user_id", $"event_id", $"event_type")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    }
+    assert(got.nonEmpty && got == want,
+      s"|got|=${got.size} |want|=${want.size} diff=${(want diff got).take(3)}")
+  }
+
   test("merge and postgres dialects bind the same number of placeholders") {
     val schema = batchSchema
     val pg = JdbcUpsert.Postgres

@@ -77,6 +77,22 @@ class SourcesSpec extends SparkSpec {
     assert(!sql.contains("milestone_id = EXCLUDED.milestone_id"))
   }
 
+  test("versioned upsert statement shape (both dialects guard on the version)") {
+    val schema = StructType.fromDDL("milestone_id INT, description STRING, updated_at TIMESTAMP")
+    val pg = JdbcUpsert.Postgres.versionedStatement(
+      "staging.milestones", schema, Seq("milestone_id"), "updated_at")
+    assert(pg.contains("INSERT INTO staging.milestones AS t"))
+    assert(pg.contains("WHERE EXCLUDED.updated_at > t.updated_at"))
+    val mg = JdbcUpsert.Merge.versionedStatement(
+      "milestones", schema, Seq("milestone_id"), "updated_at")
+    assert(mg.contains("WHEN MATCHED AND CAST(? AS TIMESTAMP) > t.updated_at THEN UPDATE SET"))
+    // bind order: key, version guard, non-keys, then all columns
+    assert(JdbcUpsert.Merge.versionedBindOrder(schema, Seq("milestone_id"), "updated_at")
+      == Seq(0, 2, 1, 2, 0, 1, 2))
+    assert(JdbcUpsert.Postgres.versionedBindOrder(schema, Seq("milestone_id"), "updated_at")
+      == Seq(0, 1, 2))
+  }
+
   test("mergeByKey keeps newest version per key") {
     val existing = Seq((1, "old", 10L), (2, "keep", 11L)).toDF("k", "v", "ver")
     val delta = Seq((1, "new", 20L), (3, "ins", 21L)).toDF("k", "v", "ver")
