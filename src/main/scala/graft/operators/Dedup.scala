@@ -78,15 +78,17 @@ object Dedup {
     while (!converged && it < maxIters) {
       val nbMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("__nb"))
+      // carry the previous label INTO the checkpointed result: the
+      // fixpoint test is then a filter over already-materialized blocks
+      // (zero extra joins — min-label is monotone, so "no label
+      // changed" IS the fixpoint)
       val next = labels.join(nbMin, col("id") === col("src"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("__nb"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("__nb"), col("label"))).as("label"),
+          col("label").as("__prev"))
         .localCheckpoint()
-      // min-label is monotone, so "no label changed" IS the fixpoint;
-      // both sides are materialized, so this is a cheap O(nodes) join
-      converged = next.join(labels.withColumnRenamed("label", "__prev"), Seq("id"))
-        .filter(col("label") =!= col("__prev")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("__prev")).isEmpty
+      labels = next.drop("__prev")
       it += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -42,10 +42,15 @@ object Ranking {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 5): DataFrame = {
     val tf = termFreqs(df, idCol, textCol)
-    // tf rows are distinct per (doc, term), so df_t is a plain count
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    // df_t as a COUNT WINDOW over term, not a groupBy+self-join: the
+    // join form references the tf aggregate from two subtrees, and
+    // nothing below their first exchanges matches, so the whole
+    // explode+aggregate pipeline would run twice (same trap as the
+    // minhash grams/sigs split). tf rows are distinct per (doc, term),
+    // so count(*) over (partition by term) IS the document frequency.
+    val df_t = count(lit(1)).over(Window.partitionBy(col("term")))
     val n = df.select(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dft, Seq("term"))
+    val scored = tf.withColumn("df_t", df_t)
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * idfSmooth(col("n_docs"), col("df_t")), 6))
@@ -65,7 +70,12 @@ object Ranking {
                   queryTerms: Seq[String], k1: Double = 1.2,
                   b: Double = 0.75, k: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopDocs: empty query")
-    val tf = termFreqs(df, idCol, textCol)
+    // the tf aggregate feeds THREE consumers (doc lengths, matched-term
+    // df, the contribution join) whose subtrees diverge before any
+    // exchange — checkpoint it once instead of tokenizing three times
+    // (the x3 shared-scan pattern; prefer checkpoint() to reliable
+    // storage for multi-hour jobs)
+    val tf = termFreqs(df, idCol, textCol).localCheckpoint(false)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val corpus = dl.select(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
