@@ -508,15 +508,19 @@ object Dedup {
     val sigs = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), planes))
-    val a = sigs.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
-    val b = sigs.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+      .withColumn("nv", Similarity.norm(col("v")))
+    val a = sigs.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("nv").as("n_a"), col("bucket"))
+    val b = sigs.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("nv").as("n_b"), col("bucket"))
     // merge hint, same rationale as minhashLshPairs: the corpus-vs-corpus
     // self-join must never broadcast (AQE would at toy scale), and as a
     // sort-merge both sides are the identical Exchange(bucket) subtree —
     // the scan + signature projection runs once, ReusedExchange second leg.
     a.hint("merge").join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine_sim", Similarity.cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine_sim",
+        Similarity.cosinePrenormed(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
       .filter(col("cosine_sim") >= threshold)
       .select("id_a", "id_b", "cosine_sim")
   }

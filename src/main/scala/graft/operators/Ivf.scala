@@ -80,12 +80,15 @@ object Ivf {
   }
 
   /** Corpus with its cluster assignment — one map-side expression, no
-    * shuffle, no quantizer join. Output: (id, v, cluster_id). */
+    * shuffle, no quantizer join. Output: (id, v, cluster_id, nv) with
+    * nv the precomputed vector norm (computed once per vector here so
+    * the candidate scoring never re-derives it per pair). */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
              centroids: Seq[Centroid]): DataFrame =
     emb.filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
       .withColumn("cluster_id", element_at(nearestCids(col("v"), centroids, 1), 1))
+      .withColumn("nv", Similarity.norm(col("v")))
 
   /** Lloyd refinement: `iters` rounds of (map-side assign → distributed
     * per-component mean → collect C·dim means). An emptied cluster keeps
@@ -133,6 +136,7 @@ object Ivf {
     val probes = emb.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"),
         Similarity.toDouble(col(vecCol)).as("q"))
+      .withColumn("nq", Similarity.norm(col("q")))
       .withColumn("cluster_id",
         explode(nearestCids(col("q"), cents, math.min(nprobe, cents.size))))
     // a corpus row lives in exactly ONE list and probe cids are distinct
@@ -143,7 +147,8 @@ object Ivf {
     assigned
       .join(broadcast(probes), Seq("cluster_id"))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("cosine_sim", Similarity.cosine(col("q"), col("v")))
+      .withColumn("cosine_sim",
+        Similarity.cosinePrenormed(col("q"), col("v"), col("nq"), col("nv")))
       .select(col("query_id"), col("id").as("neighbor_id"), col("cosine_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
