@@ -229,6 +229,43 @@ object Dedup {
     smallPairs.unionByName(bigPairs)
   }
 
+  /** Benchmark-contamination report: n-gram overlap between every
+    * training document and a benchmark/eval set — the decontamination
+    * pass a training-data pipeline runs before anything ships (the
+    * GPT-3/PaLM-style n-gram membership check; n=8..13 typical).
+    *
+    * Scale shape: the benchmark gram set is SMALL by definition (eval
+    * sets, not corpora) — its distinct gram hashes broadcast; the
+    * training corpus explodes to (id, gram-hash) rows that left-join the
+    * broadcast map-side and collapse in ONE map-side-combinable
+    * aggregate, so the corpus never shuffles text and the only exchange
+    * carries two counters per (doc, partition). For a benchmark too big
+    * to broadcast, swap the broadcast join for a bloom prefilter +
+    * shuffle semi-join ([[graft.operators.Integrity.fkViolationsBloom]]
+    * pattern). Grams are compared as xxhash64 longs (collision odds
+    * ~|V|²/2^65 — immaterial, same rationale as the jaccard paths).
+    *
+    * Output: (doc_id, n_grams, n_hit, contamination_ratio) per training
+    * doc, ratio = n_hit/n_grams over the doc's DISTINCT grams; every doc
+    * appears ([[shinglesFromTokens]] emits one short gram even for docs
+    * with fewer than n tokens). */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(explode(shingles(col(benchTextCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
+      .withColumn("__hit", lit(1))
+    val train = tokenized(docs, idCol, textCol).select(col("id"),
+      explode(transform(shinglesFromTokens(col("__toks"), n),
+        g => xxhash64(g))).as("h"))
+    train.join(broadcast(benchGrams), Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams")).as("contamination_ratio"))
+  }
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** Deterministic universal-hash family h_i(x) = (a_i·x + b_i) mod p over

@@ -58,6 +58,25 @@ object Sampling {
         baseSeed + e).withColumn("epoch", lit(e))
     }.reduce(_ unionByName _)
 
+  /** Per-group quota cap: keep at most `quota` rows per group, chosen
+    * in deterministic seeded-hash order — domain/source capping so no
+    * group dominates a training mixture (the "at most N docs per
+    * domain" curation rule). Membership depends only on (key, seed,
+    * the group's membership), never on partitioning.
+    *
+    * Scale: one exchange on the group key; Spark plans the rank filter
+    * as WindowGroupLimit with a PARTIAL limit below the exchange, so at
+    * most `quota` rows per group per input partition are shuffled —
+    * a hub group streams through bounded, never materialized whole. */
+  def quotaSample(df: DataFrame, keyCol: String, groupCol: String,
+                  quota: Int, seed: Long): DataFrame = {
+    require(quota > 0, s"quotaSample: quota=$quota")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(xxhash64(col(keyCol), lit(seed)), col(keyCol))
+    df.withColumn("__qrn", row_number().over(w))
+      .filter(col("__qrn") <= quota).drop("__qrn")
+  }
+
   /** Deterministic global shuffle: assigns each row its position in the
     * pseudo-random permutation ordered by (xxhash64(key, seed), key) —
     * the tie-break keeps the permutation total even across hash

@@ -20,6 +20,7 @@ object DatasetQueries {
 
   private val LangRates   = Map("en" -> 0.5, "de" -> 0.2)
   private val SourceRates = Map("src0" -> 1.0, "src1" -> 0.5)
+  private[queries] val QuotaSeed = 3003L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic stratified sample: per-language rates, one scan,
@@ -49,6 +50,15 @@ object DatasetQueries {
       Packing.packSequences(docs, "n_tokens", "doc_id", budget = 2048L)
         .select(col("doc_id"), col("n_tokens"), col("start_offset"),
           col("bin_id"), col("bin_offset"))
+        .orderBy(col("doc_id"))
+    },
+
+    // per-group quota cap: at most 40 docs per language, deterministic
+    // seeded-hash order (domain capping for mixture balance).
+    "ds5_quota_sample" -> { (s, d) =>
+      Sampling.quotaSample(documents(s, d)
+        .select(col("doc_id"), col("lang")), "doc_id", "lang",
+        quota = 40, seed = QuotaSeed)
         .orderBy(col("doc_id"))
     },
 
@@ -111,6 +121,15 @@ object DatasetQueries {
          |    AS position,
          |  d.doc_id, d.lang
          |FROM documents d JOIN $aux a USING (doc_id)
-         |ORDER BY position""".stripMargin
+         |ORDER BY position""".stripMargin,
+
+    "ds5_quota_sample" ->
+      s"""WITH ranked AS (
+         |  SELECT d.doc_id, d.lang,
+         |    row_number() OVER (PARTITION BY d.lang
+         |      ORDER BY a.h_quota, d.doc_id) AS rn
+         |  FROM documents d JOIN $aux a USING (doc_id))
+         |SELECT doc_id, lang FROM ranked WHERE rn <= 40
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -132,6 +132,16 @@ object TextQueries {
       Dedup.simhashPairs(nearDupCorpus(s, d), "doc_id", "text",
         maxHamming = 6, bands = 7)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // benchmark decontamination: 8-gram overlap vs an eval set (here:
+    // the first 30 docs, simulating a leaked benchmark); flagged docs.
+    "dc1_decontaminate" -> { (s, d) =>
+      val docs = documents(s, d)
+      Dedup.contamination(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 30).select(col("text")), "text", n = 8)
+        .filter(col("n_hit") > 0)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -269,6 +279,26 @@ object TextQueries {
     "x1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // dc1: grams compared as strings here vs xxhash64 longs in the
+    // engine — counts agree absent a 2^-65-scale collision (x2 rationale).
+    // n_hit/n_grams is exact IEEE long/long->double division, no rounding.
+    "dc1_decontaminate" ->
+      s"""WITH bench AS (
+         |  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+         |  FROM (SELECT $toksSql AS toks FROM documents WHERE doc_id < 30),
+         |    unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS t(i)),
+         |train AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toksSql) - 7, 1)),
+         |    i -> array_to_string(list_slice($toksSql, i, i + 7), ' ')))) AS g
+         |  FROM documents),
+         |agg AS (
+         |  SELECT t.doc_id, count(*) AS n_grams, count(b.g) AS n_hit
+         |  FROM train t LEFT JOIN bench b ON t.g = b.g GROUP BY 1)
+         |SELECT doc_id, n_grams, n_hit,
+         |  CAST(n_hit AS DOUBLE) / n_grams AS contamination_ratio
+         |FROM agg WHERE n_hit > 0 ORDER BY doc_id""".stripMargin,
 
     // t4/t5: ln()'s last ulp is library-dependent, so scores are rounded
     // to 6 dp on BOTH sides and ranks order by the ROUNDED value with a

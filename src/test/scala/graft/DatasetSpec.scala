@@ -102,6 +102,31 @@ class DatasetSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("quotaSample caps every group, deterministically, partition-independent") {
+    val in = (1L to 500L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val a = Sampling.quotaSample(in, "id", "grp", quota = 20, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a.groupBy(_._2).forall(_._2.size == 20), "every group capped at exactly 20")
+    val b = Sampling.quotaSample(in.repartition(13), "id", "grp", quota = 20, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b, "membership must not depend on partitioning")
+    // a group smaller than the quota passes through whole
+    val small = Sampling.quotaSample(in.filter($"id" <= 10), "id", "grp", 20, 7L)
+    assert(small.count() == 10)
+    // hash order, not id order: the kept set is not simply the smallest ids
+    assert(!a.filter(_._2 == "g0").map(_._1).toSeq.sorted.zipWithIndex
+      .forall { case (id, i) => id == (i + 1) * 3 })
+  }
+
+  test("quotaSample plans a partial group limit below the exchange") {
+    val in = (1L to 500L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val df = Sampling.quotaSample(in, "id", "grp", quota = 20, seed = 7L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"hub groups must be bounded before the shuffle:\n$plan")
+  }
+
   test("packSequences is partition-count independent") {
     val in = (1L to 1000L).map(i => (i, (i % 17).toInt + 1)).toDF("id", "toks")
     val a = Packing.packSequences(in, "toks", "id", 64L, partitions = 1)

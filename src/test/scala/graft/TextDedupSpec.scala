@@ -101,6 +101,31 @@ class TextDedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ++ lsh))
   }
 
+  test("contamination: planted benchmark leak flagged with exact ratio") {
+    // doc 1 = the benchmark text verbatim (ratio 1), doc 2 shares a
+    // 10-token span (some 3-gram hits), doc 3 disjoint (absent from
+    // n_hit>0 but present in the full report with 0)
+    val leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, leak),
+      (2L, s"unrelated prefix tokens here $leak trailing suffix"),
+      (3L, "completely different words nothing shared at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1(leak)).toDF("text")
+    val rep = Dedup.contamination(docs, "doc_id", "text", bench, "text", n = 3)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rep(1L)._3 == 1.0, s"verbatim leak must be fully contaminated: ${rep(1L)}")
+    val (g2, h2, r2) = rep(2L)
+    assert(h2 == 8, s"10 shared tokens -> 8 shared 3-grams, got $h2")
+    assert(r2 == h2.toDouble / g2)
+    assert(rep(3L)._2 == 0 && rep(3L)._3 == 0.0, "disjoint doc has zero hits")
+    // every doc appears, even short ones
+    val short = Seq((9L, "ab")).toDF("doc_id", "text")
+    assert(Dedup.contamination(short, "doc_id", "text", bench, "text", n = 3)
+      .count() == 1)
+  }
+
   test("shared-scan minhash LSH is row-identical to the plain path") {
     // the shared variant changes only data movement (one tokenize pass,
     // checkpointed (id, sig, grams)); pairs AND jaccard doubles must be
