@@ -19,6 +19,25 @@ object TextAnalysis {
   def tokens(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => length(t) > 0)
 
+  /** PII patterns, written in the portable common subset of Java regex
+    * and RE2 (character classes, bounded quantifiers, \b) so the DuckDB
+    * oracle applies the IDENTICAL pattern — no lookaround, no
+    * backreferences (RE2 has neither). */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Regex  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails then IPv4s with typed placeholders — the scrub pass a
+    * training pipeline runs before text ships. Order matters and is part
+    * of the contract (emails are replaced first, so their host parts can
+    * never be re-matched as dotted quads). */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRegex, "<EMAIL>"),
+      Ipv4Regex, "<IP>")
+
+  /** Count of non-overlapping matches of a PII pattern. */
+  def countMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 

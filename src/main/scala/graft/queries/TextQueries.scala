@@ -134,6 +134,33 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // PII scrub: plant a deterministic email + IP per doc, then count
+    // and redact — exercises extraction AND replacement char-for-char.
+    "t6_pii_scrub" -> { (s, d) =>
+      val aug = documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com from 10.0."), col("doc_id") % 256, lit(".7")).as("t2"))
+      aug.select(col("doc_id"),
+        TextAnalysis.countMatches(col("t2"), TextAnalysis.EmailRegex).as("n_emails"),
+        TextAnalysis.countMatches(col("t2"), TextAnalysis.Ipv4Regex).as("n_ips"),
+        TextAnalysis.scrubPii(col("t2")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    },
+
+    // repetition stats (Gopher-style quality rule): duplicate-token and
+    // top-token ratios from one exploded-token aggregate.
+    "t7_repetition" -> { (s, d) =>
+      graft.operators.Ranking.termFreqs(documents(s, d), "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("tf")).as("top_tf"))
+        .withColumn("dup_ratio",
+          (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+        .withColumn("top_ratio", col("top_tf").cast("double") / col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // benchmark decontamination: 8-gram overlap vs an eval set (here:
     // the first 30 docs, simulating a leaked benchmark); flagged docs.
     "dc1_decontaminate" -> { (s, d) =>
@@ -279,6 +306,38 @@ object TextQueries {
     "x1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // t6: IDENTICAL regex text on both engines (portable Java∩RE2
+    // subset); DuckDB regexp_replace needs the explicit 'g' flag to
+    // match Spark's replace-all.
+    "t6_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH aug AS (
+         |  SELECT doc_id, text || ' contact: user' || doc_id ||
+         |    '@example.com from 10.0.' || (doc_id % 256) || '.7' AS t2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t2, '$email')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t2, '$ip')) AS INT) AS n_ips,
+         |  regexp_replace(regexp_replace(t2, '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g') AS scrubbed
+         |FROM aug ORDER BY doc_id""".stripMargin
+    },
+
+    "t7_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, t -> len(t) > 0)) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_distinct, CAST(max(tf) AS BIGINT) AS top_tf
+         |  FROM tf GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_distinct, top_tf,
+         |  CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_ratio,
+         |  CAST(top_tf AS DOUBLE) / n_tokens AS top_ratio
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     // dc1: grams compared as strings here vs xxhash64 longs in the
     // engine — counts agree absent a 2^-65-scale collision (x2 rationale).

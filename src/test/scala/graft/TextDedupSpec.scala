@@ -101,6 +101,24 @@ class TextDedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ++ lsh))
   }
 
+  test("scrubPii redacts emails then IPs, counts match, plain text untouched") {
+    import graft.functions.TextAnalysis
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org and 192.168.001.7 end"),
+      (2L, "no pii here just words"),
+      (3L, "two mails x@y.io z@w.co one ip 8.8.8.8"),
+      (4L, "not-an-ip 1234.5.6.7890 stays")).toDF("id", "t")
+    val got = df.select(col("id"), TextAnalysis.scrubPii(col("t")).as("s"),
+      TextAnalysis.countMatches(col("t"), TextAnalysis.EmailRegex).as("ne"),
+      TextAnalysis.countMatches(col("t"), TextAnalysis.Ipv4Regex).as("ni"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == (("mail <EMAIL> and <IP> end", 1, 1)))
+    assert(got(2L) == (("no pii here just words", 0, 0)))
+    assert(got(3L) == (("two mails <EMAIL> <EMAIL> one ip <IP>", 2, 1)))
+    // \b keeps 1234.5.6.7890 from matching as an inner dotted quad
+    assert(got(4L) == (("not-an-ip 1234.5.6.7890 stays", 0, 0)))
+  }
+
   test("contamination: planted benchmark leak flagged with exact ratio") {
     // doc 1 = the benchmark text verbatim (ratio 1), doc 2 shares a
     // 10-token span (some 3-gram hits), doc 3 disjoint (absent from
