@@ -134,6 +134,31 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // curation v2 — the round-5 training-data flow end-to-end:
+    // repetition filter -> benchmark decontamination -> exact dedup
+    // (canonical min id) -> per-language quota cap. Output is the full
+    // kept roster, so the oracle hash-checks every decision jointly.
+    "cur2_curation_v2" -> { (s, d) =>
+      val docs = documents(s, d)
+      val lowRep = graft.operators.Ranking.termFreqs(docs, "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("nt"), max(col("tf")).as("mt"))
+        .filter(col("mt").cast("double") / col("nt") <= 0.12)
+        .select("doc_id")
+      val clean = Dedup.contamination(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 30).select(col("text")), "text", n = 8)
+        .filter(col("n_hit") === 0).select("doc_id")
+      val kept = docs.select(col("doc_id"), col("text"), col("lang"))
+        .join(lowRep, Seq("doc_id")).join(clean, Seq("doc_id"))
+      val deduped = kept.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"))
+        .select("doc_id", "lang")
+      graft.operators.Sampling.quotaSample(deduped, "doc_id", "lang",
+        quota = 30, seed = DatasetQueries.QuotaSeed)
+        .orderBy(col("doc_id"))
+    },
+
     // PII scrub: plant a deterministic email + IP per doc, then count
     // and redact — exercises extraction AND replacement char-for-char.
     "t6_pii_scrub" -> { (s, d) =>
@@ -306,6 +331,41 @@ object TextQueries {
     "x1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "cur2_curation_v2" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, t -> len(t) > 0)) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |low_rep AS (
+         |  SELECT doc_id FROM tf GROUP BY doc_id
+         |  HAVING CAST(max(tf) AS DOUBLE) / sum(tf) <= 0.12),
+         |bench AS (
+         |  SELECT DISTINCT array_to_string(list_slice(tk, i, i + 7), ' ') AS g
+         |  FROM (SELECT $toksSql AS tk FROM documents WHERE doc_id < 30),
+         |    unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS t(i)),
+         |train AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toksSql) - 7, 1)),
+         |    i -> array_to_string(list_slice($toksSql, i, i + 7), ' ')))) AS g
+         |  FROM documents),
+         |clean AS (
+         |  SELECT t.doc_id FROM train t LEFT JOIN bench b ON t.g = b.g
+         |  GROUP BY t.doc_id HAVING count(b.g) = 0),
+         |kept AS (
+         |  SELECT d.doc_id, d.text, d.lang FROM documents d
+         |  JOIN low_rep USING (doc_id) JOIN clean USING (doc_id)),
+         |deduped AS (
+         |  SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang
+         |  FROM kept GROUP BY text),
+         |ranked AS (
+         |  SELECT dd.doc_id, dd.lang,
+         |    row_number() OVER (PARTITION BY dd.lang
+         |      ORDER BY a.h_quota, dd.doc_id) AS rn
+         |  FROM deduped dd
+         |  JOIN read_parquet('__AUX__/ds_doc_hash/*.parquet') a USING (doc_id))
+         |SELECT doc_id, lang FROM ranked WHERE rn <= 30
+         |ORDER BY doc_id""".stripMargin,
 
     // t6: IDENTICAL regex text on both engines (portable Java∩RE2
     // subset); DuckDB regexp_replace needs the explicit 'g' flag to
