@@ -35,14 +35,36 @@ object AsOf {
     * @param timeCol   ordering column name (same name both sides)
     * @param payload   right-side columns to carry onto left rows */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
-           timeCol: String, payload: Seq[String]): DataFrame = {
+           timeCol: String, payload: Seq[String]): DataFrame =
+    join(left, right, keys, timeCol, payload, Backward, None)
+
+  /** Match direction (pandas `merge_asof` surface). */
+  sealed trait Direction
+  /** Latest right row with `rightTime <= leftTime`. */
+  case object Backward extends Direction
+  /** Earliest right row with `rightTime >= leftTime`. */
+  case object Forward extends Direction
+
+  /** Directed, tolerance-bounded as-of join. Same single-shuffle
+    * construction as the 5-arg form; `Forward` flips the carry to a
+    * `first(...)` over the mirrored frame (right rows sort AFTER left
+    * rows at equal time, so the equal-time match stays inclusive).
+    * `tolerance` (in `timeCol` units — the column must be numeric)
+    * nulls the payload when the matched right row is further than
+    * `tolerance` from the left time, exactly pandas' contract: the row
+    * survives, the match does not. The matched right time rides inside
+    * the carried struct, so the bound costs no extra shuffle. */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+           timeCol: String, payload: Seq[String],
+           direction: Direction, tolerance: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // payload travels as ONE struct: last(ignoreNulls) then matches the
-    // latest right ROW even when individual payload fields are null
-    // (per-column carry would skip over genuine nulls).
+    // payload travels as ONE struct (+ the right time for the tolerance
+    // check): last/first(ignoreNulls) then matches the nearest right ROW
+    // even when individual payload fields are null (per-column carry
+    // would skip over genuine nulls).
     val taggedRight = right.select(
       keys.map(col) :+ col(timeCol) :+ lit(1).as("__is_right") :+
-        struct(payload.map(col): _*).as("__p"): _*)
+        struct((payload.map(col) :+ col(timeCol).as("__rt")): _*).as("__p"): _*)
     val pType = taggedRight.schema("__p").dataType
     val taggedLeft = left.select(
       leftCols.map(col) :+ lit(0).as("__is_right") :+
@@ -53,14 +75,30 @@ object AsOf {
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(taggedLeft.columns.map(col): _*)
 
-    // right rows sort BEFORE left rows at equal time -> inclusive match
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("__is_right").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
+    val base = Window.partitionBy(keys.map(col): _*)
+    val carried = direction match {
+      case Backward =>
+        // right rows sort BEFORE left rows at equal time -> inclusive
+        val w = base.orderBy(col(timeCol).asc, col("__is_right").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        last(col("__p"), ignoreNulls = true).over(w)
+      case Forward =>
+        // right rows sort AFTER left rows at equal time -> inclusive
+        val w = base.orderBy(col(timeCol).asc, col("__is_right").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        first(col("__p"), ignoreNulls = true).over(w)
+    }
+    val withinTol: Column = tolerance match {
+      case None => lit(true)
+      case Some(t) => direction match {
+        case Backward => col(timeCol) - col("__p").getField("__rt") <= t
+        case Forward  => col("__p").getField("__rt") - col(timeCol) <= t
+      }
+    }
     taggedLeft.unionByName(rightAligned)
-      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__p", carried)
       .filter(col("__is_right") === 0)
+      .withColumn("__p", when(col("__p").isNotNull && withinTol, col("__p")))
       .select(leftCols.map(col) ++
         payload.map(c => col("__p").getField(c).as(s"asof_$c")): _*)
   }

@@ -25,6 +25,20 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     },
 
+    // forward as-of with a 60 s tolerance (pandas merge_asof surface):
+    // earliest update AT/after each event, match nulled beyond bound.
+    "ao2_asof_forward" -> { (s, d) =>
+      val ev = EventsStream.withEventTime(events(s, d))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("event_time")).as("t"), col("event_type"))
+      val updates = ev.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("t"),
+          concat(lit("v"), col("event_id")).as("profile_version"))
+      AsOf.join(ev, updates, Seq("user_id"), "t", Seq("profile_version"),
+        AsOf.Forward, Some(60L * 1000000))
+        .orderBy(col("event_id"))
+    },
+
     // bucketized range join: events against 30-minute activity windows
     // opened by every 20th event (equi-join on (user, bucket) + residual
     // BETWEEN — never a nested-loop range join).
@@ -144,6 +158,21 @@ object AnalyticsQueries {
         |FROM ev ASOF LEFT JOIN updates u
         |  ON ev.user_id = u.user_id AND ev.t >= u.t
         |ORDER BY event_id""".stripMargin,
+    "ao2_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+        |  FROM events),
+        |updates AS (
+        |  SELECT user_id, t, 'v' || event_id AS profile_version
+        |  FROM ev WHERE event_id % 10 = 0)
+        |SELECT ev.event_id, ev.user_id, ev.t, ev.event_type,
+        |  CASE WHEN u.t - ev.t <= 60000000 THEN u.profile_version END
+        |    AS asof_profile_version
+        |FROM ev ASOF LEFT JOIN updates u
+        |  ON ev.user_id = u.user_id AND ev.t <= u.t
+        |ORDER BY event_id""".stripMargin,
+
     "rq1_range_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t

@@ -23,6 +23,33 @@ class AsOfSpec extends SparkSpec {
       (4L, null))) // key k2 has no right rows
   }
 
+  test("forward direction picks earliest right row at or after left time") {
+    val left = Seq((1L, "k1", 10L), (2L, "k1", 16L), (3L, "k1", 99L))
+      .toDF("id", "k", "t")
+    val right = Seq(("k1", 10L, "a"), ("k1", 15L, "b"), ("k1", 40L, "c"))
+      .toDF("k", "t", "v")
+    val got = AsOf.join(left, right, Seq("k"), "t", Seq("v"),
+      AsOf.Forward, None)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("asof_v")))
+    assert(got.toSeq == Seq(
+      (1L, "a"),   // inclusive at equal time
+      (2L, "c"),   // earliest of {40->c}; 15->b is in the past
+      (3L, null))) // nothing at or after 99
+  }
+
+  test("tolerance nulls matches beyond the bound, row survives") {
+    val left = Seq((1L, "k", 10L), (2L, "k", 100L)).toDF("id", "k", "t")
+    val right = Seq(("k", 8L, "near"), ("k", 9L, "nearer")).toDF("k", "t", "v")
+    val got = AsOf.join(left, right, Seq("k"), "t", Seq("v"),
+      AsOf.Backward, Some(5L))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("asof_v")))
+    // left t=10: match t=9, distance 1 <= 5 -> kept; left t=100: match
+    // t=9 but distance 91 > 5 -> nulled, row still present
+    assert(got.toSeq == Seq((1L, "nearer"), (2L, null)))
+  }
+
   test("null payload field on the matched row is returned, not skipped") {
     val left = Seq((1L, "k", 30L)).toDF("id", "k", "t")
     val right = Seq(("k", 10L, Some("old")), ("k", 20L, Option.empty[String]))
