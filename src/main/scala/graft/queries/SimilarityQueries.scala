@@ -59,6 +59,14 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // PQ/ADC ANN: seeded product codebooks, map-side encode, per-query
+    // lookup tables, compressed-domain scoring (codes only in the scan).
+    "y5_ann_pq" -> { (s, d) =>
+      graft.operators.Pq.adcTopK(embeddings(s, d), "vec_id", "embedding",
+        QueryIds, k = 10, m = 8, ks = 16, stride = 7L)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // embedding-cosine near-dup pairs via hyperplane-LSH candidates.
     "x5_embedding_near_dup" -> { (s, d) =>
       Dedup.embeddingCosinePairs(nearDupEmbeddings(s, d), "vec_id", "embedding",
@@ -234,6 +242,54 @@ object SimilarityQueries {
          |  round(cs, 6) AS cosine_sim
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
+
+    // y5: the whole PQ path in SQL — seed slicing into per-subspace
+    // codebooks, argmin encoding (ties to smaller code), ADC as an
+    // ORDERED fold over subspaces (list_reduce over list(dist ORDER BY
+    // s), prepend-0 left fold == the engine's fixed-order reduce;
+    // 0.0+x is exact for x >= +0.0), rounded 6 dp before ranking.
+    "y5_ann_pq" ->
+      s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+         |seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+         |  FROM (SELECT vec_id, v FROM base WHERE vec_id % 7 = 0
+         |        ORDER BY vec_id LIMIT 16)),
+         |cents AS (
+         |  SELECT CAST(s AS INT) AS s, cid, v[s*8+1 : s*8+8] AS cv
+         |  FROM seeds, unnest(generate_series(0, 7)) AS t(s)),
+         |cdists AS (
+         |  SELECT b.vec_id, c.s, c.cid,
+         |    list_sum(list_transform(list_zip(b.v[c.s*8+1 : c.s*8+8], c.cv),
+         |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+         |  FROM base b CROSS JOIN cents c),
+         |codes AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |        ORDER BY dist, cid) AS rn
+         |    FROM cdists) WHERE rn = 1),
+         |pairdist AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.s,
+         |    list_sum(list_transform(list_zip(q.v[n.s*8+1 : n.s*8+8], c.cv),
+         |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+         |  FROM codes n
+         |  JOIN cents c ON c.s = n.s AND c.cid = n.code
+         |  CROSS JOIN (SELECT vec_id, v FROM base
+         |    WHERE vec_id IN (${QueryIds.mkString(", ")})) q
+         |  WHERE n.vec_id <> q.vec_id),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE), list(dist ORDER BY s)),
+         |      (a, x) -> a + x), 6) AS adc_dist
+         |  FROM pairdist GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc_dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+         |  FROM adc)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "x5_embedding_near_dup" ->
       s"""WITH base AS (
