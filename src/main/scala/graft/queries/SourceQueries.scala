@@ -40,6 +40,22 @@ object SourceQueries {
 
     // S8+S9: CSV sink then CSV source; decimals fixed to 2dp before the
     // write so the text round-trip is exact.
+    // ORC round-trip: write + scan back with filter pushdown intact;
+    // the oracle is format-independent (reads the same rows from
+    // parquet), so the gate proves the ORC path is lossless.
+    "s12_orc_roundtrip" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_orc").toString
+      val out = customer(s, d).select(
+        col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      Writers.orc(out, s"$tmp/customer")
+      Readers.orc(s, s"$tmp/customer")
+        .filter(col("bal") > 0)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("bal")).cast("double").as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     "s8s9_csv_roundtrip" -> { (s, d) =>
       val tmp = Files.createTempDirectory("graft_csv").toString
       val out = customer(s, d).select(
@@ -97,6 +113,11 @@ object SourceQueries {
         |SELECT milestone_id, event_id,
         |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
         |FROM ranked WHERE rn = 1 ORDER BY milestone_id""".stripMargin,
+    "s12_orc_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "s8s9_csv_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal

@@ -26,6 +26,10 @@ object Readers {
     schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
   }
 
+  /** ORC scan — same pushdown/pruning properties as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSON lines (or multiline) file. */
   def json(spark: SparkSession, path: String, multiline: Boolean = false): DataFrame =
     spark.read.option("multiline", multiline.toString).json(path)

@@ -52,6 +52,11 @@ object Writers {
   def json(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC sink (columnar alternative to S4 — Spark-native, zstd-capable;
+    * a user migrating from the reference keeps their format choice). */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** S5: JDBC append with a bounded number of connections. */
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  props: java.util.Properties, connections: Int = 8): Unit =

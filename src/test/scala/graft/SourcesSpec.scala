@@ -24,6 +24,18 @@ class SourcesSpec extends SparkSpec {
       df.orderBy("id").collect().map(_.toString).toSeq)
   }
 
+  test("orc round-trip preserves values and keeps filter pushdown") {
+    val tmp = java.nio.file.Files.createTempDirectory("orc_spec").toString
+    val in = Seq((1L, "a", BigDecimal(10)), (2L, "b", BigDecimal(-5)))
+      .toDF("id", "s", "v").select($"id", $"s", $"v".cast("decimal(18,2)").as("v"))
+    Writers.orc(in, s"$tmp/t")
+    val back = Readers.orc(spark, s"$tmp/t").filter($"id" === 1L)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"ORC scan must push the id filter:\n$plan")
+  }
+
   test("incremental reader filters to ds-1") {
     val df = Seq(("2020-01-01 10:00:00", 1), ("2020-01-02 09:00:00", 2), ("2020-01-03 00:00:00", 3))
       .toDF("created_at", "v")
