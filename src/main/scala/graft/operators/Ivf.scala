@@ -56,7 +56,10 @@ object Ivf {
       .limit(c)
       .select(Similarity.toDouble(col(vecCol)).as("v"))
       .collect()
-    require(rows.nonEmpty, s"seedCentroids: no rows with $idCol % $stride == 0")
+    require(rows.length == c,
+      s"seedCentroids: requested c=$c centroids but only ${rows.length} rows " +
+        s"have $idCol % $stride == 0 — a silently smaller quantizer would " +
+        s"change recall; lower c or the stride")
     rows.toSeq.zipWithIndex.map { case (r, i) =>
       mkCentroid(i, r.getSeq[Double](0))
     }

@@ -48,7 +48,10 @@ object Pq {
       .limit(ks)
       .select(Similarity.toDouble(col(vecCol)).as("v"))
       .collect()
-    require(rows.nonEmpty, s"seedCodebooks: no rows with $idCol % $stride == 0")
+    require(rows.length == ks,
+      s"seedCodebooks: requested ks=$ks centroids but only ${rows.length} " +
+        s"rows have $idCol % $stride == 0 — a silently smaller codebook " +
+        s"would change recall; lower ks or the stride")
     val seeds = rows.map(_.getSeq[Double](0))
     val dim = seeds.head.size
     require(dim % m == 0, s"seedCodebooks: dim $dim not divisible by m=$m")
