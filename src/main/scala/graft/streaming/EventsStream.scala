@@ -202,10 +202,15 @@ object EventsStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Secondary sort on a content hash of the full row: equal-version
+        // duplicates inside one micro-batch would otherwise pick an
+        // arbitrary (partition-order-dependent) winner, making the
+        // converged table nondeterministic across retries/replans.
         val dedup = batch.withColumn("__rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(keyCols.map(col): _*)
-            .orderBy(col(versionCol).desc)))
+            .orderBy(col(versionCol).desc,
+              xxhash64(batch.columns.map(col): _*).desc)))
           .filter(col("__rn") === 1).drop("__rn")
         graft.sources.JdbcUpsert.upsert(dedup, url, table, props, keyCols,
           connections = connections, dialect = dialect,
