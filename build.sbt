@@ -8,6 +8,11 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // in the pre-warmed cache (the correctness oracle is DuckDB); used
+  // ONLY to live-execute the PostgreSQL `ON CONFLICT` upsert arm in
+  // JdbcSpec — DuckDB accepts pangres' exact statement shape, so the
+  // dialect that was previously shape-tested-only now runs for real
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test,
 )
 Test / fork := true
 run / fork := true

@@ -27,6 +27,11 @@ object Bench {
     // the median over a deterministic order is robust to one bad run
     // without hiding a consistent regression the way min can.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def loadAvg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "null" }
+    val loadBefore = loadAvg()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -37,6 +42,17 @@ object Bench {
       name -> (if (times.nonEmpty) times else Seq(-1.0))
     }
     def med(ts: Seq[Double]) = ts(ts.length / 2)
+    // Environment block: a uniform cross-round drift on identical code is
+    // only diagnosable if the run records the machine state it saw.
+    // loadavg is sampled BEFORE and AFTER the timed section — a non-idle
+    // "before" or a big jump flags background contention on the box.
+    val rt = Runtime.getRuntime
+    val env =
+      s"""{"load_before":$loadBefore,"load_after":${loadAvg()},""" +
+        s""""heap_max_mb":${rt.maxMemory() / (1 << 20)},""" +
+        s""""procs_online":${rt.availableProcessors()},""" +
+        s""""java":"${System.getProperty("java.version")}",""" +
+        s""""spark":"${spark.version}"}"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + med(v) }
       .mkString("{", ",", "}")
     // per-query min/max spread alongside the median, so a 1.3x move can
@@ -46,7 +62,7 @@ object Bench {
       s"\"" + k + "\":[" + v.head + "," + med(v) + "," + v.last + "]"
     }.mkString("{", ",", "}")
     val total = results.map(r => med(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir","env":$env}""")
     spark.stop()
   }
 }

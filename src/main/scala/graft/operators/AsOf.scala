@@ -57,12 +57,21 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            timeCol: String, payload: Seq[String],
            direction: Direction, tolerance: Option[Long]): DataFrame = {
+    // "__rt" is reserved inside the carried struct for the matched right
+    // time; a payload column of that name would create a duplicate
+    // struct field and make getField("__rt") ambiguous.
+    require(!payload.contains("__rt"),
+      "asof: payload column name '__rt' is reserved")
     val leftCols = left.columns.toSeq
+    // A right row with NULL time can never be "the most recent row at or
+    // before t" — pandas merge_asof rejects NaT right keys; dropping them
+    // up front keeps the carry ordered and the tolerance check non-null.
+    val rightNonNull = right.filter(col(timeCol).isNotNull)
     // payload travels as ONE struct (+ the right time for the tolerance
     // check): last/first(ignoreNulls) then matches the nearest right ROW
     // even when individual payload fields are null (per-column carry
     // would skip over genuine nulls).
-    val taggedRight = right.select(
+    val taggedRight = rightNonNull.select(
       keys.map(col) :+ col(timeCol) :+ lit(1).as("__is_right") :+
         struct((payload.map(col) :+ col(timeCol).as("__rt")): _*).as("__p"): _*)
     val pType = taggedRight.schema("__p").dataType

@@ -95,6 +95,17 @@ object SimilarityQueries {
       Multimodal.audioWindows(Multimodal.fromDocuments(documents(s, d)),
         winSize = 400, hop = 160)
         .orderBy(col("media_id"), col("window_idx"))
+    },
+
+    // multimodal: REAL codec round trip — javax.imageio PNG encode of
+    // the first 64 payload bytes as an 8x8 grayscale raster, then a
+    // real ImageIO decode back to pixel stats. Lossless gray PNG means
+    // the decoded pixels ARE the source bytes, so the oracle can verify
+    // an actual codec path from the original text.
+    "m4_image_decode" -> { (s, d) =>
+      Multimodal.decodeImageFeatures(
+        Multimodal.encodeGrayPng(Multimodal.fromDocuments(documents(s, d))))
+        .orderBy(col("media_id"))
     }
   )
 
@@ -207,7 +218,11 @@ object SimilarityQueries {
     // dot(v,c)/|c|, argmax assignment, nprobe probe lists, exact-cosine
     // ranking — no aux tables, full hash-match.
     "y4_ann_ivf" -> {
-      val centScore = s"${sqlDot("b.v", "s.cv")} / ${sqlNorm("s.cv")}"
+      // zero-norm guard mirrors Ivf.centScore (Ivf.scala): an all-zero
+      // seed vector scores 0.0, never NULL/NaN — engine/oracle parity
+      // must not hinge on the data containing no zero vectors
+      val centScore = s"""CASE WHEN ${sqlNorm("s.cv")} > 0
+         | THEN ${sqlDot("b.v", "s.cv")} / ${sqlNorm("s.cv")} ELSE 0.0 END""".stripMargin
       s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
          |cents AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
@@ -342,6 +357,21 @@ object SimilarityQueries {
         |  CAST(window_idx * 160 AS INT) AS start_byte,
         |  CAST(unicode(text[window_idx*160 + 1 : window_idx*160 + 1]) AS INT) AS first_byte,
         |  CAST(unicode(text[window_idx*160 + 400 : window_idx*160 + 400]) AS INT) AS last_byte
-        |FROM w ORDER BY media_id, window_idx""".stripMargin
+        |FROM w ORDER BY media_id, window_idx""".stripMargin,
+
+    // m4: the engine PNG-encodes the first 64 ASCII bytes as an 8x8
+    // grayscale raster and ImageIO-decodes it back; lossless PNG means
+    // pixel(y,x) == byte[y*8+x], so every stat is computable from the
+    // original text. sum/64 is an exact binary fraction (2^-6), so the
+    // DOUBLE division matches the engine bit for bit.
+    "m4_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> unicode(text[i:i]))) AS DOUBLE) / 64 AS mean_px,
+        |  CAST(unicode(text[1:1]) AS INT) AS px_first,
+        |  CAST(unicode(text[64:64]) AS INT) AS px_last
+        |FROM documents WHERE octet_length(encode(text)) >= 64
+        |ORDER BY media_id""".stripMargin
   )
 }

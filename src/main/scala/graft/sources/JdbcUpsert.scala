@@ -194,19 +194,41 @@ object JdbcUpsert {
     }
   }
 
+  /** Deterministic tie-break column: xxhash64 over every HASHABLE column
+    * in `cols`. `MapType` (incl. nested inside structs/arrays) is
+    * unhashable in Spark's `hash`/`xxhash64`, so map-bearing columns are
+    * excluded rather than failing the whole sink with an
+    * AnalysisException. Consequence: two rows that are identical except
+    * in an excluded map column still tie arbitrarily — determinism
+    * covers rows distinguishable by a hashable column. */
+  def contentHash(schema: StructType, cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType      => false
+      case s: StructType   => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType    => hashable(a.elementType)
+      case _               => true
+    }
+    val hs = cols.filter(c => hashable(schema(c).dataType)).map(col)
+    if (hs.isEmpty) lit(0L) else xxhash64(hs: _*)
+  }
+
   /** Lake-side upsert equivalent (SURVEY §7.4 option (c)): merge a delta
     * batch into an existing snapshot keeping the newest row per key —
     * what `dropDuplicates`-on-union gives when `versionCol` orders
     * versions. Version ties resolve in favor of the DELTA row (the
     * reference's `if_row_exists='update'` semantics: an incoming row
-    * replaces the stored one), which also makes same-batch replays
-    * deterministic. Pure DataFrame; no DB. */
+    * replaces the stored one); two DELTA rows with an equal key+version
+    * tie resolve to the max content hash, so same-batch replays AND
+    * equal-version in-batch duplicates are deterministic. Pure
+    * DataFrame; no DB. */
   def mergeByKey(existing: DataFrame, delta: DataFrame,
                  keyCols: Seq[String], versionCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__src").desc)
+      .orderBy(col(versionCol).desc, col("__src").desc,
+        contentHash(existing.schema, existing.columns.toSeq).desc)
     existing.withColumn("__src", lit(0))
       .unionByName(delta.withColumn("__src", lit(1)))
       .withColumn("__rn", row_number().over(w))

@@ -159,7 +159,13 @@ object EventsStream {
           else batch.withColumn("__rn", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(keyCols.map(col): _*)
-              .orderBy(col(versionCol).desc)))
+              .orderBy(col(versionCol).desc,
+                // same content-hash tie-break as mergeByKey: the
+                // bootstrap batch must pick equal-version winners
+                // deterministically too, or the first snapshot differs
+                // across retries
+                graft.sources.JdbcUpsert
+                  .contentHash(batch.schema, batch.columns.toSeq).desc)))
             .filter(col("__rn") === 1).drop("__rn")
         // the merge reads the live snapshot, so materialize to a sibling
         // and swap — never overwrite a path that feeds the running plan
@@ -202,15 +208,20 @@ object EventsStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Secondary sort on a content hash of the full row: equal-version
-        // duplicates inside one micro-batch would otherwise pick an
-        // arbitrary (partition-order-dependent) winner, making the
-        // converged table nondeterministic across retries/replans.
+        // Secondary sort on a content hash of the row (hashable columns
+        // only — maps are excluded, see JdbcUpsert.contentHash):
+        // equal-version duplicates inside one micro-batch would
+        // otherwise pick an arbitrary (partition-order-dependent)
+        // winner. Scope: determinism holds WITHIN a batch; equal-version
+        // rows split ACROSS micro-batches still resolve first-arrival,
+        // because the strictly-newer version guard makes the later
+        // batch's equal-version row a no-op.
         val dedup = batch.withColumn("__rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(keyCols.map(col): _*)
             .orderBy(col(versionCol).desc,
-              xxhash64(batch.columns.map(col): _*).desc)))
+              graft.sources.JdbcUpsert
+                .contentHash(batch.schema, batch.columns.toSeq).desc)))
           .filter(col("__rn") === 1).drop("__rn")
         graft.sources.JdbcUpsert.upsert(dedup, url, table, props, keyCols,
           connections = connections, dialect = dialect,

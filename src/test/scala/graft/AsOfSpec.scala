@@ -50,6 +50,28 @@ class AsOfSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "nearer"), (2L, null)))
   }
 
+  test("payload column named __rt is rejected") {
+    val df = Seq(("k", 1L, "x")).toDF("k", "t", "__rt")
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.join(df.toDF("k", "t", "id"), df, Seq("k"), "t", Seq("__rt"))
+    }
+    assert(ex.getMessage.contains("__rt"))
+  }
+
+  test("right rows with null time never match (pandas merge_asof parity)") {
+    val left = Seq((1L, "k", 10L)).toDF("id", "k", "t")
+    val right = Seq(("k", Option.empty[Long], "ghost"), ("k", Some(5L), "real"))
+      .toDF("k", "t", "v")
+    val got = AsOf.join(left, right, Seq("k"), "t", Seq("v")).collect()(0)
+    // the null-time row must not be carried (it would otherwise sort
+    // first and be skipped only by luck of the window frame) — and with
+    // a tolerance the null right time must not poison the bound check
+    assert(got.getAs[String]("asof_v") == "real")
+    val withTol = AsOf.join(left, right, Seq("k"), "t", Seq("v"),
+      AsOf.Backward, Some(100L)).collect()(0)
+    assert(withTol.getAs[String]("asof_v") == "real")
+  }
+
   test("null payload field on the matched row is returned, not skipped") {
     val left = Seq((1L, "k", 30L)).toDF("id", "k", "t")
     val right = Seq(("k", 10L, Some("old")), ("k", 20L, Option.empty[String]))

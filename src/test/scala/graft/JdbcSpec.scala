@@ -135,6 +135,100 @@ class JdbcSpec extends SparkSpec {
       s"|got|=${got.size} |want|=${want.size} diff=${(want diff got).take(3)}")
   }
 
+  test("live Postgres-dialect upsert: ON CONFLICT executes for real (DuckDB)") {
+    // DuckDB accepts PostgreSQL's exact `INSERT … ON CONFLICT (pk)
+    // DO UPDATE SET … = EXCLUDED.…` grammar (incl. the `AS t` target
+    // alias and the version-guard WHERE) — so the dialect arm that was
+    // previously statement-shape-tested now drives the REAL
+    // foreachPartition/prepare/batch/commit path end to end.
+    val dbFile = java.nio.file.Files.createTempDirectory("duck").toString + "/pg.duckdb"
+    val duckUrl = s"jdbc:duckdb:$dbFile"
+    Class.forName("org.duckdb.DuckDBDriver")
+    val conn = DriverManager.getConnection(duckUrl)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE milestones_pg (id BIGINT PRIMARY KEY, name VARCHAR, amount DOUBLE)")
+    } finally conn.close()
+
+    def batch(ids: Range, tag: String) = ids.map(i =>
+      (i.toLong, s"${tag}_$i", i * 100.0)).toDF("id", "name", "amount")
+
+    // seed: all-insert; delta overlaps -> 30 DO UPDATE + 30 insert.
+    // batchSize=16 forces multiple executeBatch flushes; DuckDB file DBs
+    // take a single writer, so fan-in stays at 1 connection (the
+    // dialect/execute seam is identical at any connection count)
+    JdbcUpsert.upsert(batch(1 to 60, "v1"), duckUrl, "milestones_pg", props,
+      keyCols = Seq("id"), connections = 1, batchSize = 16,
+      dialect = JdbcUpsert.Postgres)
+    JdbcUpsert.upsert(batch(31 to 90, "v2"), duckUrl, "milestones_pg", props,
+      keyCols = Seq("id"), connections = 1, batchSize = 16,
+      dialect = JdbcUpsert.Postgres)
+    // version-guarded arm: stale row must be rejected by the WHERE guard
+    JdbcUpsert.upsert(Seq((40L, "stale", -1.0)).toDF("id", "name", "amount"),
+      duckUrl, "milestones_pg", props, keyCols = Seq("id"),
+      connections = 1, dialect = JdbcUpsert.Postgres, versionCol = Some("amount"))
+    JdbcUpsert.upsert(Seq((40L, "newer", 99999.0)).toDF("id", "name", "amount"),
+      duckUrl, "milestones_pg", props, keyCols = Seq("id"),
+      connections = 1, dialect = JdbcUpsert.Postgres, versionCol = Some("amount"))
+
+    val check = DriverManager.getConnection(duckUrl)
+    try {
+      val st = check.createStatement()
+      val n = st.executeQuery("SELECT count(*) FROM milestones_pg")
+      n.next(); assert(n.getLong(1) == 90, "PK held: no dup inserts")
+      def nameOf(id: Long) = {
+        val rs = st.executeQuery(s"SELECT name FROM milestones_pg WHERE id = $id")
+        rs.next(); rs.getString(1)
+      }
+      assert(nameOf(10L) == "v1_10")   // untouched by delta
+      assert(nameOf(50L) == "v2_50")   // DO UPDATE arm fired
+      assert(nameOf(90L) == "v2_90")   // insert arm fired
+      assert(nameOf(40L) == "newer")   // guard: stale rejected, newer won
+      // 60 v2 rows landed, minus id 40 which the guarded arm replaced
+      val v2 = st.executeQuery(
+        "SELECT count(*) FROM milestones_pg WHERE name LIKE 'v2_%'")
+      v2.next(); assert(v2.getLong(1) == 59)
+    } finally check.close()
+  }
+
+  test("jdbc sink: equal-version in-batch duplicates converge deterministically") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE tie_latest (user_id BIGINT PRIMARY KEY, event_id BIGINT, event_type VARCHAR(64))")
+    } finally conn.close()
+    val rows = Seq((1L, 10L, "payload_a"), (1L, 10L, "payload_b"))
+    val schema = rows.toDF("user_id", "event_id", "event_type").schema
+    val expected = {
+      val df = rows.toDF("user_id", "event_id", "event_type")
+      val hs = df.withColumn("__h", JdbcUpsert.contentHash(schema,
+        Seq("user_id", "event_id", "event_type")))
+        .collect().map(r => (r.getString(2), r.getLong(3))).toMap
+      if (hs("payload_a") > hs("payload_b")) "payload_a" else "payload_b"
+    }
+    val winners = (1 to 3).map { i =>
+      val conn2 = DriverManager.getConnection(url)
+      try conn2.createStatement().execute("DELETE FROM tie_latest")
+      finally conn2.close()
+      val src = java.nio.file.Files.createTempDirectory(s"jtie_src$i").toString
+      // vary physical order per run; the converged row must not move
+      rows.toDF("user_id", "event_id", "event_type")
+        .repartition(i).write.mode("overwrite").parquet(src)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"jtie_ckpt$i").toString
+      val q = graft.streaming.EventsStream.jdbcUpsertSink(
+        spark.readStream.schema(schema).parquet(src),
+        keyCols = Seq("user_id"), versionCol = "event_id",
+        url = url, table = "tie_latest", props = props, checkpointDir = ckpt,
+        dialect = JdbcUpsert.Merge, connections = 2)
+      q.awaitTermination()
+      val back = Readers.jdbc(spark, url, "tie_latest", props).collect()
+      assert(back.length == 1, "duplicate keys must collapse before the upsert")
+      back(0).getAs[String]("EVENT_TYPE")
+    }
+    assert(winners.forall(_ == expected),
+      s"expected stable winner $expected, got $winners")
+  }
+
   test("merge and postgres dialects bind the same number of placeholders") {
     val schema = batchSchema
     val pg = JdbcUpsert.Postgres

@@ -34,21 +34,46 @@ class PqSpec extends SparkSpec {
     assert(a(0L) == Seq.fill(8)(0), s"seed 0 must encode to centroid 0: ${a(0L)}")
   }
 
-  test("adcTopK ranks the identical twin first with adc 0") {
+  test("adcTopK ranks the identical twin at the self-reconstruction distance") {
     val base = emb.select($"vec_id", Similarity.toDouble($"embedding").as("embedding"))
     val twin = emb.select(($"vec_id" + 100000L).as("vec_id"),
       Similarity.toDouble($"embedding").as("embedding"))
     val corpus = base.unionByName(twin)
     val qs = Seq(1L, 2L, 3L)
-    val top1 = Pq.adcTopK(corpus, "vec_id", "embedding", qs, k = 1)
-      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getDouble(3)))).toMap
-    qs.foreach { q =>
-      val (nb, dist) = top1(q)
-      assert(nb == q + 100000L, s"identical twin of $q shares every code")
-      assert(dist == top1(q)._2 && dist >= 0.0)
-    }
     // identical vectors have identical codes -> identical reconstruction
-    // -> adc(q, twin) == adc(q, q's own codes) (the minimum possible)
+    // -> adc(q, twin) must EQUAL adc(q, q's own codes): the query's
+    // self-reconstruction (quantization) distance, computed here
+    // independently with the same ordered fold as the engine
+    val books = Pq.seedCodebooks(corpus, "vec_id", "embedding", m = 8, ks = 16)
+    val d = books.head.head.size
+    val vecs = base.filter($"vec_id".isin(qs: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    def selfAdc(q: Long): Double = {
+      val v = vecs(q)
+      val total = books.indices.foldLeft(0.0) { (acc, s) =>
+        val sub = v.slice(s * d, (s + 1) * d)
+        val cent = books(s).minBy(c =>
+          c.indices.foldLeft(0.0)((a, i) => a + (sub(i) - c(i)) * (sub(i) - c(i))))
+        acc + cent.indices.foldLeft(0.0)((a, i) =>
+          a + (sub(i) - cent(i)) * (sub(i) - cent(i)))
+      }
+      BigDecimal(total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // k wide enough to absorb same-code ties (which legitimately rank
+    // before the twin on the neighbor_id tie-break, but cannot BEAT it:
+    // q's own codes minimize ADC by construction)
+    val ranked = Pq.adcTopK(corpus, "vec_id", "embedding", qs, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    qs.foreach { q =>
+      val mine = ranked.filter(_._1 == q)
+      val twin = mine.find(_._2 == q + 100000L)
+      assert(twin.nonEmpty, s"identical twin of $q must rank in the top-100")
+      assert(twin.get._3 == selfAdc(q),
+        s"twin adc ${twin.get._3} != self-reconstruction adc ${selfAdc(q)}")
+      assert(mine.map(_._3).min == selfAdc(q),
+        "no neighbor may score below the self-reconstruction distance")
+      assert(twin.get._3 >= 0.0)
+    }
   }
 
   test("adc recall vs brute force is reported") {

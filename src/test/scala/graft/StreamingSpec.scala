@@ -86,6 +86,74 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot.count() > 0)
   }
 
+  test("equal-version duplicates converge to the max-content-hash row, every run") {
+    import spark.implicits._
+    // two rows, SAME key + SAME version, different payloads, in ONE
+    // micro-batch — without the tie-break the winner is partition-order
+    // dependent. The contract: max xxhash64 over the row wins, stably.
+    val rows = Seq((1L, 10L, "payload_a"), (1L, 10L, "payload_b"),
+      (2L, 5L, "only"))
+    val expected = {
+      val hs = rows.toDF("user_id", "event_id", "event_type")
+        .withColumn("__h", graft.sources.JdbcUpsert.contentHash(
+          rows.toDF("user_id", "event_id", "event_type").schema,
+          Seq("user_id", "event_id", "event_type")))
+        .filter($"user_id" === 1L)
+        .collect().map(r => (r.getString(2), r.getLong(3))).toMap
+      if (hs("payload_a") > hs("payload_b")) "payload_a" else "payload_b"
+    }
+    val winners = (1 to 3).map { i =>
+      val src = java.nio.file.Files.createTempDirectory(s"tie_src$i").toString
+      // shuffle the physical row order per run: the winner must not care
+      rows.toDF("user_id", "event_id", "event_type")
+        .repartition(i).write.mode("overwrite").parquet(src)
+      val snapDir = java.nio.file.Files.createTempDirectory(s"tie_snap$i").toString + "/cur"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"tie_ckpt$i").toString
+      val q = EventsStream.upsertSnapshotSink(
+        spark.readStream.schema(rows.toDF("user_id", "event_id", "event_type").schema)
+          .parquet(src),
+        keyCols = Seq("user_id"), versionCol = "event_id",
+        snapshotDir = snapDir, checkpointDir = ckpt)
+      q.awaitTermination()
+      val snap = spark.read.parquet(snapDir)
+      assert(snap.count() == 2, "one row per key")
+      snap.filter($"user_id" === 1L).select("event_type").collect()(0).getString(0)
+    }
+    assert(winners.forall(_ == expected),
+      s"expected stable winner $expected, got $winners")
+  }
+
+  test("mergeByKey: equal key+version delta ties resolve deterministically") {
+    import spark.implicits._
+    val existing = Seq((1L, 1L, "old")).toDF("id", "ver", "v")
+    val delta = Seq((1L, 9L, "a"), (1L, 9L, "b")).toDF("id", "ver", "v")
+    val first = graft.sources.JdbcUpsert
+      .mergeByKey(existing, delta, Seq("id"), "ver")
+      .collect()(0).getString(2)
+    // repartitioned delta (different physical order) must pick the same row
+    (2 to 4).foreach { n =>
+      val got = graft.sources.JdbcUpsert
+        .mergeByKey(existing, delta.repartition(n), Seq("id"), "ver")
+        .collect()(0).getString(2)
+      assert(got == first, s"tie winner moved with partitioning: $got vs $first")
+    }
+  }
+
+  test("contentHash excludes map columns instead of failing the sink") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, Map("k" -> "v")), (1L, 2L, Map("k2" -> "v2")))
+      .toDF("id", "ver", "attrs")
+    // xxhash64 over a MapType throws; contentHash must not
+    val h = graft.sources.JdbcUpsert.contentHash(df.schema, df.columns.toSeq)
+    val hs = df.select(h).collect().map(_.getLong(0))
+    // map column excluded -> both rows hash identically (documented tie)
+    assert(hs(0) == hs(1))
+    // and the dedup window over a map-bearing frame executes cleanly
+    val merged = graft.sources.JdbcUpsert.mergeByKey(
+      df.limit(1), df, Seq("id"), "ver")
+    assert(merged.count() == 1)
+  }
+
   test("snapshot swap: rename-aside recovery covers every crash window") {
     import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
