@@ -80,15 +80,36 @@ object Pq {
       e => e.getField("cid")), 1)
   }
 
+  /** codes[m] for a vector column — exposed so compositions ([[IvfPq]])
+    * can encode in the same projection as other map-side columns. */
+  private[operators] def codesCol(v: Column, books: Codebooks): Column = {
+    val d = books.head.head.size
+    array(books.indices.map(s => code(v, s, d, books(s))): _*)
+  }
+
+  /** Per-query lookup table: lut(s)(c) = d²(q_s, centroid c of
+    * subspace s), computed ONCE per query row. */
+  private[operators] def lutCol(q: Column, books: Codebooks): Column = {
+    val d = books.head.head.size
+    array(books.indices.map(s =>
+      array(books(s).map(c => l2sq(subvec(q, s, d), c)): _*)): _*)
+  }
+
+  /** Fixed-order ADC fold s = 0..m-1 over a lut and a codes column —
+    * deterministic double sum, mirrored exactly by the oracle's ordered
+    * list fold. */
+  private[operators] def adcCol(lut: Column, codes: Column, m: Int): Column =
+    (0 until m).map(s =>
+      element_at(element_at(lut, s + 1),
+        element_at(codes, s + 1) + 1)).reduce(_ + _)
+
   /** Corpus encoded to (id, codes[m]) — a pure map-side projection; the
     * raw vector is DROPPED here and never reappears downstream. */
   def encode(emb: DataFrame, idCol: String, vecCol: String,
              books: Codebooks): DataFrame = {
-    val d = books.head.head.size
     val v = Similarity.toDouble(col(vecCol))
     emb.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("id"),
-        array(books.indices.map(s => code(v, s, d, books(s))): _*).as("codes"))
+      .select(col(idCol).as("id"), codesCol(v, books).as("codes"))
   }
 
   /** ADC top-k for a bounded query set: encode the corpus map-side,
@@ -104,18 +125,11 @@ object Pq {
               queryIds: Seq[Long], k: Int = 10, m: Int = 8, ks: Int = 16,
               stride: Long = 7L): DataFrame = {
     val books = seedCodebooks(emb, idCol, vecCol, m, ks, stride)
-    val d = books.head.head.size
     val encoded = encode(emb, idCol, vecCol, books)
     val q = Similarity.toDouble(col(vecCol))
-    val lut = array(books.indices.map(s =>
-      array(books(s).map(c => l2sq(subvec(q, s, d), c)): _*)): _*)
     val queries = emb.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), lut.as("lut"))
-    // fixed-order fold s = 0..m-1: deterministic double sum, mirrored
-    // exactly by the oracle's ordered list fold
-    val adc = books.indices.map(s =>
-      element_at(element_at(col("lut"), s + 1),
-        element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+      .select(col(idCol).as("query_id"), lutCol(q, books).as("lut"))
+    val adc = adcCol(col("lut"), col("codes"), m)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     encoded.crossJoin(broadcast(queries))

@@ -67,6 +67,15 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // IVF-PQ composition (FAISS IVFPQ shape): coarse quantizer bounds
+    // WHICH rows are scored, PQ codes bound what each row carries —
+    // the scan emits (id, cluster, codes), never a vector.
+    "y6_ann_ivfpq" -> { (s, d) =>
+      graft.operators.IvfPq.ivfPqTopK(embeddings(s, d), "vec_id", "embedding",
+        QueryIds, k = 10, c = 16, nprobe = 4, m = 8, ks = 16, stride = 7L)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // embedding-cosine near-dup pairs via hyperplane-LSH candidates.
     "x5_embedding_near_dup" -> { (s, d) =>
       Dedup.embeddingCosinePairs(nearDupEmbeddings(s, d), "vec_id", "embedding",
@@ -305,6 +314,72 @@ object SimilarityQueries {
          |  FROM adc)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // y6: the COMPOSED IVF-PQ path, fully mirrored — y4's coarse
+    // assignment + probe lists (zero-norm-guarded centroid score)
+    // restrict the candidate set; y5's codes + per-query subspace
+    // distances + ordered fold score it. No aux tables, full hash-match.
+    "y6_ann_ivfpq" -> {
+      val centScore = s"""CASE WHEN ${sqlNorm("s.cv")} > 0
+         | THEN ${sqlDot("b.v", "s.cv")} / ${sqlNorm("s.cv")} ELSE 0.0 END""".stripMargin
+      s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+         |seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+         |  FROM (SELECT vec_id, v FROM base WHERE vec_id % 7 = 0
+         |        ORDER BY vec_id LIMIT 16)),
+         |ccents AS (SELECT cid, v AS cv FROM seeds),
+         |cscored AS (
+         |  SELECT b.vec_id, s.cid, $centScore AS score
+         |  FROM base b CROSS JOIN ccents s),
+         |cranked AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+         |  FROM cscored),
+         |assigned AS (
+         |  SELECT vec_id, cid AS cluster_id FROM cranked WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cluster_id FROM cranked
+         |  WHERE vec_id IN (${QueryIds.mkString(", ")}) AND rn <= 4),
+         |pcents AS (
+         |  SELECT CAST(s AS INT) AS s, cid, v[s*8+1 : s*8+8] AS cv
+         |  FROM seeds, unnest(generate_series(0, 7)) AS t(s)),
+         |cdists AS (
+         |  SELECT b.vec_id, c.s, c.cid,
+         |    list_sum(list_transform(list_zip(b.v[c.s*8+1 : c.s*8+8], c.cv),
+         |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+         |  FROM base b CROSS JOIN pcents c),
+         |codes AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |        ORDER BY dist, cid) AS rn
+         |    FROM cdists) WHERE rn = 1),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assigned a ON a.cluster_id = p.cluster_id
+         |  WHERE a.vec_id <> p.query_id),
+         |pairdist AS (
+         |  SELECT cnd.query_id, cnd.neighbor_id, n.s,
+         |    list_sum(list_transform(list_zip(q.v[n.s*8+1 : n.s*8+8], c.cv),
+         |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+         |  FROM cand cnd
+         |  JOIN codes n ON n.vec_id = cnd.neighbor_id
+         |  JOIN pcents c ON c.s = n.s AND c.cid = n.code
+         |  JOIN base q ON q.vec_id = cnd.query_id),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE), list(dist ORDER BY s)),
+         |      (a, x) -> a + x), 6) AS adc_dist
+         |  FROM pairdist GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc_dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+         |  FROM adc)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
 
     "x5_embedding_near_dup" ->
       s"""WITH base AS (
