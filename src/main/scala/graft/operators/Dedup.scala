@@ -561,4 +561,55 @@ object Dedup {
       .filter(col("cosine_sim") >= threshold)
       .select("id_a", "id_b", "cosine_sim")
   }
+
+  // ---- semantic dedup (SemDeDup shape) -----------------------------------
+
+  /** Semantic dedup à la SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with a coarse quantizer, score cosine pairs only
+    * WITHIN each cluster, and keep one representative per near-dup
+    * neighborhood. Complements [[embeddingCosinePairs]]: hyperplane
+    * buckets catch literal near-copies (cos ≥ 0.98); centroid clusters
+    * catch looser semantic redundancy at lower thresholds, where a
+    * single 12-plane bucket would split most true pairs.
+    *
+    * Keep rule (deterministic, local, SQL-expressible): an id is DROPPED
+    * iff some SMALLER id in its cluster has cosine ≥ `threshold` with it
+    * — i.e. the smallest id of every near-dup neighborhood survives
+    * (the greedy keep-first policy; SemDeDup's keep-one-per-group up to
+    * tie-break choice).
+    *
+    * Scale design: assignment is the [[Ivf]] literal-centroid map-side
+    * expression (no quantizer join, corpus never shuffles for it); the
+    * within-cluster self-join is a SORT-MERGE on cluster_id where both
+    * legs read the identical assign exchange (ReusedExchange — the
+    * assign projection runs once); cost is Σ|cluster|², WHICH IS THE
+    * PUBLISHED METHOD'S CONTRACT: C grows with the corpus so n/C stays
+    * bounded (SemDeDup uses ~100k clusters at web scale), making the
+    * per-cluster quadratic a constant-size unit of work. The `c`
+    * parameter is that knob; the default matches the oracle-gated toy
+    * quantizer. Output: (vec_id, cluster_id, kept) — the full roster,
+    * so a gate hash-checks every keep/drop decision. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.9, c: Int = 16,
+                    stride: Long = 7L): DataFrame = {
+    val cents = Ivf.seedCentroids(df, idCol, vecCol, c, stride)
+    val assigned = Ivf.assign(df, idCol, vecCol, cents)
+      .repartition(col("cluster_id"))
+    val a = assigned.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("nv").as("n_a"), col("cluster_id"))
+    val b = assigned.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("nv").as("n_b"), col("cluster_id"))
+    // merge hint + explicit cluster_id repartition: same rationale as
+    // embeddingCosinePairs — corpus-vs-corpus must never broadcast, and
+    // identical exchange subtrees make the second leg a ReusedExchange
+    val drops = a.hint("merge").join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosinePrenormed(
+        col("v_a"), col("v_b"), col("n_a"), col("n_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("cluster_id"))
+      .join(drops.withColumn("__dropped", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster_id"),
+        col("__dropped").isNull.as("kept"))
+  }
 }

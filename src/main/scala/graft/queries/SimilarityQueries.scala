@@ -84,6 +84,15 @@ object SimilarityQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // semantic dedup (SemDeDup shape): coarse-centroid clusters bound
+    // the pair space, within-cluster cosine drops all but the smallest
+    // id of each near-dup neighborhood; full keep/drop roster gated.
+    "sd1_semantic_dedup" -> { (s, d) =>
+      Dedup.semanticDedup(nearDupEmbeddings(s, d), "vec_id", "embedding",
+        threshold = 0.95, c = 16, stride = 7L)
+        .orderBy(col("vec_id"))
+    },
+
     // multimodal: binary payload + typed meta, batched decode kernel.
     "m1_multimodal_decode" -> { (s, d) =>
       Multimodal.decodeFeatures(Multimodal.fromDocuments(documents(s, d)))
@@ -379,6 +388,43 @@ object SimilarityQueries {
          |  FROM adc)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // sd1: the full SemDeDup path in SQL — y4's guarded centroid
+    // assignment over the twins corpus, within-cluster pairs, the
+    // smaller-id-survives drop rule, and the complete roster.
+    "sd1_semantic_dedup" -> {
+      val centScore = s"""CASE WHEN ${sqlNorm("s.cv")} > 0
+         | THEN ${sqlDot("b.v", "s.cv")} / ${sqlNorm("s.cv")} ELSE 0.0 END""".stripMargin
+      s"""WITH base AS (
+         |  SELECT vec_id, $dblEmb AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01) AS v
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |    v AS cv
+         |  FROM (SELECT vec_id, v FROM base WHERE vec_id % 7 = 0
+         |        ORDER BY vec_id LIMIT 16)),
+         |cscored AS (
+         |  SELECT b.vec_id, s.cid, $centScore AS score
+         |  FROM base b CROSS JOIN cents s),
+         |cranked AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+         |  FROM cscored),
+         |assigned AS (
+         |  SELECT b.vec_id, b.v, r.cid AS cluster_id
+         |  FROM base b JOIN cranked r ON r.vec_id = b.vec_id AND r.rn = 1),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id AS id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         |  WHERE ${sqlCosine("a.v", "b.v")} >= 0.95)
+         |SELECT a.vec_id, a.cluster_id, (d.id IS NULL) AS kept
+         |FROM assigned a LEFT JOIN drops d ON d.id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
     },
 
     "x5_embedding_near_dup" ->

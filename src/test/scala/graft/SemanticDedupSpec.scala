@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Ivf, Similarity}
+
+/** SemDeDup-shape semantic dedup: the keep/drop contract is recomputed
+  * independently driver-side, determinism is partitioning-independent,
+  * and the within-cluster self-join reuses the assign exchange. */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def twins = {
+    val base = graft.Tables.embeddings(spark, sf).select($"vec_id",
+      Similarity.toDouble($"embedding").as("embedding"))
+    base.unionByName(base.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", x => x + lit(0.01)).as("embedding")))
+  }
+
+  test("keep/drop matches an independent driver-side recompute") {
+    val tau = 0.95
+    val got = Dedup.semanticDedup(twins, "vec_id", "embedding", threshold = tau)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getBoolean(2)))).toMap
+    // independent truth: cluster via the (separately spec'd) assign path,
+    // then brute-force within-cluster pairs in plain Scala
+    val rows = Ivf.assign(twins, "vec_id", "embedding",
+      Ivf.seedCentroids(twins, "vec_id", "embedding", 16))
+      .select("id", "v", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val (na, nb) = (math.sqrt(a.map(x => x * x).sum), math.sqrt(b.map(x => x * x).sum))
+      if (na * nb > 0) a.zip(b).map { case (x, y) => x * y }.sum / (na * nb) else 0.0
+    }
+    val byCluster = rows.groupBy(_._3)
+    val expected = rows.map { case (id, v, cl) =>
+      val dropped = byCluster(cl).exists { case (id2, v2, _) =>
+        id2 < id && cos(v2, v) >= tau
+      }
+      id -> ((cl, !dropped))
+    }.toMap
+    assert(got.size == rows.length, "roster must cover every id exactly once")
+    val diff = expected.collect { case (id, e) if got(id) != e => (id, e, got(id)) }
+    assert(diff.isEmpty, s"${diff.size} mismatches, first: ${diff.take(3)}")
+    // the corpus was built to contain near-dups: some rows must drop,
+    // and the smallest id of each neighborhood must survive
+    assert(got.values.exists(!_._2), "twins corpus must produce drops")
+    assert(got.values.exists(_._2), "representatives must survive")
+  }
+
+  test("result is independent of input partitioning") {
+    val one = Dedup.semanticDedup(twins, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    val other = Dedup.semanticDedup(twins.repartition(13), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(one == other)
+  }
+
+  test("plan: sort-merge self-join over a reused assign exchange") {
+    // ReuseExchange is visible only in the FINAL adaptive plan,
+    // post-execution (same caveat as PlanSpec's dedup assertions)
+    val df = Dedup.semanticDedup(twins, "vec_id", "embedding")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"),
+      s"within-cluster pairing must be a sort-merge join:\n$plan")
+    assert("ReusedExchange".r.findAllIn(plan).nonEmpty,
+      s"second self-join leg must reuse the assign exchange:\n$plan")
+  }
+}
