@@ -39,6 +39,14 @@ object StreamingQueries {
         .orderBy(col("user_id"))
     },
 
+    // stream-stream interval self-join (purchase→view attribution),
+    // batch-parity form; the watermarked two-leg streaming run of the
+    // same join is asserted equal in StreamingSpec.
+    "b5_attribution_join" -> { (s, d) =>
+      EventsStream.attributionJoin(batchEvents(s, d), lookback = "1 hour")
+        .orderBy(col("user_id"), col("purchase_id"), col("view_id"))
+    },
+
     // the streaming upsert sink's merge step (latest row per key by
     // version), batch-parity form — the multi-batch streaming run of the
     // same fold is asserted equal in StreamingSpec.
@@ -84,6 +92,17 @@ object StreamingQueries {
       """SELECT user_id, event_id, event_type, value
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    // b5: timestamps truncate to micros on both engines (Spark: ts div
+    // 1000; DuckDB: TIMESTAMP_NS -> TIMESTAMP cast), so the interval
+    // boundary comparisons agree exactly.
+    "b5_attribution_join" ->
+      """SELECT l.user_id, l.event_id AS purchase_id, r.event_id AS view_id,
+        |  epoch_us(CAST(l.ts AS TIMESTAMP)) - epoch_us(CAST(r.ts AS TIMESTAMP)) AS gap_us
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'purchase' AND r.event_type = 'view'
+        |  AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+        |  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -59,6 +59,37 @@ object EventsStream {
         col("total_value").cast("double").as("total_value"))
   }
 
+  /** Stream-stream interval self-join (purchase→view attribution): pair
+    * each purchase with every view by the same user within `lookback`
+    * before it (inclusive both ends). Works identically on batch and
+    * stream inputs. In streaming mode both legs carry a watermark and
+    * the join condition is a BOUNDED time interval — together these let
+    * Spark evict join state (each side keeps ≈ lookback + watermark of
+    * history per key), which is what makes a stream-stream join viable
+    * on unbounded input; an unconstrained stream join would accumulate
+    * state forever. Caveat inherent to watermarks: events arriving later
+    * than `watermark` out of order are dropped from the join state, so
+    * exact batch parity needs a watermark larger than the input's
+    * disorder (the parity spec uses an effectively-infinite one).
+    * Output: (user_id, purchase_id, view_id, gap_us). */
+  def attributionJoin(events: DataFrame, lookback: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("event_time", watermark)
+              else events
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("event_time").as("p_time"))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("event_time").as("v_time"))
+    purchases.join(views,
+        col("user_id") === col("v_user_id") &&
+          col("v_time") <= col("p_time") &&
+          col("v_time") >= col("p_time") - expr(s"INTERVAL $lookback"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        (unix_micros(col("p_time")) - unix_micros(col("v_time"))).as("gap_us"))
+  }
+
   /** Gap-based sessionization with the built-in session_window. */
   def sessionRollup(events: DataFrame, gap: String = "30 minutes",
                     watermark: String = "2 hours"): DataFrame = {

@@ -41,6 +41,33 @@ class StreamingSpec extends SparkSpec {
     assert(norm(streamed) == norm(batch))
   }
 
+  test("stream-stream interval join: AvailableNow stream == batch") {
+    // multiple files -> several micro-batches, so purchases and views
+    // genuinely meet across batch boundaries through the join state;
+    // the effectively-infinite watermark guarantees no state eviction
+    // on the unordered file input (exact parity is the claim here —
+    // bounded-state eviction semantics are Spark's own contract)
+    val src = java.nio.file.Files.createTempDirectory("ev_ssj").toString
+    graft.Tables.events(spark, dir).repartition(9)
+      .write.mode("overwrite").parquet(src)
+    val q = EventsStream.attributionJoin(
+      EventsStream.readEvents(spark, src),
+      lookback = "1 hour", watermark = "3650 days")
+      .writeStream.format("memory").queryName("ssj")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_ssj").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length > 1, "expected multiple micro-batches")
+    val got = norm(spark.table("ssj"))
+    val want = norm(EventsStream.attributionJoin(
+      EventsStream.withEventTime(graft.Tables.events(spark, dir)),
+      lookback = "1 hour"))
+    assert(got.nonEmpty && got == want,
+      s"|stream|=${got.size} |batch|=${want.size}")
+  }
+
   test("mapGroupsWithState running totals match a plain aggregate") {
     import spark.implicits._
     val typed = EventsStream.withEventTime(graft.Tables.events(spark, dir))
