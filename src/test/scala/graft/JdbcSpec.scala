@@ -144,11 +144,15 @@ class JdbcSpec extends SparkSpec {
     val dbFile = java.nio.file.Files.createTempDirectory("duck").toString + "/pg.duckdb"
     val duckUrl = s"jdbc:duckdb:$dbFile"
     Class.forName("org.duckdb.DuckDBDriver")
-    val conn = DriverManager.getConnection(duckUrl)
+    // PIN one connection for the whole test: in-process duckdb attaches
+    // every same-path connection to the live instance, so the sequential
+    // upsert connections below never cycle the instance through
+    // close-checkpoint-reopen (observed flaky under parallel-suite load:
+    // a later reader occasionally missed the prior connection's commits)
+    val pin = DriverManager.getConnection(duckUrl)
     try {
-      conn.createStatement().execute(
-        "CREATE TABLE milestones_pg (id BIGINT PRIMARY KEY, name VARCHAR, amount DOUBLE)")
-    } finally conn.close()
+    pin.createStatement().execute(
+      "CREATE TABLE milestones_pg (id BIGINT PRIMARY KEY, name VARCHAR, amount DOUBLE)")
 
     def batch(ids: Range, tag: String) = ids.map(i =>
       (i.toLong, s"${tag}_$i", i * 100.0)).toDF("id", "name", "amount")
@@ -171,24 +175,22 @@ class JdbcSpec extends SparkSpec {
       duckUrl, "milestones_pg", props, keyCols = Seq("id"),
       connections = 1, dialect = JdbcUpsert.Postgres, versionCol = Some("amount"))
 
-    val check = DriverManager.getConnection(duckUrl)
-    try {
-      val st = check.createStatement()
-      val n = st.executeQuery("SELECT count(*) FROM milestones_pg")
-      n.next(); assert(n.getLong(1) == 90, "PK held: no dup inserts")
-      def nameOf(id: Long) = {
-        val rs = st.executeQuery(s"SELECT name FROM milestones_pg WHERE id = $id")
-        rs.next(); rs.getString(1)
-      }
-      assert(nameOf(10L) == "v1_10")   // untouched by delta
-      assert(nameOf(50L) == "v2_50")   // DO UPDATE arm fired
-      assert(nameOf(90L) == "v2_90")   // insert arm fired
-      assert(nameOf(40L) == "newer")   // guard: stale rejected, newer won
-      // 60 v2 rows landed, minus id 40 which the guarded arm replaced
-      val v2 = st.executeQuery(
-        "SELECT count(*) FROM milestones_pg WHERE name LIKE 'v2_%'")
-      v2.next(); assert(v2.getLong(1) == 59)
-    } finally check.close()
+    val st = pin.createStatement()
+    val n = st.executeQuery("SELECT count(*) FROM milestones_pg")
+    n.next(); assert(n.getLong(1) == 90, "PK held: no dup inserts")
+    def nameOf(id: Long) = {
+      val rs = st.executeQuery(s"SELECT name FROM milestones_pg WHERE id = $id")
+      rs.next(); rs.getString(1)
+    }
+    assert(nameOf(10L) == "v1_10")   // untouched by delta
+    assert(nameOf(50L) == "v2_50")   // DO UPDATE arm fired
+    assert(nameOf(90L) == "v2_90")   // insert arm fired
+    assert(nameOf(40L) == "newer")   // guard: stale rejected, newer won
+    // 60 v2 rows landed, minus id 40 which the guarded arm replaced
+    val v2 = st.executeQuery(
+      "SELECT count(*) FROM milestones_pg WHERE name LIKE 'v2_%'")
+    v2.next(); assert(v2.getLong(1) == 59)
+    } finally pin.close()
   }
 
   test("jdbc sink: equal-version in-batch duplicates converge deterministically") {
