@@ -193,6 +193,48 @@ class JdbcSpec extends SparkSpec {
     } finally pin.close()
   }
 
+  test("streaming sink through the Postgres dialect converges live (DuckDB)") {
+    // completes the matrix: the streaming upsert sink previously ran
+    // live only through Derby MERGE; this drives the same multi-batch
+    // convergence through the ON CONFLICT arm. connections=1: duckdb
+    // file databases take a single writer
+    val dbFile = java.nio.file.Files.createTempDirectory("duck_s").toString + "/s.duckdb"
+    val duckUrl = s"jdbc:duckdb:$dbFile"
+    Class.forName("org.duckdb.DuckDBDriver")
+    val pin = DriverManager.getConnection(duckUrl)
+    try {
+      pin.createStatement().execute(
+        "CREATE TABLE user_latest_pg (user_id BIGINT PRIMARY KEY, event_id BIGINT, event_type VARCHAR)")
+      val dir = "/root/testdata/sf0.001"
+      val src = java.nio.file.Files.createTempDirectory("ev_pg").toString
+      graft.Tables.events(spark, dir).repartition(9).write.mode("overwrite").parquet(src)
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt_pg").toString
+      val q = graft.streaming.EventsStream.jdbcUpsertSink(
+        graft.streaming.EventsStream.readEvents(spark, src)
+          .select($"user_id", $"event_id", $"event_type"),
+        keyCols = Seq("user_id"), versionCol = "event_id",
+        url = duckUrl, table = "user_latest_pg", props = props, checkpointDir = ckpt,
+        dialect = JdbcUpsert.Postgres, connections = 1)
+      q.awaitTermination()
+      assert(q.recentProgress.length > 1, "expected multiple micro-batches")
+      val st = pin.createStatement()
+      val rs = st.executeQuery("SELECT user_id, event_id, event_type FROM user_latest_pg")
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val want = {
+        import org.apache.spark.sql.expressions.Window
+        graft.Tables.events(spark, dir)
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy($"user_id").orderBy($"event_id".desc)))
+          .filter($"__rn" === 1)
+          .select($"user_id", $"event_id", $"event_type")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      }
+      assert(got.nonEmpty && got == want,
+        s"|got|=${got.size} |want|=${want.size} diff=${(want diff got).take(3)}")
+    } finally pin.close()
+  }
+
   test("jdbc sink: equal-version in-batch duplicates converge deterministically") {
     val conn = DriverManager.getConnection(url)
     try {
