@@ -13,6 +13,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Heap-proofing (round-8 finding, SCALE.md "heap contamination"):
+      // Spark frees broadcast/shuffle/checkpoint state via weak references,
+      // so cleanup only happens when the driver GCs. At a huge heap
+      // (SPARK_DRIVER_MEM >> 8g) full GCs are rare, state from hundreds of
+      // prior query runs accumulates, and late-alphabet queries slow 10-100x.
+      // periodicGC forces a driver GC on a wall-clock cadence so ContextCleaner
+      // keeps draining regardless of heap size (default is 30min — far longer
+      // than this whole bench).
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warm-up outside the first query's timing
@@ -38,6 +47,11 @@ object Bench {
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None } // failed run: no timing
       }.sorted
+      // Per-query GC (outside the timed section): promptly enqueues the
+      // weak refs ContextCleaner drains, so no query inherits the previous
+      // queries' broadcast/shuffle state. Belt to periodicGC's suspenders —
+      // together they make the numbers heap-size-independent.
+      System.gc()
       // all runs failed -> explicit -1 sentinel, never a time-to-throw
       name -> (if (times.nonEmpty) times else Seq(-1.0))
     }
@@ -62,7 +76,12 @@ object Bench {
       s"\"" + k + "\":[" + v.head + "," + med(v) + "," + v.last + "]"
     }.mkString("{", ",", "}")
     val total = results.map(r => med(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir","env":$env}""")
+    // self-documenting provenance: BENCH artifacts produced before this
+    // guard existed are heap-size-sensitive (see SCALE.md, "heap
+    // contamination" — BENCH_r08.json at 89 GiB); artifacts carrying
+    // this field ran with GC-triggered cleaner draining forced on
+    val guard = """"gc_guard":"periodicGC=30s + per-query System.gc() (SCALE.md heap-contamination finding)""""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir",$guard,"env":$env}""")
     spark.stop()
   }
 }

@@ -152,9 +152,69 @@ object JdbcUpsert {
       }
     }
 
+  /** Max attempts for one batch flush. Concurrent keyed upserts throw
+    * TRANSIENT failures by design of the underlying engines — Postgres
+    * serialization/deadlock errors (SQLSTATE 40001/40P01, whose docs say
+    * "retry the transaction"), Derby's batched-MERGE internal errors under
+    * concurrent embedded use. Because the upsert statement is idempotent
+    * per row (MERGE / ON CONFLICT re-lands identical state; the version
+    * guard makes even replays converge), re-executing a failed batch on a
+    * fresh connection is always safe. Non-transient errors (bad SQL,
+    * schema mismatch) exhaust the attempts and rethrow. */
+  private val maxBatchAttempts = 3
+
+  /** One connection + prepared statement with retry-on-transient-failure.
+    * `flush` is all-or-nothing per call: on any failure the transaction
+    * rolls back, the connection is discarded, and the SAME buffered rows
+    * re-execute on a fresh connection (bounded by [[maxBatchAttempts]]). */
+  private final class BatchWriter(url: String, user: String, pass: String,
+                                  sql: String) {
+    private var conn: Connection = _
+    private var ps: PreparedStatement = _
+    private def ensureOpen(): Unit = if (conn == null) {
+      conn = DriverManager.getConnection(url, user, pass)
+      conn.setAutoCommit(false)
+      ps = conn.prepareStatement(sql)
+    }
+    private def drop(): Unit = {
+      if (conn != null) {
+        try conn.rollback() catch { case _: Throwable => () }
+        try conn.close() catch { case _: Throwable => () }
+      }
+      conn = null; ps = null
+    }
+    def flush(rows: Seq[Row], schema: StructType, order: Seq[Int]): Unit = {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        attempt += 1
+        try {
+          ensureOpen()
+          rows.foreach { r => bind(ps, r, schema, order); ps.addBatch() }
+          ps.executeBatch()
+          conn.commit()
+          done = true
+        } catch {
+          case e: Throwable =>
+            drop()
+            if (attempt >= maxBatchAttempts) throw e
+            Thread.sleep(50L * attempt) // linear backoff widens the race exit
+        }
+      }
+    }
+    def close(): Unit = drop() // rollback no-ops after the last commit
+  }
+
   /** Execute the upsert. `connections` bounds DB fan-in. Rows within one
     * batch must carry distinct keys (dedupe upstream with
-    * [[mergeByKey]]/`dropDuplicates` — same requirement pangres has). */
+    * [[mergeByKey]]/`dropDuplicates` — same requirement pangres has).
+    *
+    * Commit granularity is PER BATCH (`batchSize` rows), not per
+    * partition: that bounds both the memory held for retry and the work a
+    * transient failure can void. A mid-partition crash therefore leaves
+    * earlier batches committed — safe because the statement is idempotent
+    * per row, so the caller's replay (Spark task retry / streaming
+    * micro-batch redelivery) converges to the same final table. */
   def upsert(df: DataFrame, url: String, table: String,
              props: java.util.Properties, keyCols: Seq[String],
              connections: Int = 8, batchSize: Int = 1000,
@@ -176,31 +236,31 @@ object JdbcUpsert {
     val (user, pass) = (props.getProperty("user"), props.getProperty("password"))
     df.coalesce(connections).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
-        val conn: Connection = DriverManager.getConnection(url, user, pass)
+        val w = new BatchWriter(url, user, pass, sql)
         try {
-          conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(sql)
-          var n = 0
+          val buf = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
           rows.foreach { r =>
-            bind(ps, r, schema, order)
-            ps.addBatch()
-            n += 1
-            if (n % batchSize == 0) ps.executeBatch()
+            buf += r
+            if (buf.length == batchSize) { w.flush(buf.toSeq, schema, order); buf.clear() }
           }
-          ps.executeBatch()
-          conn.commit()
-        } finally conn.close()
+          if (buf.nonEmpty) w.flush(buf.toSeq, schema, order)
+        } finally w.close()
       }
     }
   }
 
-  /** Deterministic tie-break column: xxhash64 over every HASHABLE column
-    * in `cols`. `MapType` (incl. nested inside structs/arrays) is
-    * unhashable in Spark's `hash`/`xxhash64`, so map-bearing columns are
-    * excluded rather than failing the whole sink with an
-    * AnalysisException. Consequence: two rows that are identical except
-    * in an excluded map column still tie arbitrarily — determinism
-    * covers rows distinguishable by a hashable column. */
+  /** Deterministic tie-break column: xxhash64 over EVERY column in
+    * `cols`. `MapType` (incl. nested inside structs/arrays) is unhashable
+    * in Spark's `hash`/`xxhash64` (maps are unordered, so there is no
+    * canonical hash), so map-bearing columns are hashed through their
+    * `to_json` serialization instead of being excluded — the tie-break
+    * therefore covers the FULL row: equal-key/equal-version rows that
+    * differ only in a map column now pick a stable winner independent of
+    * partition order. (JSON renders map entries in the row's physical
+    * entry order, so two maps with equal entries built in different
+    * orders hash differently — fine for a tie-break, whose only contract
+    * is a deterministic winner for identical input rows across
+    * retries/repartitionings.) */
   def contentHash(schema: StructType, cols: Seq[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     def hashable(dt: DataType): Boolean = dt match {
@@ -209,7 +269,9 @@ object JdbcUpsert {
       case a: ArrayType    => hashable(a.elementType)
       case _               => true
     }
-    val hs = cols.filter(c => hashable(schema(c).dataType)).map(col)
+    val hs = cols.map { c =>
+      if (hashable(schema(c).dataType)) col(c) else to_json(col(c))
+    }
     if (hs.isEmpty) lit(0L) else xxhash64(hs: _*)
   }
 

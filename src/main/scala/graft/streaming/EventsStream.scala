@@ -239,8 +239,8 @@ object EventsStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Secondary sort on a content hash of the row (hashable columns
-        // only — maps are excluded, see JdbcUpsert.contentHash):
+        // Secondary sort on a content hash of the FULL row (map columns
+        // hash via their json form, see JdbcUpsert.contentHash):
         // equal-version duplicates inside one micro-batch would
         // otherwise pick an arbitrary (partition-order-dependent)
         // winner. Scope: determinism holds WITHIN a batch; equal-version

@@ -15,7 +15,13 @@ import graft.sources.{JdbcUpsert, Readers, Writers}
 class JdbcSpec extends SparkSpec {
   import spark.implicits._
 
-  private val url = "jdbc:derby:memory:graftdb;create=true"
+  // Unique in-memory DB per suite instantiation: repeated `sbt test`
+  // invocations inside one sbt session (and any future parallel suite)
+  // each get a fresh embedded engine instead of sharing `graftdb` state.
+  private val url = {
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    s"jdbc:derby:memory:graftdb_$id;create=true"
+  }
   private lazy val props = {
     val p = new Properties()
     p.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")

@@ -166,15 +166,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("contentHash excludes map columns instead of failing the sink") {
+  test("contentHash covers map columns via to_json instead of failing the sink") {
     import spark.implicits._
     val df = Seq((1L, 2L, Map("k" -> "v")), (1L, 2L, Map("k2" -> "v2")))
       .toDF("id", "ver", "attrs")
     // xxhash64 over a MapType throws; contentHash must not
     val h = graft.sources.JdbcUpsert.contentHash(df.schema, df.columns.toSeq)
     val hs = df.select(h).collect().map(_.getLong(0))
-    // map column excluded -> both rows hash identically (documented tie)
-    assert(hs(0) == hs(1))
+    // rows that differ ONLY in the map column must be distinguishable:
+    // the json fallback makes the tie-break cover the full row
+    assert(hs(0) != hs(1))
+    // and identical rows still hash identically (stable winner contract)
+    val again = df.select(h).collect().map(_.getLong(0))
+    assert(hs.toSeq == again.toSeq)
     // and the dedup window over a map-bearing frame executes cleanly
     val merged = graft.sources.JdbcUpsert.mergeByKey(
       df.limit(1), df, Seq("id"), "ver")
