@@ -573,10 +573,17 @@ object Dedup {
     * single 12-plane bucket would split most true pairs.
     *
     * Keep rule (deterministic, local, SQL-expressible): an id is DROPPED
-    * iff some SMALLER id in its cluster has cosine ≥ `threshold` with it
-    * — i.e. the smallest id of every near-dup neighborhood survives
-    * (the greedy keep-first policy; SemDeDup's keep-one-per-group up to
-    * tie-break choice).
+    * iff ANY smaller id in its cluster has cosine ≥ `threshold` with it.
+    * This is NOT greedy keep-first selection: on a transitive chain
+    * a<b<c with a~b and b~c but a!~c, greedy keep-first would retain c
+    * (its near-dup b was itself dropped), whereas this rule drops c too.
+    * The any-smaller-near-dup rule is what stays transitive-closure-free
+    * — one self-join, no iteration — which is why it's the shape that
+    * survives a SQL oracle and a 100 TB corpus; it over-drops relative
+    * to greedy selection exactly on such chains. (For transitive-chain
+    * semantics, feed the ≥-threshold pairs to [[components]] and
+    * keep each component's minimum — that's the iterative operator's
+    * job, not this one's.)
     *
     * Scale design: assignment is the [[Ivf]] literal-centroid map-side
     * expression (no quantizer join, corpus never shuffles for it); the

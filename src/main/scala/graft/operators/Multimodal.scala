@@ -12,11 +12,12 @@ import org.apache.spark.sql.types._
   * (iterator → fixed-size batches → per-batch kernel, the Scala analogue
   * of `mapInPandas` arrow batches):
   *
-  *  - [[decodeImageFeatures]] is a REAL codec: `javax.imageio` PNG
-  *    decode (with [[encodeGrayPng]] as the real encoder), in-JVM,
-  *    oracle-gated end to end.
+  *  - [[decodeImageFeatures]] is a REAL codec: `javax.imageio` image
+  *    decode (format sniffed from the bytes) with two real in-JVM
+  *    encoders — [[encodeGrayPng]] (lossless, oracle-gated end to end)
+  *    and [[encodeGrayJpeg]] (lossy, rows-only + spec-gated).
   *  - [[decodeFeatures]] remains the generic-binary STUB for formats
-  *    whose codecs this container lacks (jpeg/mp3/mp4): deterministic
+  *    whose codecs this container lacks (mp3/mp4): deterministic
   *    byte-level features where a production kernel would call the
   *    format's decoder.
   */
@@ -107,12 +108,61 @@ object Multimodal {
       }(enc)
   }
 
-  /** Decode PNG payloads with `ImageIO.read` and emit per-image pixel
-    * statistics: dimensions, mean luminance (fixed row-major summation),
-    * and the two corner pixels. The REAL counterpart of the
-    * [[decodeFeatures]] stub — batched like a vectorized codec wants.
+  /** REAL JPEG encoder — the second in-JVM codec (`javax.imageio` ships
+    * both PNG and JPEG writers; zero new deps). Same raster construction
+    * as [[encodeGrayPng]], but the output is LOSSY: the decoded pixels
+    * approximate the source bytes instead of recovering them, so the
+    * round trip is gated rows-only + spec-side (decoded dims, pixel
+    * bounds, determinism, DC-mean closeness) rather than by a SQL
+    * oracle — the same weaker-gate class as other non-SQL-expressible
+    * ops. `quality` is pinned explicitly (MODE_EXPLICIT) so the encoded
+    * bytes are deterministic across runs and partitionings; one writer
+    * instance serves the whole partition (writers are not thread-safe
+    * but a partition is single-threaded). */
+  def encodeGrayJpeg(media: DataFrame, w: Int = 8, h: Int = 8,
+                     quality: Float = 0.95f): DataFrame = {
+    require(w > 0 && h > 0, s"encodeGrayJpeg: w=$w h=$h")
+    require(quality > 0f && quality <= 1f, s"encodeGrayJpeg: quality=$quality")
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("jpeg", BinaryType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mediaIdx = media.schema.fieldIndex("media")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    media.filter(octet_length(col("media")) >= w * h)
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(quality)
+        val it = rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](mediaIdx)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          img.getRaster.setDataElements(0, 0, w, h, bytes.take(w * h))
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+          ios.close()
+          Row(r.getLong(idIdx), bos.toByteArray)
+        }
+        // dispose the writer once the partition is exhausted (++'s
+        // by-name right side is only built after `it` is drained)
+        it ++ { writer.dispose(); Iterator.empty }
+      }(enc)
+  }
+
+  /** Decode image payloads (PNG or JPEG — `ImageIO.read` sniffs the
+    * container from the bytes) and emit per-image pixel statistics:
+    * dimensions, mean luminance (fixed row-major summation), and the two
+    * corner pixels. The REAL counterpart of the [[decodeFeatures]] stub —
+    * batched like a vectorized codec wants.
     * Output: (media_id, width, height, mean_px, px_first, px_last). */
-  def decodeImageFeatures(png: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decodeImageFeatures(png: DataFrame, batchSize: Int = 64,
+                          payloadCol: String = "png"): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
@@ -121,7 +171,7 @@ object Multimodal {
       StructField("px_first", IntegerType, nullable = false),
       StructField("px_last", IntegerType, nullable = false)))
     val idIdx = png.schema.fieldIndex("media_id")
-    val pngIdx = png.schema.fieldIndex("png")
+    val pngIdx = png.schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
     png.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)

@@ -153,13 +153,24 @@ object Similarity {
     *     a violated contract, not a saving). The ranking window needs
     *     exactly the (t, bucket) hash partitioning the self-join needs,
     *     so the cap costs no extra exchange.
-    *  3. Banded SORT-MERGE self-join (never broadcast): both legs read
+    *  3. HOT-BUCKET SALT: the query side of each (t, bucket) splits into
+    *     `saltChunk`-row chunks (by the cap window's row number) and the
+    *     capped neighbor side (≤ `maxBucketSize` rows) replicates across
+    *     those chunks, so the join key becomes (t, bucket, salt). The
+    *     candidate SET is bit-identical to the unsalted join — every
+    *     query still meets exactly its bucket's capped survivors — but
+    *     one scheduling unit is now ≤ saltChunk·cap pairs, so task
+    *     granularity tracks DATA SIZE, not table-count (round-8 finding:
+    *     tables·2^planes coarse units made one straggler move the whole
+    *     query at local[32]). Replication cost is ≤ cap/saltChunk extra
+    *     id-rows per banding row — ids only, negligible.
+    *  4. Banded SORT-MERGE self-join (never broadcast): both legs read
     *     the identical banding exchange subtree (the cap's window sits
     *     ABOVE it), so the second leg is a ReusedExchange and banding
     *     is computed once.
-    *  4. Candidate distinct on the two ids, then vectors re-attach via
+    *  5. Candidate distinct on the two ids, then vectors re-attach via
     *     two merge joins on id — again one exchange + one reuse.
-    *  5. Exact cosine ranks per query; `row_number` keeps top-k.
+    *  6. Exact cosine ranks per query; `row_number` keeps top-k.
     *
     * An id can still be absent from `query_id` only when LSH gives it no
     * candidate at all (alone in every bucket it lands in) — inherent to
@@ -173,7 +184,7 @@ object Similarity {
     * candidate list); everything else moves (long, long) pairs. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int = 10,
                planes: Int = 6, tables: Int = 8,
-               maxBucketSize: Int = 256): DataFrame = {
+               maxBucketSize: Int = 256, saltChunk: Int = 1024): DataFrame = {
     // null ids are dropped EXPLICITLY (meaningless in a knn graph):
     // downstream joins infer isnotnull on the query leg but can't push
     // it through the cap's window on the neighbor leg — filtering here
@@ -194,14 +205,26 @@ object Similarity {
         hyperplaneSignature(col("v"), planes, t)): _*)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
       .repartition(col("t"), col("bucket"))
-    val capped = banded
+    // one windowed pass per leg over the SAME reused exchange yields the
+    // cap rank AND the bucket size (count needs no extra sort: it shares
+    // the (t, bucket) partitioning the row_number sort establishes)
+    val cntW = Window.partitionBy(col("t"), col("bucket"))
+    val ranked = banded
       .withColumn("__rn", row_number().over(capW))
-      .filter(col("__rn") <= maxBucketSize)
-      .select("id", "t", "bucket")
-    val candidates = banded.select(col("id").as("query_id"), col("t"), col("bucket"))
-      .hint("merge")
-      .join(capped.select(col("id").as("neighbor_id"), col("t"), col("bucket")),
-        Seq("t", "bucket"))
+      .withColumn("__cnt", count(lit(1)).over(cntW))
+    // query side: uncapped, chunked into salts of ≤ saltChunk rows
+    val queries = ranked
+      .withColumn("salt", floor((col("__rn") - 1) / saltChunk))
+      .select(col("id").as("query_id"), col("t"), col("bucket"), col("salt"))
+    // neighbor side: capped, replicated to EVERY salt its bucket has
+    // (ceil(cnt/saltChunk) of them) so each query chunk sees the full
+    // capped survivor list — the unsalted candidate set, exactly
+    val capped = ranked.filter(col("__rn") <= maxBucketSize)
+      .withColumn("salt",
+        explode(sequence(lit(0L), floor((col("__cnt") - 1) / saltChunk))))
+      .select(col("id").as("neighbor_id"), col("t"), col("bucket"), col("salt"))
+    val candidates = queries.hint("merge")
+      .join(capped, Seq("t", "bucket", "salt"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val w = Window.partitionBy(col("query_id"))

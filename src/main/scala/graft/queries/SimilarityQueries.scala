@@ -24,6 +24,19 @@ object SimilarityQueries {
     base.unionByName(pert)
   }
 
+  /** documents restricted to ASCII-only text (octet_length == char
+    * length ⇔ every char is 1-byte UTF-8). The m3/m4 gates compare
+    * BYTE-level engine output against a CHARACTER-level DuckDB oracle
+    * (`unicode(text[i:i])`): the two agree exactly on ASCII and drift on
+    * any multi-byte character (shifted indices, codepoints > 255), so
+    * both sides filter to ASCII rows — making the parity data-proof
+    * instead of a latent corpus assumption. */
+  private def asciiDocuments(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(octet_length(col("text")) === length(col("text")))
+
+  /** The oracle-side mirror of [[asciiDocuments]]'s predicate. */
+  private val AsciiWhere = "octet_length(encode(text)) = length(text)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-k for 8 query vectors (brute force baseline;
     // corpus never shuffles — query side broadcast).
@@ -94,8 +107,10 @@ object SimilarityQueries {
     },
 
     // multimodal: binary payload + typed meta, batched decode kernel.
+    // ASCII-filtered for the same reason as m3/m4: the oracle reads
+    // first_byte as a codepoint, the engine as a UTF-8 byte.
     "m1_multimodal_decode" -> { (s, d) =>
-      Multimodal.decodeFeatures(Multimodal.fromDocuments(documents(s, d)))
+      Multimodal.decodeFeatures(Multimodal.fromDocuments(asciiDocuments(s, d)))
         .select(col("media_id"), col("n_bytes"), col("first_byte"))
         .orderBy(col("media_id"))
     },
@@ -110,7 +125,7 @@ object SimilarityQueries {
     // multimodal: overlapping audio frame windows (STFT shape) with
     // content boundary bytes from the binary payload.
     "m3_audio_windows" -> { (s, d) =>
-      Multimodal.audioWindows(Multimodal.fromDocuments(documents(s, d)),
+      Multimodal.audioWindows(Multimodal.fromDocuments(asciiDocuments(s, d)),
         winSize = 400, hop = 160)
         .orderBy(col("media_id"), col("window_idx"))
     },
@@ -122,7 +137,20 @@ object SimilarityQueries {
     // an actual codec path from the original text.
     "m4_image_decode" -> { (s, d) =>
       Multimodal.decodeImageFeatures(
-        Multimodal.encodeGrayPng(Multimodal.fromDocuments(documents(s, d))))
+        Multimodal.encodeGrayPng(Multimodal.fromDocuments(asciiDocuments(s, d))))
+        .orderBy(col("media_id"))
+    },
+
+    // multimodal: SECOND real codec — JPEG (lossy). Encodes the first 64
+    // payload bytes as an 8x8 gray JPEG at pinned quality, then a real
+    // ImageIO decode back to pixel stats. Lossy DCT output is not
+    // SQL-reproducible, so the gate is rows-only (no oracleSql entry);
+    // the round-trip invariants (dims, pixel bounds, determinism,
+    // DC-mean closeness) are spec-side in MultimodalSpec.
+    "m5_image_decode_jpeg" -> { (s, d) =>
+      Multimodal.decodeImageFeatures(
+        Multimodal.encodeGrayJpeg(Multimodal.fromDocuments(documents(s, d))),
+        payloadCol = "jpeg")
         .orderBy(col("media_id"))
     }
   )
@@ -443,10 +471,10 @@ object SimilarityQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "m1_multimodal_decode" ->
-      """SELECT doc_id AS media_id,
+      s"""SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(unicode(text[1:1]) AS INT) AS first_byte
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM documents WHERE $AsciiWhere ORDER BY media_id""".stripMargin,
 
     "m2_frame_sample" ->
       """WITH m AS (
@@ -462,13 +490,15 @@ object SimilarityQueries {
         |FROM frames WHERE least(256, n_bytes - frame_idx * 256) > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
 
-    // m3: the corpus payload is ASCII text bytes, so byte positions are
-    // character positions and unicode(slice) mirrors the engine's
-    // substring->hex->conv byte extraction exactly.
+    // m3: both sides filter to ASCII-only rows (engine: asciiDocuments),
+    // so byte positions ARE character positions and unicode(slice)
+    // mirrors the engine's substring->hex->conv byte extraction exactly —
+    // parity holds for ANY corpus, not just an all-ASCII one.
     "m3_audio_windows" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT doc_id AS media_id, text,
-        |    octet_length(encode(text)) AS n FROM documents),
+        |    octet_length(encode(text)) AS n FROM documents
+        |  WHERE $AsciiWhere),
         |w AS (
         |  SELECT media_id, text, CAST(i AS INT) AS window_idx
         |  FROM m, unnest(generate_series(0,
@@ -480,19 +510,22 @@ object SimilarityQueries {
         |  CAST(unicode(text[window_idx*160 + 400 : window_idx*160 + 400]) AS INT) AS last_byte
         |FROM w ORDER BY media_id, window_idx""".stripMargin,
 
-    // m4: the engine PNG-encodes the first 64 ASCII bytes as an 8x8
+    // m4: the engine PNG-encodes the first 64 payload bytes as an 8x8
     // grayscale raster and ImageIO-decodes it back; lossless PNG means
     // pixel(y,x) == byte[y*8+x], so every stat is computable from the
-    // original text. sum/64 is an exact binary fraction (2^-6), so the
-    // DOUBLE division matches the engine bit for bit.
+    // original text. Both sides filter to ASCII rows (engine:
+    // asciiDocuments) so codepoints == bytes for ANY corpus. sum/64 is
+    // an exact binary fraction (2^-6), so the DOUBLE division matches
+    // the engine bit for bit.
     "m4_image_decode" ->
-      """SELECT doc_id AS media_id,
+      s"""SELECT doc_id AS media_id,
         |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
         |  CAST(list_sum(list_transform(range(1, 65),
         |    i -> unicode(text[i:i]))) AS DOUBLE) / 64 AS mean_px,
         |  CAST(unicode(text[1:1]) AS INT) AS px_first,
         |  CAST(unicode(text[64:64]) AS INT) AS px_last
-        |FROM documents WHERE octet_length(encode(text)) >= 64
+        |FROM documents
+        |WHERE octet_length(encode(text)) >= 64 AND $AsciiWhere
         |ORDER BY media_id""".stripMargin
   )
 }

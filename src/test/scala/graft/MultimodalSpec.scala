@@ -38,6 +38,47 @@ class MultimodalSpec extends SparkSpec {
     assert(got.select("media_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("jpeg round trip: real JPEG bytes, exact dims, lossy-but-close pixels") {
+    val payloads = Seq(
+      1L -> Array.tabulate(64)(_.toByte),              // ramp 0..63
+      2L -> Array.fill[Byte](64)(0),                   // flat black
+      3L -> Array.fill[Byte](64)(0xFF.toByte),         // flat white
+      4L -> Array.tabulate(70)(i => (37 * i % 256).toByte)) // noisy + tail
+    val jpeg = Multimodal.encodeGrayJpeg(mediaOf(payloads), w = 8, h = 8)
+    // container check: JPEG SOI marker FF D8, EOI trailer FF D9
+    jpeg.select("jpeg").collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](0)
+      assert((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8, "JPEG SOI")
+      assert((b(b.length - 2) & 0xFF) == 0xFF && (b(b.length - 1) & 0xFF) == 0xD9, "JPEG EOI")
+    }
+    val got = Multimodal.decodeImageFeatures(jpeg, payloadCol = "jpeg")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(got.keySet == payloads.map(_._1).toSet)
+    payloads.foreach { case (id, bytes) =>
+      val (w, h, mean, first, last) = got(id)
+      assert(w == 8 && h == 8, s"media $id dims")
+      assert(first >= 0 && first <= 255 && last >= 0 && last <= 255)
+      // lossy closeness: an 8x8 image is ONE DCT block, whose DC term is
+      // the block mean — lightly quantized at quality 0.95, so the
+      // decoded mean must track the source-byte mean tightly even though
+      // individual pixels ring
+      val srcMean = bytes.take(64).map(_ & 0xFF).map(_.toLong).sum.toDouble / 64
+      assert(math.abs(mean - srcMean) <= 8.0,
+        s"media $id: decoded mean $mean vs source mean $srcMean")
+    }
+    // flat blocks have no AC energy: lossy or not, they decode flat
+    assert(got(2L)._3 == 0.0 && got(2L)._4 == 0 && got(2L)._5 == 0)
+    assert(got(3L)._3 == 255.0 && got(3L)._4 == 255 && got(3L)._5 == 255)
+  }
+
+  test("jpeg encode is deterministic: pinned quality, identical bytes across runs") {
+    val payloads = Seq(1L -> Array.tabulate(64)(i => (211 * i % 256).toByte))
+    def bytes() = Multimodal.encodeGrayJpeg(mediaOf(payloads))
+      .select("jpeg").collect()(0).getAs[Array[Byte]](0).toSeq
+    assert(bytes() == bytes(), "same payload + pinned quality must re-encode identically")
+  }
+
   test("encoded payload is a real PNG (magic bytes), decoded dims honor w x h") {
     val png = Multimodal.encodeGrayPng(
       mediaOf(Seq(1L -> Array.tabulate(12)(_.toByte))), w = 4, h = 3)
