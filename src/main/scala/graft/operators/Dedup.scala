@@ -229,6 +229,70 @@ object Dedup {
     smallPairs.unionByName(bigPairs)
   }
 
+  /** Positional k-token gram hashes: one row per gram START position —
+    * (id, pos, gh). Unlike [[shinglesFromTokens]] (distinct grams, set
+    * semantics for Jaccard), positions and multiplicity are KEPT: exact
+    * substring matching needs to know where each gram sits. */
+  private[graft] def positionalGramHashes(df: DataFrame, idCol: String,
+                                          textCol: String, k: Int): DataFrame =
+    tokenized(df, idCol, textCol)
+      .filter(size(col("__toks")) >= k)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
+        .as(Seq("pos", "gh")))
+
+  /** Exact duplicated-substring spans (the ExactSubstr pass of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022): any run of ≥ `k` consecutive tokens that appears more
+    * than once in the corpus — across documents OR repeated within one —
+    * is reported as a span to cut, per document. The suffix-array
+    * construction the paper uses is single-node; the distributed
+    * re-expression is positional k-gram matching: a duplicated substring
+    * of length L ≥ k is exactly a maximal run of L-k+1 consecutive
+    * duplicated k-gram start positions, so marking duplicated grams and
+    * merging consecutive covered positions recovers the same spans.
+    *
+    * Shape: tokenize once → explode to (id, pos, gh) — O(total tokens)
+    * rows carrying 8-byte hashes, not text; gram multiplicity via ONE
+    * partial-aggregated groupBy(gh) (map-side combine absorbs hot grams:
+    * each map task emits each gh once); duplicated positions come back
+    * via an equi-join on gh (the corpus's selective-gram postings — AQE
+    * skew-split handles a pathological gram that dominates a corpus);
+    * span merge is a per-doc lag/running-sum window — one hash exchange
+    * on id. No all-pairs step anywhere: cost is O(tokens) shuffle +
+    * O(duplicated positions) window, independent of how many documents
+    * share a span (the inverted-index k(k-1)/2 blowup in
+    * [[ngramJaccardPairs]]'s design note never appears).
+    *
+    * Merge rule: positions p, q (p < q) join one span iff q - p ≤ k —
+    * their covered token ranges [p, p+k-1], [q, q+k-1] overlap or touch,
+    * i.e. the union is gapless. Output: one row per maximal span —
+    * (idCol, span_id (1-based per doc), start_pos, end_pos (inclusive
+    * token indices), n_dup_grams). Downstream curation drops the span's
+    * tokens (the paper's policy) or the whole document past a coverage
+    * threshold. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame = {
+    require(k > 0, s"duplicatedSpans: k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val grams = positionalGramHashes(df, idCol, textCol, k)
+    val dupGh = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select("gh")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    grams.join(dupGh, Seq("gh"))
+      .withColumn("__gap", col("pos") - lag(col("pos"), 1).over(w))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > k, 1).otherwise(0))
+      .withColumn("span_id", sum(col("__new")).over(w))
+      .groupBy(col("id"), col("span_id"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(k - 1)).as("end_pos"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("id").as(idCol), col("span_id"), col("start_pos"),
+        col("end_pos"), col("n_dup_grams"))
+  }
+
   /** Benchmark-contamination report: n-gram overlap between every
     * training document and a benchmark/eval set — the decontamination
     * pass a training-data pipeline runs before anything ships (the

@@ -198,6 +198,89 @@ object Multimodal {
     }(enc)
   }
 
+  /** THIRD real codec — WAV (RIFF/WAVE PCM) via `javax.sound.sampled`,
+    * in-JVM, zero new deps. Interprets the first `2*nSamples` payload
+    * bytes as little-endian signed 16-bit mono PCM samples and writes a
+    * real WAV container per row (rows shorter than the sample budget are
+    * dropped — a clip needs its full sample count). PCM WAV is LOSSLESS,
+    * so [[decodeWavFeatures]] recovers exactly the source samples — like
+    * PNG (m4) and unlike JPEG (m5), a SQL oracle can verify the full
+    * encode→decode round trip against the original payload bytes.
+    * Same batched `mapPartitions` codec-boundary shape as the image
+    * kernels. Output: (media_id, wav BINARY). */
+  def encodeWav(media: DataFrame, nSamples: Int = 64,
+                sampleRate: Int = 16000): DataFrame = {
+    require(nSamples > 0 && sampleRate > 0,
+      s"encodeWav: nSamples=$nSamples sampleRate=$sampleRate")
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("wav", BinaryType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mediaIdx = media.schema.fieldIndex("media")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    media.filter(octet_length(col("media")) >= 2 * nSamples)
+      .mapPartitions { rows =>
+        import javax.sound.sampled._
+        val fmt = new AudioFormat(sampleRate.toFloat, 16, 1,
+          /*signed=*/ true, /*bigEndian=*/ false)
+        rows.map { r =>
+          val raw = r.getAs[Array[Byte]](mediaIdx).take(2 * nSamples)
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(raw), fmt, nSamples.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          Row(r.getLong(idIdx), bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** Decode WAV payloads (real `javax.sound.sampled` container + format
+    * parse — sample rate, bit depth, and frame count come from the RIFF
+    * header, not from trust) and emit per-clip sample statistics. The
+    * audio counterpart of [[decodeImageFeatures]], batched the same way.
+    * Output: (media_id, n_samples, sample_rate, amp_first, amp_last,
+    * mean_amp) — amplitudes are the decoded signed 16-bit samples; the
+    * mean uses a fixed left-to-right integer summation. */
+  def decodeWavFeatures(wav: DataFrame, batchSize: Int = 64,
+                        payloadCol: String = "wav"): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("amp_first", IntegerType, nullable = false),
+      StructField("amp_last", IntegerType, nullable = false),
+      StructField("mean_amp", DoubleType, nullable = false)))
+    val idIdx = wav.schema.fieldIndex("media_id")
+    val wavIdx = wav.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    wav.mapPartitions { rows =>
+      import javax.sound.sampled._
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch decode kernel (vectorized-codec shape, as elsewhere)
+        batch.iterator.map { r =>
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](wavIdx)))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"decodeWavFeatures: expected 16-bit mono PCM, got $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sum = 0L
+          var i = 0
+          def sampleAt(j: Int): Int = {
+            // little-endian signed 16-bit (AudioSystem.write's WAV byte order)
+            ((bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xFF))
+          }
+          while (i < n) { sum += sampleAt(i); i += 1 }
+          Row(r.getLong(idIdx), n, fmt.getSampleRate.toInt,
+            if (n == 0) 0 else sampleAt(0),
+            if (n == 0) 0 else sampleAt(n - 1),
+            if (n == 0) 0.0 else sum.toDouble / n)
+        }
+      }
+    }(enc)
+  }
+
   /** Audio frame windows: overlapping fixed-size windows with a hop —
     * the STFT framing an audio feature extractor consumes (e.g. 25 ms
     * windows / 10 ms hop at some sample rate, expressed in bytes).

@@ -52,6 +52,24 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Plane count for a corpus of `n` vectors so the EXPECTED bucket size
+    * stays ~`targetBucket` regardless of scale: 2^planes buckets per
+    * table, so planes = ceil(log2(n / targetBucket)). This is the
+    * round-8 y3 finding made policy — with planes fixed, a 10× corpus
+    * pushes every bucket 10× past the candidate cap and the knn graph's
+    * per-doc candidate volume jumps from avg-bucket·L to cap·L (measured
+    * 18× time at 10× data at sf1); with buckets scaling alongside the
+    * corpus, per-doc candidates — and per-task work — stay constant.
+    * Deterministic in n, so a caller pinning n pins the whole plan;
+    * clamped to [minPlanes, maxPlanes] (beyond 2^16 buckets per table,
+    * scale by `tables` or shard the corpus instead). */
+  def planesFor(n: Long, targetBucket: Int = 32, minPlanes: Int = 4,
+                maxPlanes: Int = 16): Int = {
+    require(n > 0 && targetBucket > 0, s"planesFor: n=$n target=$targetBucket")
+    val raw = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt
+    math.min(maxPlanes, math.max(minPlanes, raw))
+  }
+
   /** Sign-bit signature of a (double-cast) vector against the fixed
     * hyperplanes of one hash table — an integer bucket id in
     * [0, 2^planes). The planes are `dim`-dimensional; a mismatched vector

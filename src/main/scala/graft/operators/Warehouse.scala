@@ -252,6 +252,56 @@ object Warehouse {
   /** fct_acquisition (extract_transform.py:451-565): the dim_company
     * self-join in two roles (acquiring/acquired) via aliased+renamed key
     * pairs, date FK (left), USD price, term-code/description cleanse. */
+  /** SCD Type-2 dimension from a change log — the warehouse-load pattern
+    * the reference's overwrite-style dims can't express (history is lost
+    * on every reload there; SCD2 keeps one row per attribute VERSION with
+    * an effective-time interval). Kimball's standard construction:
+    *
+    *  1. collapse consecutive rows whose tracked attributes are unchanged
+    *     (only genuine transitions open a new version);
+    *  2. `effective_from` = the change row's `orderCol`,
+    *     `effective_to` = the NEXT version's `effective_from` (half-open
+    *     intervals, so versions tile the timeline with no gaps/overlaps),
+    *     null on the current version;
+    *  3. `version` = 1-based change ordinal, `is_current` flags the open
+    *     interval.
+    *
+    * Scale: both windows and the lead() all share ONE partitioning (the
+    * natural key) — Spark plans a single hash exchange for the whole
+    * build, and per-key history is small by construction (a dimension
+    * row's change count, not fact volume). Ties on `orderCol` are broken
+    * by `tieBreak` so the result is arrival-order-independent; pass a
+    * unique composite (e.g. a change-log sequence id) — the same contract
+    * as [[withDenseKey]].
+    *
+    * Returns key ++ attrs ++ (version, effective_from, effective_to,
+    * is_current). */
+  def scd2(changes: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
+           orderCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "scd2: empty key/attrs")
+    import org.apache.spark.sql.expressions.Window
+    val ord = (orderCol +: tieBreak).map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    // a transition = first row per key, or any tracked attribute differing
+    // from the previous row (null-safe: <=> catches null<->value flips)
+    val changed = attrCols
+      .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    val versions = changes
+      .withColumn("__first", lag(col(orderCol), 1).over(w).isNull)
+      .withColumn("__chg", col("__first") || changed)
+      .filter(col("__chg"))
+    // same partitioning as `w` → no second exchange, only a re-sort at
+    // worst (the filter preserves the child's hash distribution)
+    versions
+      .withColumn("version", row_number().over(w))
+      .withColumn("effective_from", col(orderCol))
+      .withColumn("effective_to", lead(col(orderCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select((keyCols ++ attrCols).map(col) ++ Seq(col("version"),
+        col("effective_from"), col("effective_to"), col("is_current")): _*)
+  }
+
   def fctAcquisition(acquisition: DataFrame, dimCompany: DataFrame,
                      dimDate: DataFrame,
                      broadcastDims: Boolean = true): DataFrame = {

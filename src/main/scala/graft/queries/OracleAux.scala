@@ -51,6 +51,14 @@ object OracleAux {
         explode(transform(Dedup.shingles(col("text"), 3),
           g => xxhash64(g))).as("g"))
     },
+    // x7: positional k-gram hashes WITH positions (exact substring
+    // spans) — duplicated-set, span merge, and aggregates recomputed
+    // in SQL downstream.
+    "x7_gram_pos" -> { (s, d) =>
+      Dedup.positionalGramHashes(TextQueries.nearDupCorpus(s, d),
+        "doc_id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("pos"), col("gh"))
+    },
     // ds*: per-doc hash buckets for every sampling/shuffle seed the
     // dataset-curation queries use — the DECISIONS (thresholds, epoch
     // composition, permutation order) are recomputed in SQL on top.

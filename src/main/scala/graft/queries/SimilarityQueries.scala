@@ -57,8 +57,16 @@ object SimilarityQueries {
     // KNN graph: top-k neighbors for EVERY vector — nothing broadcasts,
     // banded sort-merge self-join with a deterministic hub-bucket cap.
     "y3_knn_graph" -> { (s, d) =>
-      Similarity.knnGraph(embeddings(s, d), "vec_id", "embedding",
-        k = 5, planes = 4, tables = 4, maxBucketSize = 64)
+      // planes scale with the corpus (planesFor: expected bucket size
+      // stays ~32 at any SF) — the count is a contract-bounded metadata
+      // scan (parquet row counts), not a data collect. At the oracle's
+      // sf0.01 (500 vectors) planesFor yields exactly the 4 planes the
+      // SQL mirror embeds; at bench SFs it grows so candidate volume
+      // tracks avg-bucket·L, not cap·L (see planesFor's scaladoc).
+      val e = embeddings(s, d)
+      Similarity.knnGraph(e, "vec_id", "embedding",
+        k = 5, planes = Similarity.planesFor(e.count(), targetBucket = 32),
+        tables = 4, maxBucketSize = 64)
         .withColumn("cosine_sim", round(col("cosine_sim"), 6))
         .orderBy(col("query_id"), col("rank"))
     },
@@ -151,6 +159,19 @@ object SimilarityQueries {
       Multimodal.decodeImageFeatures(
         Multimodal.encodeGrayJpeg(Multimodal.fromDocuments(documents(s, d))),
         payloadCol = "jpeg")
+        .orderBy(col("media_id"))
+    },
+
+    // multimodal: THIRD real codec — WAV (javax.sound.sampled). Encodes
+    // the first 128 payload bytes as 64 little-endian PCM16 samples in a
+    // real RIFF/WAVE container, then a real AudioSystem decode back to
+    // sample stats. PCM is lossless, so — like m4 and unlike m5 — the
+    // oracle verifies the whole codec round trip from the original text
+    // bytes (ASCII-filtered: oracle reads codepoints, engine bytes).
+    "m6_audio_decode_wav" -> { (s, d) =>
+      Multimodal.decodeWavFeatures(
+        Multimodal.encodeWav(Multimodal.fromDocuments(asciiDocuments(s, d)),
+          nSamples = 64))
         .orderBy(col("media_id"))
     }
   )
@@ -526,6 +547,25 @@ object SimilarityQueries {
         |  CAST(unicode(text[64:64]) AS INT) AS px_last
         |FROM documents
         |WHERE octet_length(encode(text)) >= 64 AND $AsciiWhere
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+
+    // m6: WAV round trip — sample i is the little-endian int16 built
+    // from payload bytes (2i, 2i+1); PCM losslessness means the decoded
+    // samples ARE those bytes, so the oracle rebuilds every feature from
+    // the text. ASCII filter: byte == codepoint, and both bytes ≤ 127 so
+    // the int16 is always positive (no sign handling in SQL).
+    "m6_audio_decode_wav" ->
+      s"""WITH s AS (
+         |  SELECT doc_id AS media_id,
+         |    list_transform(range(0, 64), i ->
+         |      unicode(text[2*i+1:2*i+1]) + 256 * unicode(text[2*i+2:2*i+2])) AS samp
+         |  FROM documents
+         |  WHERE octet_length(encode(text)) >= 128 AND $AsciiWhere)
+         |SELECT media_id, CAST(64 AS INT) AS n_samples,
+         |  CAST(16000 AS INT) AS sample_rate,
+         |  CAST(samp[1] AS INT) AS amp_first,
+         |  CAST(samp[64] AS INT) AS amp_last,
+         |  CAST(list_sum(samp) AS DOUBLE) / 64 AS mean_amp
+         |FROM s ORDER BY media_id""".stripMargin
   )
 }

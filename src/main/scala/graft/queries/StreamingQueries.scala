@@ -47,6 +47,21 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("purchase_id"), col("view_id"))
     },
 
+    // streaming keyed dedup (dropDuplicates + watermark), batch-parity
+    // form — key columns only, so the surviving row set is deterministic
+    // regardless of which physical duplicate arrives first; the
+    // multi-batch streaming run is asserted equal in
+    // SketchStreamDedupSpec.
+    "b6_stream_dedup" -> { (s, d) =>
+      EventsStream.dedupByKey(
+        batchEvents(s, d).select(col("user_id"), col("event_type"),
+          col("event_time")),
+        Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("event_time")).as("event_time_us"))
+        .orderBy(col("user_id"), col("event_type"), col("event_time_us"))
+    },
+
     // the streaming upsert sink's merge step (latest row per key by
     // version), batch-parity form — the multi-batch streaming run of the
     // same fold is asserted equal in StreamingSpec.
@@ -88,6 +103,11 @@ object StreamingQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
         |  max(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "b6_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS event_time_us
+        |FROM events
+        |ORDER BY user_id, event_type, event_time_us""".stripMargin,
     "b4_latest_snapshot" ->
       """SELECT user_id, event_id, event_type, value
         |FROM events

@@ -134,6 +134,15 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // exact duplicated-substring spans (Lee et al. ExactSubstr as
+    // distributed positional k-gram matching): every maximal >= k-token
+    // run appearing more than once in the corpus, per document — the
+    // full span roster (start/end token indices + gram count) is gated.
+    "x7_substring_dedup" -> { (s, d) =>
+      Dedup.duplicatedSpans(nearDupCorpus(s, d), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("span_id"))
+    },
+
     // curation v2 — the round-5 training-data flow end-to-end:
     // repetition filter -> benchmark decontamination -> exact dedup
     // (canonical min id) -> per-language quota cap. Output is the full
@@ -530,6 +539,31 @@ object TextQueries {
          |WHERE bit_count(xor(a.sh, b.sh)) <= 6
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    // x7: duplicated-substring spans recomputed from Spark-dumped
+    // positional gram hashes — gram multiplicity, the duplicated set,
+    // the gap/island span merge, and the per-span aggregates are all
+    // re-derived in SQL (only the xxhash64 primitive is imported).
+    "x7_substring_dedup" ->
+      """WITH g AS (
+        |  SELECT doc_id, pos, gh
+        |  FROM read_parquet('__AUX__/x7_gram_pos/*.parquet')),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+        |p AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |      THEN 0 ELSE 1 END AS new_span
+        |  FROM p),
+        |spans AS (
+        |  SELECT doc_id, pos,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM marked)
+        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        |  min(pos) AS start_pos, max(pos) + 7 AS end_pos,
+        |  count(*) AS n_dup_grams
+        |FROM spans GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_id""".stripMargin,
 
     "x2_ngram_jaccard" ->
       s"""WITH $corpusSql

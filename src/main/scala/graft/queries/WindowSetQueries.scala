@@ -26,6 +26,22 @@ object WindowSetQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // SCD Type-2 dimension build from a change log: the events table as
+    // per-user status transitions — consecutive-duplicate collapse,
+    // half-open effective intervals, version ordinals, current flag.
+    "w4_scd2_dim" -> { (s, d) =>
+      val ev = graft.streaming.EventsStream.withEventTime(events(s, d))
+        .select(col("user_id"), col("event_type").as("status"),
+          col("event_time"), col("event_id"))
+      graft.operators.Warehouse.scd2(ev, Seq("user_id"), Seq("status"),
+        "event_time", tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("status"), col("version"),
+          unix_micros(col("effective_from")).as("eff_from_us"),
+          unix_micros(col("effective_to")).as("eff_to_us"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    },
+
     // rollup over region/nation with grouping ids.
     "w3_rollup" -> { (s, d) =>
       val c = customer(s, d)
@@ -106,6 +122,28 @@ object WindowSetQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // w4: the full SCD2 construction in SQL — transition filter (null-safe
+    // against the previous row), per-key version ordinals, lead() interval
+    // close-off, current flag. Timestamps surfaced as epoch micros.
+    "w4_scd2_dim" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS status, CAST(ts AS TIMESTAMP) AS t,
+        |    event_id
+        |  FROM events),
+        |m AS (
+        |  SELECT *, lag(status) OVER w AS prev_status,
+        |    (lag(t) OVER w IS NULL) AS is_first
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |v AS (
+        |  SELECT user_id, status, t, event_id FROM m
+        |  WHERE is_first OR status IS DISTINCT FROM prev_status)
+        |SELECT user_id, status,
+        |  CAST(row_number() OVER w2 AS INT) AS version,
+        |  epoch_us(t) AS eff_from_us,
+        |  epoch_us(lead(t) OVER w2) AS eff_to_us,
+        |  (lead(t) OVER w2 IS NULL) AS is_current
+        |FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "w3_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,

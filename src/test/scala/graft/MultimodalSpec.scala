@@ -79,6 +79,44 @@ class MultimodalSpec extends SparkSpec {
     assert(bytes() == bytes(), "same payload + pinned quality must re-encode identically")
   }
 
+  test("wav round trip recovers the exact source samples, sign bits included") {
+    // 0x00/0xFF extremes, a negative-sample pattern (hi byte >= 0x80),
+    // and a ramp; extra tail bytes beyond 2*nSamples are ignored
+    val payloads = Seq(
+      1L -> Array.tabulate(32)(_.toByte),
+      2L -> Array.fill[Byte](32)(0),
+      3L -> Array.fill[Byte](32)(0xFF.toByte),         // all samples -1
+      4L -> Array.tabulate(40)(i => (128 + i).toByte)) // negative samples
+    val got = Multimodal.decodeWavFeatures(
+      Multimodal.encodeWav(mediaOf(payloads), nSamples = 16, sampleRate = 8000))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
+    def stats(bytes: Array[Byte]) = {
+      val s = Array.tabulate(16)(j =>
+        (bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xFF))
+      (16, 8000, s.head, s.last, s.map(_.toLong).sum.toDouble / 16)
+    }
+    payloads.foreach { case (id, bytes) =>
+      assert(got(id) == stats(bytes), s"media $id: ${got(id)} vs ${stats(bytes)}")
+    }
+  }
+
+  test("encoded payload is a real RIFF/WAVE container; short payloads dropped") {
+    val wav = Multimodal.encodeWav(
+      mediaOf(Seq(1L -> Array.tabulate(128)(_.toByte),
+        2L -> Array.fill[Byte](127)(3))), nSamples = 64)
+    val rows = wav.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L), "127-byte payload must drop")
+    val bytes = rows(0).getAs[Array[Byte]](1)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
+      new String(bytes.slice(8, 12), "US-ASCII") == "WAVE", "RIFF/WAVE magic")
+    // deterministic encode: same payload -> identical container bytes
+    val again = Multimodal.encodeWav(
+      mediaOf(Seq(1L -> Array.tabulate(128)(_.toByte))), nSamples = 64)
+      .collect()(0).getAs[Array[Byte]](1)
+    assert(bytes.toSeq == again.toSeq)
+  }
+
   test("encoded payload is a real PNG (magic bytes), decoded dims honor w x h") {
     val png = Multimodal.encodeGrayPng(
       mediaOf(Seq(1L -> Array.tabulate(12)(_.toByte))), w = 4, h = 3)

@@ -148,4 +148,19 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Int]("frame_idx"), r.getAs[Int]("frame_bytes")))
     assert(frames.toSeq == Seq((0, 256), (2, 600 - 512)))
   }
+
+  test("planesFor keeps expected bucket size ~target across scales") {
+    // oracle-parity anchors: the y3 gate's corpora must map to the plane
+    // counts its SQL mirror embeds (4 at sf0.01's 500 vectors)
+    assert(Similarity.planesFor(500, targetBucket = 32) == 4)
+    assert(Similarity.planesFor(2000, targetBucket = 32) == 6)
+    assert(Similarity.planesFor(20000, targetBucket = 32) == 10)
+    // 10x the corpus adds ~log2(10) ~ 3-4 planes: bucket size is flat
+    val b1 = 200000L / (1L << Similarity.planesFor(200000))
+    val b2 = 2000000L / (1L << Similarity.planesFor(2000000))
+    assert(b1 >= 16 && b1 <= 64 && b2 >= 16 && b2 <= 64, s"$b1 $b2")
+    // clamps
+    assert(Similarity.planesFor(1) == 4)
+    assert(Similarity.planesFor(Long.MaxValue) == 16)
+  }
 }

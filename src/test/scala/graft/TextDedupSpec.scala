@@ -187,4 +187,46 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L), got)
   }
+
+  test("duplicatedSpans: cross-doc span, maximal merge, exact boundaries") {
+    // docs 1 and 2 share tokens a..f (6 tokens) at different offsets;
+    // with k=3 that is duplicated gram starts 4 in a row -> ONE span each
+    val docs = Seq(
+      (1L, "x1 x2 a b c d e f y1 y2"),
+      (2L, "z1 a b c d e f z2 z3 z4 z5")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    // doc 1: shared run = positions 2..7 (0-based) -> gram starts 2..5
+    // doc 2: shared run = positions 1..6 -> gram starts 1..4
+    assert(got.toSet == Set((1L, 1L, 2, 7, 4L), (2L, 1L, 1, 6, 4L)), got.toSeq)
+  }
+
+  test("duplicatedSpans: within-doc repetition counts as duplication") {
+    // "p q r" appears twice INSIDE one doc, nowhere else (Lee et al.
+    // dedups self-repetition too); far enough apart to stay two spans
+    val docs = Seq((7L, "p q r m1 m2 m3 m4 m5 p q r")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(got.toSet == Set((7L, 1L, 0, 2, 1L), (7L, 2L, 8, 10, 1L)), got.toSeq)
+  }
+
+  test("duplicatedSpans: overlapping and touching gram runs merge into one span") {
+    // two docs share a 7-token run; a third doc shares only its tail —
+    // the first doc's gram starts stay ONE maximal span, not fragments
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"),
+      (3L, "e f g t1 t2")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    val doc1 = got.filter(_._1 == 1L)
+    assert(doc1.toSeq == Seq((1L, 1L, 0, 6, 5L)), got.toSeq)
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 1L, 0, 2, 1L)), got.toSeq)
+  }
+
+  test("duplicatedSpans: unique corpus yields no spans; k > doc length is safe") {
+    val docs = Seq((1L, "only one doc here"), (2L, "and a different one")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3).count() == 0)
+    assert(Dedup.duplicatedSpans(docs, "doc_id", "text", k = 50).count() == 0)
+  }
 }

@@ -176,4 +176,54 @@ class WarehouseSpec extends SparkSpec {
     assert(got(1).getAs[String]("term_code") == null)
     assert(got(1).getAs[String]("acquisition_description") == null)
   }
+
+  test("scd2: transitions open versions, intervals tile, no-change rows collapse") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val log = Seq(
+      // user 1: gold -> gold (collapse) -> silver -> gold again
+      (1L, "gold",   t("2020-01-01 00:00:00"), 1L),
+      (1L, "gold",   t("2020-02-01 00:00:00"), 2L),
+      (1L, "silver", t("2020-03-01 00:00:00"), 3L),
+      (1L, "gold",   t("2020-04-01 00:00:00"), 4L),
+      // user 2: single row -> single current version
+      (2L, "bronze", t("2021-06-15 00:00:00"), 5L)
+    ).toDF("user_id", "status", "at", "seq")
+    val got = Warehouse.scd2(log, Seq("user_id"), Seq("status"), "at",
+      tieBreak = Seq("seq"))
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("status"),
+        r.getAs[Int]("version"), r.getAs[Timestamp]("effective_from"),
+        r.getAs[Timestamp]("effective_to"), r.getAs[Boolean]("is_current")))
+    assert(got.toSeq == Seq(
+      (1L, "gold",   1, t("2020-01-01 00:00:00"), t("2020-03-01 00:00:00"), false),
+      (1L, "silver", 2, t("2020-03-01 00:00:00"), t("2020-04-01 00:00:00"), false),
+      (1L, "gold",   3, t("2020-04-01 00:00:00"), null, true),
+      (2L, "bronze", 1, t("2021-06-15 00:00:00"), null, true)), got.toSeq)
+  }
+
+  test("scd2: null attribute values are versioned null-safely") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val log = Seq[(Long, String, Timestamp, Long)](
+      (1L, null, t("2020-01-01 00:00:00"), 1L),      // null opens v1
+      (1L, null, t("2020-02-01 00:00:00"), 2L),      // null==null collapses
+      (1L, "a", t("2020-03-01 00:00:00"), 3L),       // null -> value = change
+      (1L, null, t("2020-04-01 00:00:00"), 4L)       // value -> null = change
+    ).toDF("user_id", "status", "at", "seq")
+    val got = Warehouse.scd2(log, Seq("user_id"), Seq("status"), "at",
+      tieBreak = Seq("seq")).orderBy("version")
+      .collect().map(r => (r.getAs[String]("status"), r.getAs[Int]("version"),
+        r.getAs[Boolean]("is_current")))
+    assert(got.toSeq == Seq((null, 1, false), ("a", 2, false), (null, 3, true)),
+      got.toSeq)
+  }
+
+  test("scd2 plans a single hash exchange (one shuffle for the whole build)") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val log = Seq((1L, "x", t("2020-01-01 00:00:00"), 1L))
+      .toDF("user_id", "status", "at", "seq")
+    val plan = Warehouse.scd2(log, Seq("user_id"), Seq("status"), "at",
+      tieBreak = Seq("seq")).queryExecution.executedPlan.toString
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nShuffles == 1, s"expected 1 exchange, got $nShuffles:\n$plan")
+  }
 }
