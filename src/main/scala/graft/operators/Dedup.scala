@@ -253,17 +253,21 @@ object Dedup {
     * duplicated k-gram start positions, so marking duplicated grams and
     * merging consecutive covered positions recovers the same spans.
     *
-    * Shape: tokenize once → explode to (id, pos, gh) — O(total tokens)
-    * rows carrying 8-byte hashes, not text; gram multiplicity via ONE
-    * partial-aggregated groupBy(gh) (map-side combine absorbs hot grams:
-    * each map task emits each gh once); duplicated positions come back
-    * via an equi-join on gh (the corpus's selective-gram postings — AQE
-    * skew-split handles a pathological gram that dominates a corpus);
-    * span merge is a per-doc lag/running-sum window — one hash exchange
-    * on id. No all-pairs step anywhere: cost is O(tokens) shuffle +
-    * O(duplicated positions) window, independent of how many documents
-    * share a span (the inverted-index k(k-1)/2 blowup in
-    * [[ngramJaccardPairs]]'s design note never appears).
+    * Shape: ONE tokenize+explode scan to (id, pos, gh) — O(total tokens)
+    * rows carrying 8-byte hashes, not text — behind a lazy
+    * localCheckpoint, so the gram-count build and the probe side read
+    * the materialized pass instead of re-scanning the corpus (the
+    * [[minhashLshPairsShared]] pattern; production would use reliable
+    * `checkpoint()`). Gram multiplicity via a partial-aggregated
+    * groupBy(gh) (map-side combine absorbs hot grams: each map task
+    * emits each gh once); duplicated positions come back via an
+    * equi-join on gh (broadcast while the duplicated-gram set is small,
+    * shuffle at scale — AQE skew-split handles a pathological gram that
+    * dominates a corpus); span merge is a per-doc lag/running-sum
+    * window — one hash exchange on id. No all-pairs step anywhere: cost
+    * is O(tokens) shuffle + O(duplicated positions) window, independent
+    * of how many documents share a span (the inverted-index k(k-1)/2
+    * blowup in [[ngramJaccardPairs]]'s design note never appears).
     *
     * Merge rule: positions p, q (p < q) join one span iff q - p ≤ k —
     * their covered token ranges [p, p+k-1], [q, q+k-1] overlap or touch,
@@ -277,6 +281,7 @@ object Dedup {
     require(k > 0, s"duplicatedSpans: k=$k")
     import org.apache.spark.sql.expressions.Window
     val grams = positionalGramHashes(df, idCol, textCol, k)
+      .localCheckpoint(false)
     val dupGh = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select("gh")
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))

@@ -46,4 +46,40 @@ object Packing {
       .withColumn("bin_offset", pmod(col("start_offset"), lit(budget)))
       .drop("__pid", "__cum", "__off")
   }
+
+  /** Overlapping token-window chunking — the retrieval/RAG-style
+    * splitter: each document becomes windows of ≤ `size` tokens whose
+    * starts step by `size - overlap`, so consecutive chunks share
+    * `overlap` tokens and every token is covered. The tail chunk may be
+    * shorter (standard convention); a start past the last token emits
+    * nothing, and a doc of ≤ `size` tokens is exactly one chunk.
+    *
+    * Pure expressions over one tokenize pass (geometry is arithmetic on
+    * the token array — no UDF, no shuffle at all: chunking is
+    * embarrassingly per-row, the explode just multiplies rows ~n/stride
+    * per doc). Output: (idCol, chunk_idx, start_tok, n_toks,
+    * chunk_text), chunk_text re-joined with single spaces (the
+    * tokenizer's whitespace classes collapse — documented, and the SQL
+    * oracle reproduces it verbatim). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  size: Int = 64, overlap: Int = 16): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"chunkTokens: size=$size overlap=$overlap")
+    val stride = size - overlap
+    val toks = graft.functions.TextAnalysis.tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size_(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), size_(col("__toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .withColumn("__chunk", slice(col("__toks"), col("start_tok") + 1, lit(size)))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        size_(col("__chunk")).as("n_toks"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
+  // functions.size shadowed by the param name in chunkTokens
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
 }

@@ -143,6 +143,37 @@ object TextQueries {
         .orderBy(col("doc_id"), col("span_id"))
     },
 
+    // RAG-style overlapping token-window chunking: 64-token windows,
+    // 16-token overlap; full chunk roster INCLUDING the re-joined chunk
+    // text is hash-gated.
+    "ck1_doc_chunking" -> { (s, d) =>
+      graft.operators.Packing.chunkTokens(documents(s, d), "doc_id", "text",
+        size = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // curation v3 — the substring-cut pass composed end-to-end: per-doc
+    // duplicated-span coverage (x7's spans) against the doc's token
+    // count, the retained-token budget after cutting every duplicated
+    // span (Lee et al.'s drop-all-copies ablation policy), and a
+    // whole-doc drop flag at >= 80% duplication. Every number is joint
+    // output, so the oracle hash-checks the full decision table.
+    "cur3_substring_cut" -> { (s, d) =>
+      val corpus = nearDupCorpus(s, d)
+      val cover = Dedup.duplicatedSpans(corpus, "doc_id", "text", k = 8)
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_spans"),
+          sum(col("end_pos") - col("start_pos") + 1).as("dup_tokens"))
+      corpus.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(cover, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_spans", "dup_tokens"))
+        .withColumn("retained_tokens", col("n_tokens") - col("dup_tokens"))
+        // integer arithmetic, not a double ratio: exact at any scale
+        .withColumn("drop_doc", col("dup_tokens") * 5 >= col("n_tokens") * 4)
+        .orderBy(col("doc_id"))
+    },
+
     // curation v2 — the round-5 training-data flow end-to-end:
     // repetition filter -> benchmark decontamination -> exact dedup
     // (canonical min id) -> per-language quota cap. Output is the full
@@ -539,6 +570,63 @@ object TextQueries {
          |WHERE bit_count(xor(a.sh, b.sh)) <= 6
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    // ck1: chunk geometry AND text re-derived in SQL — window starts
+    // from a stepped range, slices and the single-space re-join verbatim.
+    "ck1_doc_chunking" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |  WHERE len($toksSql) > 0)
+         |SELECT doc_id,
+         |  CAST(s / 48 AS INT) AS chunk_idx,
+         |  CAST(s AS INT) AS start_tok,
+         |  CAST(len(list_slice(tk, s + 1, least(s + 64, len(tk)))) AS INT) AS n_toks,
+         |  array_to_string(list_slice(tk, s + 1, least(s + 64, len(tk))), ' ') AS chunk_text
+         |FROM toks, UNNEST(range(0, len(tk), 48)) AS t(s)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // cur3: the substring-cut decision table — span coverage re-derived
+    // from the x7 aux, token budgets from DuckDB's own tokenization of
+    // the same corpus construction, the 80% drop rule in exact integer
+    // arithmetic.
+    "cur3_substring_cut" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    array_to_string(list_slice($toksSql, 1, len($toksSql) - 1), ' ')
+         |      || ' graftdup' AS text
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, pos, gh
+         |  FROM read_parquet('__AUX__/x7_gram_pos/*.parquet')),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+         |p AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+         |marked AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |      THEN 0 ELSE 1 END AS new_span
+         |  FROM p),
+         |spans0 AS (
+         |  SELECT doc_id, pos,
+         |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |  FROM marked),
+         |spans AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+         |  FROM spans0 GROUP BY doc_id, span_id),
+         |cover AS (
+         |  SELECT doc_id, count(*) AS n_spans,
+         |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+         |  FROM spans GROUP BY doc_id),
+         |toks AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM corpus)
+         |SELECT t.doc_id, t.n_tokens,
+         |  COALESCE(c.n_spans, 0) AS n_spans,
+         |  COALESCE(c.dup_tokens, 0) AS dup_tokens,
+         |  t.n_tokens - COALESCE(c.dup_tokens, 0) AS retained_tokens,
+         |  (COALESCE(c.dup_tokens, 0) * 5 >= t.n_tokens * 4) AS drop_doc
+         |FROM toks t LEFT JOIN cover c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // x7: duplicated-substring spans recomputed from Spark-dumped
     // positional gram hashes — gram multiplicity, the duplicated set,

@@ -138,4 +138,25 @@ class DatasetSpec extends SparkSpec {
     val total = in.agg(sum($"toks")).first().getLong(0)
     assert(a.last == total - ((1000 % 17) + 1))
   }
+
+  test("chunkTokens: geometry, overlap sharing, short tail, single-chunk doc") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, size 4 stride 3
+      (2L, "a b"),                                    // single short chunk
+      (3L, "   ")                                     // tokenless -> no chunks
+    ).toDF("doc_id", "text")
+    val got = Packing.chunkTokens(docs, "doc_id", "text", size = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, 4, "t1 t2 t3 t4"),
+      (1L, 1, 3, 4, "t4 t5 t6 t7"),   // overlap: t4 shared
+      (1L, 2, 6, 4, "t7 t8 t9 t10"),
+      (1L, 3, 9, 1, "t10"),           // short tail
+      (2L, 0, 0, 2, "a b")), got.toSeq)
+    // every token covered: union of [start, start+n) spans 0..10 for doc 1
+    val covered = got.filter(_._1 == 1L)
+      .flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0 until 10).toSet)
+  }
 }
