@@ -59,10 +59,47 @@ object JoinQueries {
             .cast("decimal(28,6)")).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("r_name"))
+    },
+
+    // FULL OUTER join: big-order customers vs MACHINERY customers —
+    // both one-sided populations survive, with a side tag derived from
+    // explicit IS NOT NULL checks (no three-valued-logic surprises).
+    "jf1_full_outer" -> { (s, d) =>
+      val big = orders(s, d).filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_big_orders"))
+      val mach = customer(s, d).filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("k"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"),
+          lit(true).as("__c"))
+      big.join(mach, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"),
+          col("bal"),
+          when(col("n_big_orders").isNotNull && col("__c").isNotNull, "both")
+            .when(col("n_big_orders").isNotNull, "orders_only")
+            .otherwise("customer_only").as("side"))
+        .orderBy(col("k"))
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "jf1_full_outer" ->
+      """WITH big AS (
+        |  SELECT o_custkey AS k, count(*) AS n_big_orders
+        |  FROM orders WHERE o_totalprice > 150000 GROUP BY 1),
+        |mach AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+        |    TRUE AS c
+        |  FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |SELECT COALESCE(big.k, mach.k) AS k,
+        |  COALESCE(n_big_orders, 0) AS n_big_orders, bal,
+        |  CASE WHEN n_big_orders IS NOT NULL AND c IS NOT NULL THEN 'both'
+        |       WHEN n_big_orders IS NOT NULL THEN 'orders_only'
+        |       ELSE 'customer_only' END AS side
+        |FROM big FULL OUTER JOIN mach ON big.k = mach.k
+        |ORDER BY k""".stripMargin,
     "j_semi_exists" ->
       """SELECT o_orderkey, o_orderstatus FROM orders o
         |WHERE EXISTS (SELECT 1 FROM lineitem l

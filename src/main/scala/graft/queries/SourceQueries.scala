@@ -83,6 +83,45 @@ object SourceQueries {
         .orderBy(col("event_type"))
     },
 
+    // small-file compaction: fragment the table into 64 tiny files,
+    // compact in place (coalesce + write-aside + atomic rename), then
+    // aggregate the read-back — the oracle is format-independent, so a
+    // row lost or duplicated by the rewrite fails the hash compare (the
+    // file-count bound itself is asserted in SourcesSpec).
+    "s13_compaction" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_compact").toString
+      val out = s"$tmp/events"
+      events(s, d).select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(18,2)").as("value"))
+        .repartition(64).write.parquet(out)
+      Writers.compactParquet(s, out, targetFiles = 4)
+      Readers.parquet(s, out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).cast("double").as("total"))
+        .orderBy(col("event_type"))
+    },
+
+    // Z-order clustered write + read-back: lineitem laid out on the
+    // Morton curve over (l_partkey, l_suppkey), then bucketed stats of
+    // the curve key — the oracle recomputes the SAME bit interleave
+    // (generated from one loop, Clustering.zValueSql) from the raw
+    // table, so the key arithmetic, the write, and the scan are all
+    // cross-checked. File-interval disjointness (the data-skipping
+    // property the layout exists for) is asserted in SourcesSpec.
+    "z1_zorder_cluster" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_zorder").toString
+      graft.operators.Clustering.clusteredWrite(
+        lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity")),
+        s"$tmp/li", "l_partkey", "l_suppkey", files = 8)
+      Readers.parquet(s, s"$tmp/li")
+        .groupBy(shiftright(col("zkey"), 12).as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("zkey")).as("z_min"), max(col("zkey")).as("z_max"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+        .orderBy(col("z_bucket"))
+    },
+
     // S4: partitioned parquet write with dynamic overwrite, then a pruned
     // read-back (the filter prunes partition directories, not rows).
     "s4_partitioned_write" -> { (s, d) =>
@@ -126,6 +165,18 @@ object SourceQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s13_compaction" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "z1_zorder_cluster" -> {
+      val z = graft.operators.Clustering.zValueSql("l_partkey", "l_suppkey")
+      s"""WITH z AS (SELECT $z AS zkey, l_quantity FROM lineitem)
+         |SELECT zkey >> 12 AS z_bucket, count(*) AS n,
+         |  min(zkey) AS z_min, max(zkey) AS z_max,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    },
     "s4_partitioned_write" ->
       """SELECT count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

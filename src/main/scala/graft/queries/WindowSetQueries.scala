@@ -56,6 +56,21 @@ object WindowSetQueries {
         .orderBy(col("gid"), col("r_name"), col("n_name"))
     },
 
+    // cube over (region, market segment) — all four grouping sets, the
+    // rollup's sibling the reference also lacks.
+    "w5_cube" -> { (s, d) =>
+      val c = customer(s, d)
+      val n = nation(s, d)
+      val r = region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .cube(col("r_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("r_name"), col("c_mktsegment"))
+    },
+
     // set operations with SQL set semantics (distinct).
     "so1_set_ops" -> { (s, d) =>
       val purchasers = orders(s, d).filter(col("o_totalprice") > 50000)
@@ -153,6 +168,15 @@ object WindowSetQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "w5_cube" ->
+      """SELECT r_name, c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |  CAST(grouping(r_name) * 2 + grouping(c_mktsegment) AS INT) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, c_mktsegment)
+        |ORDER BY gid, r_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
     "so1_set_ops" ->
       """SELECT * FROM (
         |  SELECT k, 'intersect' AS op FROM (

@@ -61,4 +61,22 @@ object Writers {
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  props: java.util.Properties, connections: Int = 8): Unit =
     df.coalesce(connections).write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** Small-file compaction: rewrite a parquet directory into at most
+    * `targetFiles` files. The operational pass every long-running lake
+    * needs — streaming sinks and per-day dynamic overwrites accumulate
+    * thousands of KB-sized files, and at 100 TB the task-scheduling +
+    * footer-read overhead of a million tiny files dominates the scan
+    * (the public "small files problem"; Delta's OPTIMIZE / Iceberg's
+    * rewrite_data_files are this pass productized). `coalesce` (not
+    * `repartition`) — compaction must MERGE files without paying a full
+    * shuffle of the data; rows are only concatenated, never moved
+    * between existing partition boundaries' key ranges. Writes aside +
+    * atomic-rename swap via [[parquetReplace]], so a reader never sees
+    * a half-compacted directory. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetFiles: Int = 8): Unit = {
+    require(targetFiles > 0, s"compactParquet: targetFiles=$targetFiles")
+    parquetReplace(spark.read.parquet(path).coalesce(targetFiles), path)
+  }
 }

@@ -125,6 +125,52 @@ class SourcesSpec extends SparkSpec {
     assert(got == Seq((2, "b"), (10, "a")).sortBy(_._1))
   }
 
+  test("compactParquet: 64 fragments -> <= 4 files, rows and values intact") {
+    val tmp = Files.createTempDirectory("graft_compact_spec").toString
+    val out = s"$tmp/t"
+    val df = spark.range(10000).selectExpr("id", "id % 7 AS grp")
+    df.repartition(64).write.parquet(out)
+    def partFiles() = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles().length > 4, "precondition: fragmented input")
+    Writers.compactParquet(spark, out, targetFiles = 4)
+    assert(partFiles().length <= 4, s"still ${partFiles().length} files")
+    val got = Readers.parquet(spark, out)
+    assert(got.count() == 10000)
+    assert(got.agg(sum(col("id"))).first().getLong(0) == 10000L * 9999 / 2)
+  }
+
+  test("zValue matches hand-computed Morton interleave; masks wide inputs") {
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65536L + 2L, 1L))
+      .toDF("a", "b")
+      .select(graft.operators.Clustering.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // interleave(3=0b11, 5=0b101): a-bits at even positions (1,1,0),
+    // b-bits at odd (1,0,1) -> 0b100111 = 39; 65538 masks to 2
+    assert(got == Seq(0L, 1L, 2L, 39L, 1L << 2 | 2L), got)
+  }
+
+  test("clusteredWrite: per-file zkey intervals are disjoint (data skipping)") {
+    val tmp = Files.createTempDirectory("graft_zorder_spec").toString
+    val out = s"$tmp/t"
+    val df = spark.range(20000).selectExpr(
+      "id % 251 AS a", "(id * 7) % 241 AS b")
+    graft.operators.Clustering.clusteredWrite(df, out, "a", "b", files = 8)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length > 1, "need multiple files to prove disjointness")
+    val intervals = files.map { f =>
+      val r = Readers.parquet(spark, f.getAbsolutePath)
+        .agg(min(col("zkey")), max(col("zkey"))).first()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    intervals.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(lo2 > hi, s"overlapping file intervals: $hi vs $lo2")
+      case _ =>
+    }
+  }
+
   test("s3a conf pass-through lands on the session hadoop configuration") {
     graft.core.GraftSession.withHadoopConf(spark,
       graft.core.GraftSession.s3aConf("http://localhost:9000", "ak", "sk"))
