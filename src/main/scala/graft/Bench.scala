@@ -52,6 +52,16 @@ object Bench {
       // queries' broadcast/shuffle state. Belt to periodicGC's suspenders —
       // together they make the numbers heap-size-independent.
       System.gc()
+      // ...and drop persisted blocks (localCheckpoint/cache) the previous
+      // query materialized: ContextCleaner's weak-ref path is ASYNC and can
+      // lag, leaving checkpoint-heavy queries' storage blocks (cur3/x7
+      // hold ~0.5 GB each at sf1) resident in unified memory while later
+      // queries run. Every query builds its frames from scratch, so
+      // inter-query persisted state is garbage by construction here —
+      // dropping it synchronously costs nothing and removes one suite-
+      // order dependence (SCALE.md round-9 environment notes).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // all runs failed -> explicit -1 sentinel, never a time-to-throw
       name -> (if (times.nonEmpty) times else Seq(-1.0))
     }

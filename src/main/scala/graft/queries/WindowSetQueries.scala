@@ -84,6 +84,37 @@ object WindowSetQueries {
       inter.unionByName(except).orderBy(col("op"), col("k"))
     },
 
+    // bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicities
+    // carry through — a customer with 3 qualifying orders vs 1 matching
+    // row survives EXCEPT ALL twice, where so1's DISTINCT forms collapse.
+    "so2_set_ops_all" -> { (s, d) =>
+      val purchasers = orders(s, d).filter(col("o_totalprice") > 50000)
+        .select(col("o_custkey").as("k"))
+      val machinery = customer(s, d).filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("k"))
+      val inter  = purchasers.intersectAll(machinery)
+        .withColumn("op", lit("intersect_all"))
+      val except = purchasers.exceptAll(machinery)
+        .withColumn("op", lit("except_all"))
+      inter.unionByName(except)
+        .groupBy(col("op"), col("k")).agg(count(lit(1)).as("multiplicity"))
+        .orderBy(col("op"), col("k"))
+    },
+
+    // window distribution functions over per-customer order history
+    // (PARTITIONED window — keyed like w2, never a global single-task
+    // sort): quartile buckets, relative rank, cumulative distribution.
+    "w6_window_dist" -> { (s, d) =>
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").cast("decimal(18,2)"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(byCust).as("quartile"),
+          round(percent_rank().over(byCust), 9).as("pr"),
+          round(cume_dist().over(byCust), 9).as("cd"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // correlated scalar subquery + EXISTS through the SQL surface.
     "sq1_scalar_subquery" -> { (s, d) =>
       graft.core.Catalog.register(s, d)
@@ -168,6 +199,29 @@ object WindowSetQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "so2_set_ops_all" ->
+      """SELECT * FROM (
+        |  SELECT 'intersect_all' AS op, k, count(*) AS multiplicity FROM (
+        |    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000
+        |    INTERSECT ALL
+        |    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |  GROUP BY k
+        |  UNION ALL
+        |  SELECT 'except_all' AS op, k, count(*) AS multiplicity FROM (
+        |    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000
+        |    EXCEPT ALL
+        |    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |  GROUP BY k)
+        |ORDER BY op, k""".stripMargin,
+    "w6_window_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 9) AS pr,
+        |  round(cume_dist() OVER w, 9) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "w5_cube" ->
       """SELECT r_name, c_mktsegment, count(*) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
