@@ -67,6 +67,23 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // unpivot/melt — pv1's inverse: the wide per-status priority counts
+    // back to long (status, priority, n) form via Dataset.unpivot
+    // (SQL UNPIVOT / pandas melt surface).
+    "up1_unpivot" -> { (s, d) =>
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val wide = orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", priorities)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(
+        Array(col("o_orderstatus")),
+        priorities.map(col).toArray,
+        "priority", "n")
+        .orderBy(col("o_orderstatus"), col("priority"))
+    },
+
     // sketch aggregates (HLL distinct, approximate percentile). The raw
     // sketch values are not DuckDB-reproducible (different sketch
     // impls), so the gate asserts the PUBLISHED ERROR BOUNDS by
@@ -193,6 +210,18 @@ object AnalyticsQueries {
         |  CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
         |  CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // up1: the melt re-derived long-form — all 5 priorities per status,
+    // zero-filled like the engine's na.fill(0) wide table.
+    "up1_unpivot" ->
+      """WITH s AS (SELECT DISTINCT o_orderstatus FROM orders),
+        |p AS (SELECT * FROM (VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'),
+        |  ('4-NOT SPECIFIED'), ('5-LOW')) t(priority)),
+        |c AS (SELECT o_orderstatus, o_orderpriority AS priority, count(*) AS n
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT s.o_orderstatus, p.priority, COALESCE(c.n, 0) AS n
+        |FROM s CROSS JOIN p
+        |LEFT JOIN c ON c.o_orderstatus = s.o_orderstatus AND c.priority = p.priority
+        |ORDER BY s.o_orderstatus, p.priority""".stripMargin,
     "mp1_map_type" ->
       """SELECT user_id, event_type, count(*) AS n
         |FROM events GROUP BY user_id, event_type
