@@ -153,4 +153,13 @@ class PlanSpec extends SparkSpec {
     // partial agg appears below the exchange: two HashAggregate nodes
     assert(p.split("HashAggregate").length - 1 >= 2, p)
   }
+
+  test("chunkTokens is shuffle-free (per-row geometry, no exchange)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val p = graft.operators.Packing.chunkTokens(docs, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"chunking must be embarrassingly per-row:\n$p")
+  }
 }
