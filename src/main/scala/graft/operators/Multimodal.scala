@@ -134,10 +134,15 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         val writer =
           javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        // task-completion hook, not an iterator suffix: a limit/take or
+        // task failure abandons the iterator un-drained, and the writer's
+        // native resources must still be released
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => writer.dispose())
         val params = writer.getDefaultWriteParam
         params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
         params.setCompressionQuality(quality)
-        val it = rows.map { r =>
+        rows.map { r =>
           val bytes = r.getAs[Array[Byte]](mediaIdx)
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -149,9 +154,6 @@ object Multimodal {
           ios.close()
           Row(r.getLong(idIdx), bos.toByteArray)
         }
-        // dispose the writer once the partition is exhausted (++'s
-        // by-name right side is only built after `it` is drained)
-        it ++ { writer.dispose(); Iterator.empty }
       }(enc)
   }
 

@@ -51,8 +51,14 @@ object Packing {
     * splitter: each document becomes windows of ≤ `size` tokens whose
     * starts step by `size - overlap`, so consecutive chunks share
     * `overlap` tokens and every token is covered. The tail chunk may be
-    * shorter (standard convention); a start past the last token emits
-    * nothing, and a doc of ≤ `size` tokens is exactly one chunk.
+    * shorter (standard convention), but a window fully contained in its
+    * predecessor is never emitted: starts stop at `n - 1 - overlap`, so
+    * every non-initial chunk ends strictly past the previous chunk's
+    * end (a start inside the previous window's tail would otherwise
+    * duplicate already-covered text for RAG consumers — e.g. 60 tokens
+    * at size=64/stride=48 must be ONE chunk, not a 60-token chunk plus
+    * a contained 12-token echo). A doc of ≤ `size` tokens is therefore
+    * exactly one chunk.
     *
     * Pure expressions over one tokenize pass (geometry is arithmetic on
     * the token array — no UDF, no shuffle at all: chunking is
@@ -71,7 +77,8 @@ object Packing {
       .select(col(idCol), toks.as("__toks"))
       .filter(size_(col("__toks")) > 0)
       .select(col(idCol), col("__toks"),
-        posexplode(sequence(lit(0), size_(col("__toks")) - 1, lit(stride)))
+        posexplode(sequence(lit(0),
+          greatest(lit(0), size_(col("__toks")) - 1 - overlap), lit(stride)))
           .as(Seq("chunk_idx", "start_tok")))
       .withColumn("__chunk", slice(col("__toks"), col("start_tok") + 1, lit(size)))
       .select(col(idCol), col("chunk_idx"), col("start_tok"),

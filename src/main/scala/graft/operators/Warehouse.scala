@@ -249,9 +249,6 @@ object Warehouse {
         col("source_description").as("ipo_description"))
   }
 
-  /** fct_acquisition (extract_transform.py:451-565): the dim_company
-    * self-join in two roles (acquiring/acquired) via aliased+renamed key
-    * pairs, date FK (left), USD price, term-code/description cleanse. */
   /** SCD Type-2 dimension from a change log — the warehouse-load pattern
     * the reference's overwrite-style dims can't express (history is lost
     * on every reload there; SCD2 keeps one row per attribute VERSION with
@@ -302,6 +299,9 @@ object Warehouse {
         col("effective_from"), col("effective_to"), col("is_current")): _*)
   }
 
+  /** fct_acquisition (extract_transform.py:451-565): the dim_company
+    * self-join in two roles (acquiring/acquired) via aliased+renamed key
+    * pairs, date FK (left), USD price, term-code/description cleanse. */
   def fctAcquisition(acquisition: DataFrame, dimCompany: DataFrame,
                      dimDate: DataFrame,
                      broadcastDims: Boolean = true): DataFrame = {

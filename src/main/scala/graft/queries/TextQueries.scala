@@ -573,6 +573,8 @@ object TextQueries {
 
     // ck1: chunk geometry AND text re-derived in SQL — window starts
     // from a stepped range, slices and the single-space re-join verbatim.
+    // The range stops at len(tk) - overlap so a window fully contained
+    // in its predecessor is never emitted (mirrors chunkTokens' bound).
     "ck1_doc_chunking" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $toksSql AS tk FROM documents
@@ -582,7 +584,7 @@ object TextQueries {
          |  CAST(s AS INT) AS start_tok,
          |  CAST(len(list_slice(tk, s + 1, least(s + 64, len(tk)))) AS INT) AS n_toks,
          |  array_to_string(list_slice(tk, s + 1, least(s + 64, len(tk))), ' ') AS chunk_text
-         |FROM toks, UNNEST(range(0, len(tk), 48)) AS t(s)
+         |FROM toks, UNNEST(range(0, greatest(1, len(tk) - 16), 48)) AS t(s)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // cur3: the substring-cut decision table — span coverage re-derived

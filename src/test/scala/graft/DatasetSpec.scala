@@ -151,9 +151,10 @@ class DatasetSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (1L, 0, 0, 4, "t1 t2 t3 t4"),
       (1L, 1, 3, 4, "t4 t5 t6 t7"),   // overlap: t4 shared
-      (1L, 2, 6, 4, "t7 t8 t9 t10"),
-      (1L, 3, 9, 1, "t10"),           // short tail
+      (1L, 2, 6, 4, "t7 t8 t9 t10"),  // reaches the end — no echo after
       (2L, 0, 0, 2, "a b")), got.toSeq)
+    // a start at 9 would yield "t10" — fully contained in chunk 2 — and
+    // must NOT be emitted (the contained-tail rule)
     // every token covered: union of [start, start+n) spans 0..10 for doc 1
     val covered = got.filter(_._1 == 1L)
       .flatMap(c => c._3 until (c._3 + c._4)).toSet
