@@ -22,7 +22,12 @@ object Verify {
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "600").toLong
     import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
     val pool = Executors.newCachedThreadPool()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated filter (local iteration only — the driver
+    // always dumps the full surface)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    val queries = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names.contains(k) })
+    queries.foreach { case (name, fn) =>
       val task = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)

@@ -162,16 +162,24 @@ object Multimodal {
     * dimensions, mean luminance (fixed row-major summation), and the two
     * corner pixels. The REAL counterpart of the [[decodeFeatures]] stub —
     * batched like a vectorized codec wants.
-    * Output: (media_id, width, height, mean_px, px_first, px_last). */
+    * Output: (media_id, width, height, mean_px, px_first, px_last);
+    * with `markers=true` a trailing `soi_eoi_ok` boolean is computed in
+    * the SAME kernel pass (JPEG payload starts FFD8 / ends FFD9) — the
+    * m5 oracle's container-integrity bit without a second codec pass or
+    * a join back to the payload. */
   def decodeImageFeatures(png: DataFrame, batchSize: Int = 64,
-                          payloadCol: String = "png"): DataFrame = {
-    val out = StructType(Seq(
+                          payloadCol: String = "png",
+                          markers: Boolean = false): DataFrame = {
+    val base = Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("mean_px", DoubleType, nullable = false),
       StructField("px_first", IntegerType, nullable = false),
-      StructField("px_last", IntegerType, nullable = false)))
+      StructField("px_last", IntegerType, nullable = false))
+    val out = StructType(
+      if (markers) base :+ StructField("soi_eoi_ok", BooleanType, nullable = false)
+      else base)
     val idIdx = png.schema.fieldIndex("media_id")
     val pngIdx = png.schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
@@ -181,8 +189,9 @@ object Multimodal {
         // per-batch decode kernel — a vectorized codec would take the
         // whole batch at once; ImageIO decodes per image
         batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](pngIdx)
           val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](pngIdx)))
+            new java.io.ByteArrayInputStream(bytes))
           require(img != null, "decodeImageFeatures: undecodable payload")
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
@@ -193,8 +202,16 @@ object Multimodal {
             while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
             y += 1
           }
-          Row(r.getLong(idIdx), w, h, sum.toDouble / (w.toLong * h),
+          val stats = Seq[Any](r.getLong(idIdx), w, h,
+            sum.toDouble / (w.toLong * h),
             raster.getSample(0, 0, 0), raster.getSample(w - 1, h - 1, 0))
+          if (markers) {
+            val n = bytes.length
+            val ok = n >= 4 &&
+              (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8 &&
+              (bytes(n - 2) & 0xFF) == 0xFF && (bytes(n - 1) & 0xFF) == 0xD9
+            Row.fromSeq(stats :+ ok)
+          } else Row.fromSeq(stats)
         }
       }
     }(enc)

@@ -151,14 +151,36 @@ object SimilarityQueries {
 
     // multimodal: SECOND real codec — JPEG (lossy). Encodes the first 64
     // payload bytes as an 8x8 gray JPEG at pinned quality, then a real
-    // ImageIO decode back to pixel stats. Lossy DCT output is not
-    // SQL-reproducible, so the gate is rows-only (no oracleSql entry);
-    // the round-trip invariants (dims, pixel bounds, determinism,
-    // DC-mean closeness) are spec-side in MultimodalSpec.
+    // ImageIO decode back to pixel stats. Lossy DCT pixel values are not
+    // SQL-reproducible, so the gate follows the sk1 sketch pattern: the
+    // engine emits the REAL decoded dims (oracle compares against the
+    // raster contract 8x8) plus invariants AS BOOLEANS the oracle mirrors
+    // with literal TRUEs — container integrity (SOI/EOI markers, computed
+    // in the decode kernel itself) and DC closeness (|decoded mean −
+    // source byte mean| ≤ 1.0; the JPEG DC coefficient IS the 8x8 block
+    // mean, quantized with step ~2 at quality 0.95 — measured max
+    // deviation 0.27 across sf0.01/0.1/1, so the bound has ~4x margin
+    // while a broken codec path, wrong quality, or byte misalignment
+    // flips it). A drifted decode hash-mismatches against the TRUEs.
+    // ASCII filter: the oracle recomputes the source mean from text
+    // codepoints, so codepoints must equal payload bytes (as in m3/m4).
+    // Exact per-pixel round-trip invariants stay spec-side
+    // (MultimodalSpec); raw pixel stats remain visible via m4 (lossless).
     "m5_image_decode_jpeg" -> { (s, d) =>
-      Multimodal.decodeImageFeatures(
-        Multimodal.encodeGrayJpeg(Multimodal.fromDocuments(documents(s, d))),
-        payloadCol = "jpeg")
+      val media = Multimodal.fromDocuments(asciiDocuments(s, d))
+      val decoded = Multimodal.decodeImageFeatures(
+        Multimodal.encodeGrayJpeg(media), payloadCol = "jpeg", markers = true)
+      // source-side expectation: mean of the first 64 payload bytes via
+      // the same substring->hex->conv byte extraction the m3 gate uses
+      val srcMean = (1 to 64).map(i =>
+        conv(hex(substring(col("media"), i, 1)), 16, 10).cast("double"))
+        .reduce(_ + _) / 64.0
+      val src = media.filter(octet_length(col("media")) >= 64)
+        .select(col("media_id"), srcMean.as("__src_mean"))
+      decoded.join(src, Seq("media_id"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("soi_eoi_ok"),
+          (abs(col("mean_px") - col("__src_mean")) <= 1.0).as("mean_close"))
         .orderBy(col("media_id"))
     },
 
@@ -545,6 +567,22 @@ object SimilarityQueries {
         |    i -> unicode(text[i:i]))) AS DOUBLE) / 64 AS mean_px,
         |  CAST(unicode(text[1:1]) AS INT) AS px_first,
         |  CAST(unicode(text[64:64]) AS INT) AS px_last
+        |FROM documents
+        |WHERE octet_length(encode(text)) >= 64 AND $AsciiWhere
+        |ORDER BY media_id""".stripMargin,
+
+    // m5: JPEG round trip — the sk1 pattern for a lossy codec. Dims are
+    // genuinely cross-checked (engine: real decoded raster; here: the
+    // 8x8 contract); the booleans are TRUE literals because only the
+    // engine sees its decoded pixels — the ENGINE computes |decoded mean
+    // − source byte mean| ≤ 1.0 and the SOI/EOI check, so a drifted
+    // codec, wrong quality, or misaligned payload flips a boolean and
+    // hash-mismatches. Row set = ASCII docs with ≥ 64 payload bytes,
+    // mirroring the engine's raster-size drop.
+    "m5_image_decode_jpeg" ->
+      s"""SELECT doc_id AS media_id,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  TRUE AS soi_eoi_ok, TRUE AS mean_close
         |FROM documents
         |WHERE octet_length(encode(text)) >= 64 AND $AsciiWhere
         |ORDER BY media_id""".stripMargin,
