@@ -66,26 +66,46 @@ object Dedup {
     * Output: (id, cluster_id) for every id that appears in `pairs`. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIters: Int = 20): DataFrame = {
+    // No distinct on the symmetrized edge list: min-label is idempotent
+    // over duplicate edges (a repeated message changes no min), so the
+    // dedup shuffle would buy correctness nothing — only message-volume
+    // reduction, and near-dup pair producers (x2/x3/x4/x5) already emit
+    // each pair once. Callers with heavily-duplicated pair lists should
+    // pre-distinct to cut message volume.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    // Initial labels fold the first propagation hop into the node-set
+    // aggregation itself: label0(v) = min(v, min(N(v))) — one groupBy
+    // over the symmetric edge list (every node appears as src) instead
+    // of a distinct + identity labeling. Clique-ish near-dup components
+    // (the common case here) are already at their fixpoint after this,
+    // so the loop runs exactly one confirming iteration. Not
+    // checkpointed: iteration 1's two references re-derive it from the
+    // checkpointed edges (identical agg subtrees — exchange-reused) more
+    // cheaply than a dedicated materialization job.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(first(col("src")), min(col("dst"))).as("label"))
+    val labelType = labels.schema("label").dataType
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val nbMin = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("__nb"))
-      // carry the previous label INTO the checkpointed result: the
-      // fixpoint test is then a filter over already-materialized blocks
-      // (zero extra joins — min-label is monotone, so "no label
-      // changed" IS the fixpoint)
-      val next = labels.join(nbMin, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("__nb"), col("label"))).as("label"),
-          col("label").as("__prev"))
+      // ONE join + ONE aggregation per iteration (the historical shape —
+      // join neighbor-mins, then left-join them back onto labels — paid
+      // a second shuffle join per pass for nothing): neighbor messages
+      // and each node's own row union into a single min-aggregation, and
+      // the previous label rides along as a message-only-null column so
+      // the fixpoint test needs no extra join — min-label is monotone,
+      // so "no label changed" IS the fixpoint.
+      val msgs = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"),
+          lit(null).cast(labelType).as("__prev"))
+      val self = labels.select(col("id"), col("label"),
+        col("label").as("__prev"))
+      val next = self.unionByName(msgs)
+        .groupBy(col("id"))
+        // max(__prev) = the unique non-null self row's previous label
+        .agg(min(col("label")).as("label"), max(col("__prev")).as("__prev"))
         .localCheckpoint()
       converged = next.filter(col("label") =!= col("__prev")).isEmpty
       labels = next.drop("__prev")
