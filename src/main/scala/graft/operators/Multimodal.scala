@@ -13,9 +13,10 @@ import org.apache.spark.sql.types._
   * of `mapInPandas` arrow batches):
   *
   *  - [[decodeImageFeatures]] is a REAL codec: `javax.imageio` image
-  *    decode (format sniffed from the bytes) with two real in-JVM
-  *    encoders — [[encodeGrayPng]] (lossless, oracle-gated end to end)
-  *    and [[encodeGrayJpeg]] (lossy, rows-only + spec-gated).
+  *    decode (format sniffed from the bytes) with three real in-JVM
+  *    encoders — [[encodeGrayPng]] and [[encodeGrayBmp]] (lossless,
+  *    oracle-gated end to end) and [[encodeGrayJpeg]] (lossy,
+  *    boolean-invariant oracle per the sk1 pattern + spec-gated).
   *  - [[decodeFeatures]] remains the generic-binary STUB for formats
   *    whose codecs this container lacks (mp3/mp4): deterministic
   *    byte-level features where a production kernel would call the
@@ -82,11 +83,28 @@ object Multimodal {
     * against the original payload. Executes as a `mapPartitions` kernel
     * — same codec-boundary shape as [[decodeFeatures]], but the codec
     * call is real. */
-  def encodeGrayPng(media: DataFrame, w: Int = 8, h: Int = 8): DataFrame = {
-    require(w > 0 && h > 0, s"encodeGrayPng: w=$w h=$h")
+  def encodeGrayPng(media: DataFrame, w: Int = 8, h: Int = 8): DataFrame =
+    encodeGrayLossless(media, "png", w, h)
+
+  /** FOURTH real codec — BMP via the same `javax.imageio` machinery.
+    * 8-bit BMP is lossless like PNG (the raster bytes land verbatim in
+    * the file, palette-indexed), so the full encode→decode round trip is
+    * SQL-oracle-checkable (gate m7) — this retires the synthetic
+    * stand-in kernel as the only non-PNG/JPEG/WAV image path. */
+  def encodeGrayBmp(media: DataFrame, w: Int = 8, h: Int = 8): DataFrame =
+    encodeGrayLossless(media, "bmp", w, h)
+
+  /** Shared lossless gray encoder: a `w`×`h` TYPE_BYTE_GRAY raster from
+    * the first `w*h` payload bytes, written through a per-partition
+    * CACHED ImageWriter (`ImageIO.write` re-scans the writer registry
+    * per call — same flat per-row SPI tax the WAV kernels measured, see
+    * tools/WavPerfProbe). Output column is named after the format. */
+  private def encodeGrayLossless(media: DataFrame, format: String,
+                                 w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"encodeGray($format): w=$w h=$h")
     val out = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
-      StructField("png", BinaryType, nullable = false)))
+      StructField(format, BinaryType, nullable = false)))
     val idIdx = media.schema.fieldIndex("media_id")
     val mediaIdx = media.schema.fieldIndex("media")
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
@@ -95,14 +113,21 @@ object Multimodal {
         // no temp-file cache: executor threads share the static config,
         // and in-memory streams are both faster and hermetic
         javax.imageio.ImageIO.setUseCache(false)
+        val writers = javax.imageio.ImageIO.getImageWritersByFormatName(format)
+        require(writers.hasNext, s"encodeGray: no $format writer in this JVM")
+        val writer = writers.next()
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => writer.dispose())
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](mediaIdx)
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
           img.getRaster.setDataElements(0, 0, w, h, bytes.take(w * h))
           val bos = new java.io.ByteArrayOutputStream()
-          if (!javax.imageio.ImageIO.write(img, "png", bos))
-            sys.error("encodeGrayPng: no PNG writer available in this JVM")
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
           Row(r.getLong(idIdx), bos.toByteArray)
         }
       }(enc)
@@ -242,12 +267,28 @@ object Multimodal {
         import javax.sound.sampled._
         val fmt = new AudioFormat(sampleRate.toFloat, 16, 1,
           /*signed=*/ true, /*bigEndian=*/ false)
+        // Provider cached ONCE per partition: AudioSystem.write re-scans
+        // the AudioFileWriter SPI registry on EVERY call — measured 12x
+        // the actual container-write work (713ms vs 57ms / 20k clips,
+        // tools/WavPerfProbe), and the dominant flat per-row term behind
+        // m6's 8.1x sf1 ratio. Falls back to AudioSystem if no provider
+        // is visible to this classloader.
+        import scala.jdk.CollectionConverters._
+        val writer: Option[javax.sound.sampled.spi.AudioFileWriter] =
+          try java.util.ServiceLoader
+            .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+            .iterator().asScala
+            .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+          catch { case _: Throwable => None }
         rows.map { r =>
           val raw = r.getAs[Array[Byte]](mediaIdx).take(2 * nSamples)
           val ais = new AudioInputStream(
             new java.io.ByteArrayInputStream(raw), fmt, nSamples.toLong)
           val bos = new java.io.ByteArrayOutputStream()
-          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          writer match {
+            case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, bos)
+            case None    => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          }
           Row(r.getLong(idIdx), bos.toByteArray)
         }
       }(enc)
@@ -274,11 +315,37 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
     wav.mapPartitions { rows =>
       import javax.sound.sampled._
+      // Reader provider cached per partition, resolved lazily from the
+      // first payload: AudioSystem.getAudioInputStream re-scans the
+      // AudioFileReader SPI registry per call — measured 23x the actual
+      // parse+read work (626ms vs 27ms / 20k clips, tools/WavPerfProbe).
+      // A payload the cached reader rejects falls back to the full
+      // AudioSystem path (and re-caches from it), so mixed-container
+      // inputs stay correct.
+      import scala.jdk.CollectionConverters._
+      lazy val readers =
+        try java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .iterator().asScala.toList
+        catch { case _: Throwable => Nil }
+      var cached: javax.sound.sampled.spi.AudioFileReader = null
+      def open(bytes: Array[Byte]): AudioInputStream = {
+        if (cached != null)
+          try return cached.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: UnsupportedAudioFileException => }
+        readers.iterator.flatMap { rd =>
+          try {
+            val s = rd.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+            cached = rd
+            Iterator.single(s)
+          } catch { case _: UnsupportedAudioFileException => Iterator.empty }
+        }.nextOption().getOrElse(
+          AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+      }
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch decode kernel (vectorized-codec shape, as elsewhere)
         batch.iterator.map { r =>
-          val ais = AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](wavIdx)))
+          val ais = open(r.getAs[Array[Byte]](wavIdx))
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
             s"decodeWavFeatures: expected 16-bit mono PCM, got $fmt")

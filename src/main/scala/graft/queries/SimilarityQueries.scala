@@ -184,6 +184,19 @@ object SimilarityQueries {
         .orderBy(col("media_id"))
     },
 
+    // multimodal: FOURTH real codec — BMP (lossless like PNG: the raster
+    // bytes land verbatim, palette-indexed, in the file). Same 8x8 gray
+    // round trip as m4 through a genuinely different container/writer,
+    // so the oracle verifies the full encode->decode path from the
+    // original text bytes. Retires the synthetic stand-in kernel as the
+    // only image path beyond PNG/JPEG.
+    "m7_image_decode_bmp" -> { (s, d) =>
+      Multimodal.decodeImageFeatures(
+        Multimodal.encodeGrayBmp(Multimodal.fromDocuments(asciiDocuments(s, d))),
+        payloadCol = "bmp")
+        .orderBy(col("media_id"))
+    },
+
     // multimodal: THIRD real codec — WAV (javax.sound.sampled). Encodes
     // the first 128 payload bytes as 64 little-endian PCM16 samples in a
     // real RIFF/WAVE container, then a real AudioSystem decode back to
@@ -561,6 +574,19 @@ object SimilarityQueries {
     // an exact binary fraction (2^-6), so the DOUBLE division matches
     // the engine bit for bit.
     "m4_image_decode" ->
+      s"""SELECT doc_id AS media_id,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> unicode(text[i:i]))) AS DOUBLE) / 64 AS mean_px,
+        |  CAST(unicode(text[1:1]) AS INT) AS px_first,
+        |  CAST(unicode(text[64:64]) AS INT) AS px_last
+        |FROM documents
+        |WHERE octet_length(encode(text)) >= 64 AND $AsciiWhere
+        |ORDER BY media_id""".stripMargin,
+
+    // m7: BMP round trip — lossless, so identical expectation shape to
+    // m4: every stat is recomputable from the original text bytes.
+    "m7_image_decode_bmp" ->
       s"""SELECT doc_id AS media_id,
         |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
         |  CAST(list_sum(list_transform(range(1, 65),

@@ -38,6 +38,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got.select("media_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("bmp round trip: real BMP bytes (BM magic), exact byte recovery") {
+    val payloads = Seq(
+      1L -> Array.tabulate(64)(_.toByte),
+      2L -> Array.fill[Byte](64)(0),
+      3L -> Array.fill[Byte](64)(0xFF.toByte),
+      4L -> Array.tabulate(70)(i => (255 - i).toByte))
+    val bmp = Multimodal.encodeGrayBmp(mediaOf(payloads), w = 8, h = 8)
+    bmp.select("bmp").collect().foreach { r =>
+      val bytes = r.getAs[Array[Byte]](0)
+      assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "BMP magic")
+    }
+    // 8-bit BMP is lossless: decoded stats must equal the source bytes
+    val got = Multimodal.decodeImageFeatures(bmp, payloadCol = "bmp")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4), r.getInt(5)))).toMap
+    def stats(bytes: Array[Byte]) = {
+      val px = bytes.take(64).map(_ & 0xFF)
+      (8, 8, px.map(_.toLong).sum.toDouble / 64, px.head, px.last)
+    }
+    payloads.foreach { case (id, bytes) =>
+      assert(got(id) == stats(bytes), s"media $id: ${got(id)} vs ${stats(bytes)}")
+    }
+  }
+
   test("jpeg round trip: real JPEG bytes, exact dims, lossy-but-close pixels") {
     val payloads = Seq(
       1L -> Array.tabulate(64)(_.toByte),              // ramp 0..63
