@@ -45,6 +45,21 @@ object Ivf {
   private def mkCentroid(cid: Int, v: Seq[Double]): Centroid =
     Centroid(cid, v, math.sqrt(v.map(x => x * x).sum))
 
+  /** Centroid count for a corpus of `n` vectors so the EXPECTED cluster
+    * size stays ~`targetCluster` regardless of scale — the
+    * [[graft.operators.Similarity.planesFor]] policy applied to
+    * centroid-bounded operators (SemDeDup's own contract: C grows with
+    * the corpus so n/C stays bounded and the per-cluster quadratic term
+    * is a constant-size unit of work; ~100k clusters at web scale).
+    * Deterministic in n; clamped to [minC, maxC] — beyond maxC shard the
+    * corpus (the quantizer must still fit the driver). */
+  def centroidsFor(n: Long, targetCluster: Int = 64, minC: Int = 16,
+                   maxC: Int = 65536): Int = {
+    require(n > 0 && targetCluster > 0, s"centroidsFor: n=$n target=$targetCluster")
+    val raw = math.ceil(n.toDouble / targetCluster).toInt
+    math.min(maxC, math.max(minC, raw))
+  }
+
   /** Deterministic seed centroids: the `c` smallest ids with
     * `id % stride == 0` (modulo-spread sample of the corpus). Collects
     * exactly c vectors — the IVF contract is a quantizer that fits the
@@ -82,16 +97,78 @@ object Ivf {
     slice(transform(array_sort(array(entries: _*)), e => e.getField("cid")), 1, n)
   }
 
-  /** Corpus with its cluster assignment — one map-side expression, no
-    * shuffle, no quantizer join. Output: (id, v, cluster_id, nv) with
-    * nv the precomputed vector norm (computed once per vector here so
-    * the candidate scoring never re-derives it per pair). */
+  /** Above this centroid count, [[assign]] switches from the literal
+    * codegen expression to the broadcast-matrix kernel: the expression
+    * tree grows O(c·d) literals and past a few dozen centroids stops fitting
+    * whole-stage codegen (measured: the sd1 gate at c=625 ran 10×
+    * slower through the expression than through the kernel). */
+  val ExpressionAssignMaxC = 32
+
+  /** Corpus with its cluster assignment — map-side only, no shuffle, no
+    * quantizer join. Output: (id, v, cluster_id, nv) with nv the
+    * precomputed vector norm (computed once per vector here so the
+    * candidate scoring never re-derives it per pair).
+    *
+    * Two equivalent physical forms (spec-asserted identical, both
+    * left-to-right IEEE summation and smaller-cid tie-break):
+    *  - c ≤ [[ExpressionAssignMaxC]]: centroids as literal arrays inside
+    *    one codegen'd expression — zero serialization, stays inside
+    *    WholeStageCodegen (the oracle-mirrored gates all live here);
+    *  - larger c: a broadcast centroid MATRIX and a tight argmax loop in
+    *    a `mapPartitions` kernel — the c×d GEMV shape a production
+    *    quantizer uses; an O(c·d)-literal expression tree would fall out
+    *    of codegen and evaluate interpreted (SemDeDup-scale C needs
+    *    this path). */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
              centroids: Seq[Centroid]): DataFrame =
-    emb.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
-      .withColumn("cluster_id", element_at(nearestCids(col("v"), centroids, 1), 1))
-      .withColumn("nv", Similarity.norm(col("v")))
+    if (centroids.size <= ExpressionAssignMaxC)
+      emb.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
+        .withColumn("cluster_id", element_at(nearestCids(col("v"), centroids, 1), 1))
+        .withColumn("nv", Similarity.norm(col("v")))
+    else {
+      import org.apache.spark.sql.types._
+      val pre = emb.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
+      val out = StructType(Seq(
+        StructField("id", pre.schema("id").dataType, nullable = false),
+        StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false),
+        StructField("cluster_id", IntegerType, nullable = false),
+        StructField("nv", DoubleType, nullable = false)))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+      // centroids ride a broadcast, not the task closure: one transfer
+      // per executor however many tasks the corpus scan fans out to
+      val bc = emb.sparkSession.sparkContext.broadcast(
+        centroids.sortBy(_.cid).map(c => (c.cid, c.v.toArray, c.norm)).toArray)
+      pre.mapPartitions { rows =>
+        val cents = bc.value
+        rows.map { r =>
+          val v = r.getSeq[Double](1).toArray
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cents.length) {
+            val (cid, cv, cn) = cents(ci)
+            val score =
+              if (cn > 0) {
+                var s = 0.0
+                var i = 0
+                val d = math.min(v.length, cv.length)
+                while (i < d) { s += v(i) * cv(i); i += 1 }
+                s / cn
+              } else 0.0
+            // strict > with ascending cid order = smaller-cid tie-break,
+            // exactly nearestCids' (-score, cid) sort
+            if (score > bestScore) { bestScore = score; best = cid }
+            ci += 1
+          }
+          var nv = 0.0
+          var i = 0
+          while (i < v.length) { nv += v(i) * v(i); i += 1 }
+          org.apache.spark.sql.Row(r.get(0), v.toSeq, best, math.sqrt(nv))
+        }
+      }(enc)
+    }
 
   /** Lloyd refinement: `iters` rounds of (map-side assign → distributed
     * per-component mean → collect C·dim means). An emptied cluster keeps

@@ -48,8 +48,15 @@ object SimilarityQueries {
 
     // LSH-bucketed ANN (scale path; rows-only check + recall spec).
     "y2_ann_lsh" -> { (s, d) =>
-      Similarity.lshTopK(embeddings(s, d), "vec_id", "embedding", QueryIds,
-        k = 10, planes = 6, tables = 8)
+      // planes scale with the corpus (same planesFor policy as y3): the
+      // per-query touched fraction stays ~L·targetBucket/n instead of
+      // buckets silently growing linearly past the design point. At the
+      // oracle's sf0.01 (500 vectors) planesFor yields exactly the 4
+      // planes the SQL mirror embeds.
+      val e = embeddings(s, d)
+      Similarity.lshTopK(e, "vec_id", "embedding", QueryIds,
+        k = 10, planes = Similarity.planesFor(e.count(), targetBucket = 32),
+        tables = 8)
         .withColumn("cosine_sim", round(col("cosine_sim"), 6))
         .orderBy(col("query_id"), col("rank"))
     },
@@ -98,9 +105,15 @@ object SimilarityQueries {
     },
 
     // embedding-cosine near-dup pairs via hyperplane-LSH candidates.
+    // planes scale with the (doubled) corpus so Σ bucket² stays
+    // n·targetBucket at any SF; the count is 2× the metadata-only
+    // embeddings row count (nearDupEmbeddings unions each vector with a
+    // shifted twin). sf0.01: planesFor(1000) = the 5 planes the oracle
+    // embeds.
     "x5_embedding_near_dup" -> { (s, d) =>
+      val n = 2L * embeddings(s, d).count()
       Dedup.embeddingCosinePairs(nearDupEmbeddings(s, d), "vec_id", "embedding",
-        threshold = 0.98, planes = 12)
+        threshold = 0.98, planes = Similarity.planesFor(n, targetBucket = 32))
         .withColumn("cosine_sim", round(col("cosine_sim"), 6))
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -108,9 +121,15 @@ object SimilarityQueries {
     // semantic dedup (SemDeDup shape): coarse-centroid clusters bound
     // the pair space, within-cluster cosine drops all but the smallest
     // id of each near-dup neighborhood; full keep/drop roster gated.
+    // Centroid count scales with the corpus (centroidsFor: expected
+    // cluster size ~64 at any SF — the SemDeDup contract itself), so the
+    // per-cluster quadratic term stays a constant-size unit of work.
+    // sf0.01: centroidsFor(1000) = exactly the 16 seeds the oracle's
+    // LIMIT 16 mirrors.
     "sd1_semantic_dedup" -> { (s, d) =>
+      val n = 2L * embeddings(s, d).count()
       Dedup.semanticDedup(nearDupEmbeddings(s, d), "vec_id", "embedding",
-        threshold = 0.95, c = 16, stride = 7L)
+        threshold = 0.95, c = graft.operators.Ivf.centroidsFor(n), stride = 7L)
         .orderBy(col("vec_id"))
     },
 
@@ -254,10 +273,12 @@ object SimilarityQueries {
 
     // y2: all 8 hash tables' hyperplane literals are code-generated into
     // the SQL, so bucket assignment, candidate dedup, and ranking are
-    // fully cross-checked (no aux import needed).
+    // fully cross-checked (no aux import needed). 4 planes = the gate's
+    // planesFor(500 sf0.01 vectors, target 32) — ScaleKnobSpec pins this
+    // coupling.
     "y2_ann_lsh" -> {
       val banded = (0 until 8).map(t =>
-        s"SELECT vec_id, $t AS t, ${sqlSignature("v", 6, t)} AS bucket FROM base")
+        s"SELECT vec_id, $t AS t, ${sqlSignature("v", 4, t)} AS bucket FROM base")
         .mkString(" UNION ALL ")
       s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
          |banded AS ($banded),
@@ -476,7 +497,9 @@ object SimilarityQueries {
 
     // sd1: the full SemDeDup path in SQL — y4's guarded centroid
     // assignment over the twins corpus, within-cluster pairs, the
-    // smaller-id-survives drop rule, and the complete roster.
+    // smaller-id-survives drop rule, and the complete roster. LIMIT 16
+    // = the gate's centroidsFor(1000 doubled sf0.01 vectors, target 64)
+    // — ScaleKnobSpec pins this coupling.
     "sd1_semantic_dedup" -> {
       val centScore = s"""CASE WHEN ${sqlNorm("s.cv")} > 0
          | THEN ${sqlDot("b.v", "s.cv")} / ${sqlNorm("s.cv")} ELSE 0.0 END""".stripMargin
@@ -511,6 +534,8 @@ object SimilarityQueries {
          |ORDER BY a.vec_id""".stripMargin
     },
 
+    // 5 planes = the gate's planesFor(1000 doubled sf0.01 vectors,
+    // target 32) — ScaleKnobSpec pins this coupling.
     "x5_embedding_near_dup" ->
       s"""WITH base AS (
          |  SELECT vec_id, $dblEmb AS v FROM embeddings
@@ -519,7 +544,7 @@ object SimilarityQueries {
          |    list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01) AS v
          |  FROM embeddings),
          |sigs AS (
-         |  SELECT vec_id, v, ${sqlSignature("v", 12)} AS bucket FROM base)
+         |  SELECT vec_id, v, ${sqlSignature("v", 5)} AS bucket FROM base)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(${sqlCosine("a.v", "b.v")}, 6) AS cosine_sim
          |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

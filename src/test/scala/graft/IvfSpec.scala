@@ -24,6 +24,29 @@ class IvfSpec extends SparkSpec {
     assert(ivf.sorted == bf.sorted, "nprobe=c must equal brute force")
   }
 
+  test("assign: kernel path (c > ExpressionAssignMaxC) matches the codegen expression exactly") {
+    // same corpus, same centroids, forced through BOTH physical forms —
+    // assignments, vectors, and norms must be bit-identical (both are
+    // left-to-right IEEE sums with a smaller-cid tie-break)
+    val c = Ivf.ExpressionAssignMaxC + 6 // kernel path
+    val base = emb.select($"vec_id", $"embedding")
+    val corpus = base.unionByName(
+      base.select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+    val cents = Ivf.seedCentroids(corpus, "vec_id", "embedding", c, stride = 1L)
+    val viaKernel = Ivf.assign(corpus, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3))).sortBy(_._1)
+    // expression path, forced by lifting the threshold via direct expr use
+    val viaExpr = corpus.filter($"vec_id".isNotNull)
+      .select($"vec_id".as("id"), Similarity.toDouble($"embedding").as("v"))
+      .withColumn("cluster_id", element_at(Ivf.nearestCids(col("v"), cents, 1), 1))
+      .withColumn("nv", Similarity.norm(col("v")))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3))).sortBy(_._1)
+    assert(viaKernel.length == viaExpr.length && viaKernel.nonEmpty)
+    viaKernel.zip(viaExpr).foreach { case (k, e) =>
+      assert(k == e, s"kernel $k != expression $e")
+    }
+  }
+
   test("ivfTopK finds the planted twin at rank 1 with nprobe<c") {
     // a positively-scaled twin has cosine 1 to its query, hence the same
     // argmax centroid — the query's own list is always its first probe,

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Ivf, Similarity}
+
+/** The LSH/centroid scale knobs (VERDICT r9 item 8): every
+  * bucketed/clustered operator must grow its bucket or centroid count
+  * with the corpus instead of letting per-bucket volume grow linearly
+  * past the design point. These specs assert the knob MATH (expected
+  * bucket/cluster size stays bounded across decades of n) and PIN the
+  * values the sf0.01 oracles embed — if a knob default changes, the
+  * pinned test fails before the hash gate does, pointing at the SQL
+  * mirror that needs regenerating. */
+class ScaleKnobSpec extends AnyFunSuite {
+
+  test("planesFor: expected bucket size stays within [target/2, 2*target] across decades") {
+    val target = 32
+    // below the maxPlanes clamp even after the 10x step: 10n must stay
+    // under 2^16 buckets * 2*target ≈ 4.2M (past it the scaladoc's
+    // contract is explicit: scale by tables or shard the corpus)
+    for (n <- Seq(100L, 1000L, 10000L, 100000L, 400000L)) {
+      val p = Similarity.planesFor(n, target)
+      val expectedBucket = n.toDouble / (1L << p)
+      assert(expectedBucket <= 2.0 * target,
+        s"n=$n planes=$p expectedBucket=$expectedBucket")
+      // a 10x corpus must NOT mean a 10x bucket (the pre-fix y3 cliff):
+      val p10 = Similarity.planesFor(10 * n, target)
+      val bucket10 = 10.0 * n / (1L << p10)
+      assert(bucket10 <= 2.0 * target,
+        s"n=${10 * n} planes=$p10 expectedBucket=$bucket10")
+    }
+    // min clamp: tiny corpora keep at least 2^4 buckets
+    assert(Similarity.planesFor(10, target) == 4)
+    // max clamp: beyond 2^16 buckets, shard instead
+    assert(Similarity.planesFor(100000000L, target) == 16)
+  }
+
+  test("centroidsFor: expected cluster size stays ~target across decades") {
+    val target = 64
+    // below the maxC clamp even after the 10x step (10n ≤ 65536 * 64)
+    for (n <- Seq(2000L, 20000L, 200000L, 400000L)) {
+      val c = Ivf.centroidsFor(n, target)
+      val cluster = n.toDouble / c
+      assert(cluster <= target + 1, s"n=$n c=$c cluster=$cluster")
+      val c10 = Ivf.centroidsFor(10 * n, target)
+      assert(10.0 * n / c10 <= target + 1, s"n=${10 * n} c10=$c10")
+    }
+    assert(Ivf.centroidsFor(100, 64) == 16, "min clamp")
+    assert(Ivf.centroidsFor(100000000L, 64) == 65536, "max clamp")
+  }
+
+  test("oracle-coupling pins: the sf0.01 knob values the SQL mirrors embed") {
+    // y3: 500 embeddings -> 4 planes (SimilarityQueries y3 oracle)
+    assert(Similarity.planesFor(500, targetBucket = 32) == 4)
+    // y2: 500 embeddings -> 4 planes (y2 oracle's sqlSignature(v, 4, t))
+    assert(Similarity.planesFor(500, targetBucket = 32) == 4)
+    // x5: 1000 doubled vectors -> 5 planes (x5 oracle's sqlSignature(v, 5))
+    assert(Similarity.planesFor(1000, targetBucket = 32) == 5)
+    // sd1: 1000 doubled vectors -> 16 centroids (sd1 oracle's LIMIT 16)
+    assert(Ivf.centroidsFor(2L * 500) == 16)
+  }
+}
