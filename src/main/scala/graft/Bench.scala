@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Median (upper on even counts — matches the historical artifacts). */
+  private[graft] def med(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
+
+  /** Headline per-query number: median of the stable cluster (runs
+    * within 3× of the query's own min) — robust to contaminated outlier
+    * runs (GC pause, load burst, codegen-cold first run), which stay
+    * visible in the raw `times`/`spread` fields. The all-runs-failed
+    * sentinel (-1) passes through unfiltered: a negative floor would
+    * empty the cluster. */
+  private[graft] def stableMed(ts: Seq[Double]): Double =
+    if (ts.min <= 0) med(ts) else med(ts.filter(_ <= 3.0 * ts.min))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the full machine (brief: local[32]) when the driver
@@ -90,10 +103,6 @@ object Bench {
       // all runs failed -> explicit -1 sentinel, never a time-to-throw
       name -> (if (samples.nonEmpty) samples else Seq((-1.0, -1.0)))
     }
-    def med(ts: Seq[Double]) = ts.sorted.apply(ts.length / 2)
-    // headline number: median of the stable cluster (runs within 3x of
-    // the query's own min) — robust to contaminated outlier runs
-    def stableMed(ts: Seq[Double]) = med(ts.filter(_ <= 3.0 * ts.min))
     // Environment block: a uniform cross-round drift on identical code is
     // only diagnosable if the run records the machine state it saw.
     // loadavg is sampled BEFORE and AFTER the timed section — a non-idle

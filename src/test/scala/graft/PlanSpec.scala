@@ -162,4 +162,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"chunking must be embarrassingly per-row:\n$p")
   }
+
+  test("Ivf.assign kernel path (c > ExpressionAssignMaxC) stays map-side only") {
+    import spark.implicits._
+    import graft.operators.Ivf
+    val c = Ivf.ExpressionAssignMaxC + 1
+    val corpus = (0L until (4L * c)).map(i =>
+      (i, Array.tabulate(64)(j => ((i * 31 + j) % 97).toFloat / 97f)))
+      .toDF("vec_id", "embedding")
+    val cents = Ivf.seedCentroids(corpus, "vec_id", "embedding", c, stride = 1L)
+    val p = Ivf.assign(corpus, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    // assignment is the quantizer's whole point at 100 TB: the corpus
+    // must take its cluster id from a broadcast matrix without ANY
+    // exchange — scan, project, kernel, done
+    assert(!p.contains("Exchange"),
+      s"large-c assign must not shuffle the corpus:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("mapPartitions"),
+      s"expected the kernel form above ExpressionAssignMaxC:\n$p")
+  }
 }

@@ -49,6 +49,18 @@ class ScaleKnobSpec extends AnyFunSuite {
     assert(Ivf.centroidsFor(100000000L, 64) == 65536, "max clamp")
   }
 
+  test("Bench.stableMed: trims >3x outliers, keeps all-failed sentinel intact") {
+    // a cold 6s first run must not decide the committed number
+    assert(Bench.stableMed(Seq(6.0, 1.5, 1.6, 1.7)) == 1.6)
+    // tight cluster: plain median
+    assert(Bench.stableMed(Seq(1.0, 1.1, 1.2)) == 1.1)
+    // every run failed -> -1 sentinel must survive (a negative floor
+    // would empty the 3x filter and crash the report)
+    assert(Bench.stableMed(Seq(-1.0)) == -1.0)
+    // uniform slowness (a real regression) is NOT trimmed
+    assert(Bench.stableMed(Seq(9.0, 9.5, 10.0)) == 9.5)
+  }
+
   test("oracle-coupling pins: the sf0.01 knob values the SQL mirrors embed") {
     // y3: 500 embeddings -> 4 planes (SimilarityQueries y3 oracle)
     assert(Similarity.planesFor(500, targetBucket = 32) == 4)
