@@ -8,11 +8,17 @@ object Bench {
   /** Headline per-query number: median of the stable cluster (runs
     * within 3× of the query's own min) — robust to contaminated outlier
     * runs (GC pause, load burst, codegen-cold first run), which stay
-    * visible in the raw `times`/`spread` fields. The all-runs-failed
-    * sentinel (-1) passes through unfiltered: a negative floor would
-    * empty the cluster. */
-  private[graft] def stableMed(ts: Seq[Double]): Double =
-    if (ts.min <= 0) med(ts) else med(ts.filter(_ <= 3.0 * ts.min))
+    * visible in the raw `times`/`spread` fields. Two guards:
+    *  - the cluster must hold a MAJORITY of the runs, else the plain
+    *    median is reported — a single anomalously FAST run (the min is
+    *    the anchor) can therefore never decide the headline on its own;
+    *  - the all-runs-failed sentinel (-1) passes through unfiltered (a
+    *    negative floor would empty the cluster). */
+  private[graft] def stableMed(ts: Seq[Double]): Double = {
+    if (ts.min <= 0) return med(ts)
+    val cluster = ts.filter(_ <= 3.0 * ts.min)
+    if (2 * cluster.length >= ts.length) med(cluster) else med(ts)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,11 +132,15 @@ object Bench {
     // raw per-run times (run order) and the 1-min loadavg stamped at each
     // run's start: the artifact itself now proves (or rules out)
     // background-load contamination for any suspicious number
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de_DE, fr_FR) would emit invalid JSON here
+    def num(x: Double, fmt: String) =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(x))
     val times = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.map(t => f"${t._1}%.3f").mkString("[", ",", "]")
+      s"\"" + k + "\":" + v.map(t => num(t._1, "%.3f")).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val loads = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.map(t => f"${t._2}%.2f").mkString("[", ",", "]")
+      s"\"" + k + "\":" + v.map(t => num(t._2, "%.2f")).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(r => stableMed(r._2.map(_._1))).sum
     // self-documenting provenance: BENCH artifacts produced before this

@@ -142,8 +142,14 @@ object Ivf {
         centroids.sortBy(_.cid).map(c => (c.cid, c.v.toArray, c.norm)).toArray)
       pre.mapPartitions { rows =>
         val cents = bc.value
+        val dim = if (cents.nonEmpty) cents(0)._2.length else 0
         rows.map { r =>
           val v = r.getSeq[Double](1).toArray
+          // loud failure on a mismatched vector, the codebase convention
+          // (hyperplaneSignature raises for exactly this hazard) — a
+          // truncated dot would assign a confident-looking wrong cluster
+          require(v.length == dim,
+            s"assign: expected $dim-dim vector, got ${v.length}")
           var best = -1
           var bestScore = Double.NegativeInfinity
           var ci = 0
@@ -153,8 +159,7 @@ object Ivf {
               if (cn > 0) {
                 var s = 0.0
                 var i = 0
-                val d = math.min(v.length, cv.length)
-                while (i < d) { s += v(i) * cv(i); i += 1 }
+                while (i < dim) { s += v(i) * cv(i); i += 1 }
                 s / cn
               } else 0.0
             // strict > with ascending cid order = smaller-cid tie-break,
@@ -162,6 +167,10 @@ object Ivf {
             if (score > bestScore) { bestScore = score; best = cid }
             ci += 1
           }
+          // all scores NaN (a NaN-bearing vector): the expression path's
+          // struct sort treats the NaN entries as equal and ties to the
+          // smallest cid — mirror it rather than emitting a ghost -1
+          if (best == -1) best = cents(0)._1
           var nv = 0.0
           var i = 0
           while (i < v.length) { nv += v(i) * v(i); i += 1 }

@@ -578,7 +578,7 @@ object TextQueries {
     "ck1_doc_chunking" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $toksSql AS tk FROM documents
-         |  WHERE len($toksSql) > 0)
+         |  WHERE trim(text) <> '')
          |SELECT doc_id,
          |  CAST(s / 48 AS INT) AS chunk_idx,
          |  CAST(s AS INT) AS start_tok,

@@ -59,6 +59,9 @@ class ScaleKnobSpec extends AnyFunSuite {
     assert(Bench.stableMed(Seq(-1.0)) == -1.0)
     // uniform slowness (a real regression) is NOT trimmed
     assert(Bench.stableMed(Seq(9.0, 9.5, 10.0)) == 9.5)
+    // a single anomalously FAST run must not become the headline: the
+    // stable cluster must hold a majority, else plain median wins
+    assert(Bench.stableMed(Seq(0.5, 1.9, 1.9, 2.0)) == 1.9)
   }
 
   test("oracle-coupling pins: the sf0.01 knob values the SQL mirrors embed") {
