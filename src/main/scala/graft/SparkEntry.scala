@@ -52,7 +52,8 @@ object SparkEntry {
       graft.queries.StreamingQueries.queries ++
       graft.queries.WindowSetQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
-      graft.queries.DatasetQueries.queries
+      graft.queries.DatasetQueries.queries ++
+      graft.queries.LmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -69,5 +70,6 @@ object SparkEntry {
       graft.queries.StreamingQueries.oracle ++
       graft.queries.WindowSetQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
-      graft.queries.DatasetQueries.oracle
+      graft.queries.DatasetQueries.oracle ++
+      graft.queries.LmQueries.oracle
 }

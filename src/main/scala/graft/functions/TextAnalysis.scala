@@ -107,6 +107,22 @@ object TextAnalysis {
     }.otherwise(lit(langs.head))
   }
 
+  /** Mean token length in characters (0.0 for token-less docs) — exact
+    * integer-sum / integer-count division, so the double is bit-identical
+    * across engines (no ln/exp involved). */
+  def meanTokenLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Count of DISTINCT stopwords present (the Gopher "at least two stop
+    * words" signal — repetitions of one stopword don't count). */
+  def distinctStopwordCount(c: Column): Column =
+    size(filter(array_distinct(tokens(c)), t => t.isin(Stopwords.map(lit): _*)))
+
   private val FpPrime = 1000000007L
 
   /** 32-bit-domain token hash (xxhash64 truncated) — keeps the rolling

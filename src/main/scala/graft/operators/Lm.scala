@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Language-model data-prep operators: the corpus-statistics passes a
+  * tokenizer/LM training pipeline runs before any model sees a byte —
+  * vocabulary construction, BPE-style merge-candidate counting, unigram
+  * LM perplexity scoring (the CCNet quality-filter shape, Wenzek et al.
+  * 2020), and inverted-index (postings) construction.
+  *
+  * Scale design: everything derives from the ONE exploded (doc, term,
+  * tf) aggregate (`Ranking.termFreqs` — map-side combinable; corpus
+  * text is never shuffled). Global scalars (corpus token count,
+  * vocabulary size) are 1-row aggregates broadcast into the scoring
+  * projection; corpus-wide term statistics ride a window over the
+  * already-exchanged tf rows instead of a second scan (the tfidf df_t
+  * pattern). Top-k outputs use sort+limit (TakeOrderedAndProject — a
+  * per-partition top-k then a k-row merge), never a global row_number
+  * window over the full vocabulary.
+  *
+  * Float parity (DuckDB oracle): scores use ln(), whose last ulp is
+  * library-dependent, so per-doc scores are ROUNDED (6 dp) — the t4/t5
+  * contract. Ranks order by exact integer counts only.
+  */
+object Lm {
+
+  /** Unigram-LM document scoring (CCNet-style quality filter): each
+    * document's mean negative log-probability under the corpus's own
+    * add-one-smoothed unigram model,
+    *   p(t) = (cf(t) + 1) / (T + V)
+    * with cf(t) the corpus frequency, T total tokens, V vocabulary
+    * size. Low nll ≈ in-distribution prose; high nll ≈ outliers — the
+    * standard perplexity-bucket criterion for filtering or curriculum
+    * binning web corpora.
+    *
+    * Output: (doc_id, n_tokens, nll), nll rounded 6 dp; docs with zero
+    * tokens have no distribution and are absent (termFreqs contract).
+    *
+    * Shape: tf feeds three consumers (the totals aggregate, the
+    * term-frequency window, the per-doc aggregate) whose subtrees
+    * diverge before any exchange — checkpointed once, so the corpus is
+    * tokenized once (the bm25 shared-tf pattern). cf(t) is a window
+    * over the term exchange, not a groupBy+self-join re-scan.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = Ranking.termFreqs(df, idCol, textCol).localCheckpoint(false)
+    val totals = tf.agg(
+      sum(col("tf")).as("n_total"),
+      countDistinct(col("term")).as("n_vocab"))
+    val cf = sum(col("tf")).over(Window.partitionBy(col("term")))
+    tf.withColumn("cf", cf)
+      .crossJoin(broadcast(totals))
+      .withColumn("logp",
+        log((col("cf") + lit(1.0)) / (col("n_total") + col("n_vocab"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        round(-sum(col("tf") * col("logp")) / sum(col("tf")), 6).as("nll"))
+  }
+
+  /** Top-k vocabulary by corpus frequency — the seed list for
+    * wordlevel/wordpiece tokenizer training. Output: (rank, term, cf,
+    * df_t) with cf the corpus frequency, df_t the document frequency;
+    * rank over (cf desc, term asc) — exact integer ordering, no float
+    * in the contract. Sort+limit plans as TakeOrderedAndProject; the
+    * rank window then runs over k rows only. */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 100): DataFrame = {
+    val vocab = Ranking.termFreqs(df, idCol, textCol)
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df_t"))
+    val topk = vocab.orderBy(col("cf").desc, col("term").asc).limit(k)
+    val w = Window.orderBy(col("cf").desc, col("term").asc)
+    topk.withColumn("rank", row_number().over(w))
+      .select("rank", "term", "cf", "df_t")
+  }
+
+  /** Top-k adjacent-token-pair counts — one BPE merge-selection round
+    * at token granularity (count every adjacent symbol pair, rank by
+    * frequency; Sennrich et al. 2016). Pairs are built with pure array
+    * ops (two slices zipped) — per-row arithmetic, zero shuffle until
+    * the pair-count aggregate, which is map-side combinable.
+    * Output: (rank, pair, n), rank over (n desc, pair asc). */
+  def bpePairCounts(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 100): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // m = n-1 clamped at 0: a 0/1-token doc slices to empty arrays and
+    // contributes no pairs — no per-row conditional needed
+    val m = greatest(size(toks) - 1, lit(0))
+    val pairs = zip_with(
+      slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => concat(a, lit(" "), b))
+    val counted = df.select(explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+    val topk = counted.orderBy(col("n").desc, col("pair").asc).limit(k)
+    val w = Window.orderBy(col("n").desc, col("pair").asc)
+    topk.withColumn("rank", row_number().over(w))
+      .select("rank", "pair", "n")
+  }
+
+  /** Blocked inverted index: term → posting SEGMENTS of `blockSize`
+    * doc-id ranges, the layout a distributed index build actually
+    * writes (per-block segments bound both task memory and the skew a
+    * stopword term can concentrate — a term appearing in every doc
+    * yields corpus/blockSize bounded rows, never one giant list).
+    * Output: (term, block, df_block, cf_block, postings) with postings
+    * the comma-joined sorted doc ids of that block.
+    *
+    * One exchange total: the (term, block) hash aggregate over the tf
+    * rows; collect_list order is made deterministic by sort_array. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    blockSize: Long = 1000L): DataFrame = {
+    require(blockSize > 0, s"invertedIndex: blockSize must be positive, got $blockSize")
+    Ranking.termFreqs(df, idCol, textCol)
+      // integer div (doc ids are non-negative): exact at any id magnitude,
+      // unlike a double-routed floor(div)
+      .withColumn("block", expr(s"doc_id div ${blockSize}L"))
+      .groupBy(col("term"), col("block"))
+      .agg(
+        count(lit(1)).as("df_block"),
+        sum(col("tf")).as("cf_block"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+  }
+}

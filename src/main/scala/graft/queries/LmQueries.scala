@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextAnalysis
+import graft.operators.Lm
+
+/** Language-model data-prep gates over the documents table: unigram-LM
+  * quality scoring (CCNet shape), the Gopher rule decision table,
+  * vocabulary construction, BPE merge-candidate counting, and blocked
+  * inverted-index (postings) builds. Every gate is fully
+  * SQL-expressible — the oracles recompute the whole derivation from
+  * the raw text (no hash aux imports needed). */
+object LmQueries {
+
+  private val VocabK = 100
+  private val PairK = 100
+  private val IndexBlock = 100L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-doc mean negative log-probability under the corpus's own
+    // add-one unigram model (the CCNet perplexity-filter criterion).
+    "t8_unigram_lm" -> { (s, d) =>
+      Lm.unigramLogProb(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher-style quality-rule decision table: token-count bounds,
+    // mean-token-length bounds, distinct-stopword floor, and the
+    // conjunction keep flag — the full per-doc decision is gated.
+    "t9_gopher_rules" -> { (s, d) =>
+      documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.meanTokenLen(col("text")).as("mean_raw"),
+          TextAnalysis.distinctStopwordCount(col("text")).as("n_stop_distinct"))
+        .withColumn("mean_tok_len", round(col("mean_raw"), 6))
+        .withColumn("r_len", col("n_tokens").between(30, 100000))
+        // raw (unrounded) mean in the rule: exact int/int division is
+        // bit-identical across engines, so the bound can't flip
+        .withColumn("r_mean", col("mean_raw").between(3.0, 10.0))
+        .withColumn("r_stop", col("n_stop_distinct") >= 2)
+        .withColumn("keep", col("r_len") && col("r_mean") && col("r_stop"))
+        .select("doc_id", "n_tokens", "mean_tok_len", "n_stop_distinct",
+          "r_len", "r_mean", "r_stop", "keep")
+        .orderBy(col("doc_id"))
+    },
+
+    // top-100 vocabulary by corpus frequency (tokenizer seed list).
+    "v1_vocab_topk" -> { (s, d) =>
+      Lm.vocabTopK(documents(s, d), "doc_id", "text", k = VocabK)
+        .orderBy(col("rank"))
+    },
+
+    // top-100 adjacent-token pairs (one BPE merge-selection round).
+    "v2_bpe_pairs" -> { (s, d) =>
+      Lm.bpePairCounts(documents(s, d), "doc_id", "text", k = PairK)
+        .orderBy(col("rank"))
+    },
+
+    // blocked inverted index: term -> per-100-doc-id posting segments.
+    "ii1_inverted_index" -> { (s, d) =>
+      Lm.invertedIndex(documents(s, d), "doc_id", "text", blockSize = IndexBlock)
+        .orderBy(col("term"), col("block"))
+    }
+  )
+
+  private val toksSql = TextQueries.toksSql
+
+  /** Shared (doc_id, term, tf) derivation — the termFreqs mirror. */
+  private val tfSql =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(list_filter($toksSql, t -> len(t) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // t8: ln()'s last ulp is library-dependent -> nll rounded 6 dp on
+    // both sides (t4/t5 contract). cf via a window over the tf rows,
+    // exactly as the engine computes it.
+    "t8_unigram_lm" ->
+      s"""WITH $tfSql,
+         |tot AS (
+         |  SELECT CAST(sum(tf) AS BIGINT) AS n_total,
+         |    count(DISTINCT term) AS n_vocab
+         |  FROM tf),
+         |cf AS (
+         |  SELECT doc_id, term, tf,
+         |    sum(tf) OVER (PARTITION BY term) AS cf
+         |  FROM tf)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  round(-sum(tf * ln((cf + 1.0) / (n_total + n_vocab)))
+         |    / sum(tf), 6) AS nll
+         |FROM cf CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t9_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS INT) AS n_tokens,
+         |    CASE WHEN len(tk) > 0
+         |      THEN CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk)
+         |      ELSE 0.0 END AS mean_raw,
+         |    CAST(len(list_filter(list_distinct(tk),
+         |      x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS INT)
+         |      AS n_stop_distinct
+         |  FROM t)
+         |SELECT doc_id, n_tokens, round(mean_raw, 6) AS mean_tok_len,
+         |  n_stop_distinct,
+         |  n_tokens BETWEEN 30 AND 100000 AS r_len,
+         |  mean_raw BETWEEN 3.0 AND 10.0 AS r_mean,
+         |  n_stop_distinct >= 2 AS r_stop,
+         |  (n_tokens BETWEEN 30 AND 100000) AND (mean_raw BETWEEN 3.0 AND 10.0)
+         |    AND n_stop_distinct >= 2 AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "v1_vocab_topk" ->
+      s"""WITH $tfSql,
+         |vocab AS (
+         |  SELECT term, CAST(sum(tf) AS BIGINT) AS cf, count(*) AS df_t
+         |  FROM tf GROUP BY 1),
+         |ranked AS (
+         |  SELECT term, cf, df_t,
+         |    row_number() OVER (ORDER BY cf DESC, term ASC) AS rank
+         |  FROM vocab)
+         |SELECT CAST(rank AS INT) AS rank, term, cf, df_t
+         |FROM ranked WHERE rank <= $VocabK ORDER BY rank""".stripMargin,
+
+    "v2_bpe_pairs" ->
+      s"""WITH t AS (
+         |  SELECT list_filter($toksSql, x -> len(x) > 0) AS tk FROM documents),
+         |pairs AS (
+         |  SELECT unnest(list_transform(
+         |    generate_series(1, greatest(len(tk) - 1, 0)),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS pair
+         |  FROM t),
+         |pc AS (SELECT pair, count(*) AS n FROM pairs GROUP BY 1),
+         |ranked AS (
+         |  SELECT pair, n,
+         |    row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+         |  FROM pc)
+         |SELECT CAST(rank AS INT) AS rank, pair, n
+         |FROM ranked WHERE rank <= $PairK ORDER BY rank""".stripMargin,
+
+    // ii1: `//` truncates toward zero = Spark's `div` on the
+    // non-negative doc-id domain; postings re-joined in doc-id order on
+    // both sides.
+    "ii1_inverted_index" ->
+      s"""WITH $tfSql
+         |SELECT term, CAST(doc_id // $IndexBlock AS BIGINT) AS block,
+         |  count(*) AS df_block,
+         |  CAST(sum(tf) AS BIGINT) AS cf_block,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         |FROM tf GROUP BY 1, 2 ORDER BY term, block""".stripMargin
+  )
+}

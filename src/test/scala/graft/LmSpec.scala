@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Lm
+import graft.functions.TextAnalysis
+
+/** LM data-prep specs: hand-computed unigram probabilities, vocab and
+  * BPE-pair ranking determinism, blocked-postings layout, and the
+  * Gopher-rule boundary cases. */
+class LmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry date")).toDF("doc_id", "text")
+
+  test("unigramLogProb matches hand computation (add-one smoothing)") {
+    // cf: apple 2, banana 2, cherry 4, date 1; T=9, V=4 -> p = (cf+1)/13
+    def p(cf: Double) = (cf + 1) / 13.0
+    val got = Lm.unigramLogProb(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nll1 = -(2 * math.log(p(2)) + 1 * math.log(p(2))) / 3.0
+    val nll3 = -(3 * math.log(p(4)) + 1 * math.log(p(1))) / 4.0
+    assert(got(1L)._1 == 3 && math.abs(got(1L)._2 - nll1) < 1e-6)
+    assert(got(3L)._1 == 4 && math.abs(got(3L)._2 - nll3) < 1e-6)
+    // doc 3 is dominated by the most frequent term -> lowest surprise
+    assert(got(3L)._2 < got(1L)._2 && got(3L)._2 < got(2L)._2)
+  }
+
+  test("unigramLogProb drops token-less docs, keeps single-token docs") {
+    val got = Lm.unigramLogProb(
+      corpus.unionByName(Seq((4L, "  "), (5L, "apple")).toDF("doc_id", "text")),
+      "doc_id", "text").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("vocabTopK ranks by cf desc then term asc, with doc frequency") {
+    val rows = Lm.vocabTopK(corpus, "doc_id", "text", k = 3)
+      .orderBy($"rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // cherry cf=4 df=2; apple/banana tie at cf=2 -> alphabetical
+    assert(rows.toSeq == Seq((1, "cherry", 4L, 2L), (2, "apple", 2L, 1L),
+      (3, "banana", 2L, 2L)))
+  }
+
+  test("bpePairCounts counts adjacent pairs; short docs contribute none") {
+    val df = corpus.unionByName(Seq((4L, "solo"), (5L, " ")).toDF("doc_id", "text"))
+    val got = Lm.bpePairCounts(df, "doc_id", "text", k = 10)
+      .collect().map(r => r.getString(1) -> (r.getInt(0), r.getLong(2))).toMap
+    // doc3 "cherry cherry cherry date": cherry|cherry x2, cherry|date x1
+    assert(got("cherry cherry") == ((1, 2L)))
+    assert(got("apple banana")._2 == 1L && got("banana apple")._2 == 1L)
+    assert(got.size == 5, s"1-token and blank docs must add no pairs: $got")
+  }
+
+  test("invertedIndex blocks postings by doc-id range and sorts them") {
+    val df = Seq((0L, "x"), (99L, "x"), (100L, "x y"), (250L, "x"))
+      .toDF("doc_id", "text")
+    val got = Lm.invertedIndex(df, "doc_id", "text", blockSize = 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(("x", 0L)) == ((2L, 2L, "0,99")))
+    assert(got(("x", 1L)) == ((1L, 1L, "100")))
+    assert(got(("x", 2L)) == ((1L, 1L, "250")))
+    assert(got(("y", 1L)) == ((1L, 1L, "100")))
+    assert(got.size == 4)
+  }
+
+  test("gopher helpers: meanTokenLen exact division, distinct stopwords") {
+    val rows = Seq((1L, "aa bbbb"), (2L, "the the the a"), (3L, "  "))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.meanTokenLen($"text").as("m"),
+        TextAnalysis.distinctStopwordCount($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(rows(1L) == ((3.0, 0)))
+    // "the" repeated counts once; "a" counts once -> 2 distinct stopwords
+    assert(rows(2L)._2 == 2)
+    assert(rows(2L)._1 == 10.0 / 4)
+    assert(rows(3L) == ((0.0, 0)))
+  }
+
+  test("unigramLogProb tokenizes once (shared tf behind a checkpoint)") {
+    val df = Lm.unigramLogProb(Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text")
+    // the checkpointed tf shows up as a scan of an ExistingRDD — the
+    // explode/tokenize pipeline must not appear in the optimized plan
+    // more than once
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("generate explode"),
+      s"tokenize must happen once, behind the checkpoint:\n$plan")
+  }
+
+  test("vocab/pair top-k plan as TakeOrdered, not a global vocab window") {
+    val v = Lm.vocabTopK(Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text", k = 10)
+    assert(v.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val p = Lm.bpePairCounts(Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text", k = 10)
+    assert(p.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+}
