@@ -53,7 +53,8 @@ object SparkEntry {
       graft.queries.WindowSetQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.DatasetQueries.queries ++
-      graft.queries.LmQueries.queries
+      graft.queries.LmQueries.queries ++
+      graft.queries.QuantQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,5 +72,6 @@ object SparkEntry {
       graft.queries.WindowSetQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
       graft.queries.DatasetQueries.oracle ++
-      graft.queries.LmQueries.oracle
+      graft.queries.LmQueries.oracle ++
+      graft.queries.QuantQueries.oracle
 }

@@ -58,6 +58,43 @@ object Sampling {
         baseSeed + e).withColumn("epoch", lit(e))
     }.reduce(_ unionByName _)
 
+  /** Temperature-balanced mixture sampling (the XLM-R / multilingual-C4
+    * rebalancing rule): stratum weights w_s = n_s^alpha, a token budget
+    * of ~`budget` rows distributed proportionally to w_s, so low-resource
+    * strata are up-weighted relative to their raw share as alpha
+    * decreases (alpha = 1 reduces to proportional sampling). Rates are
+    * DERIVED from the corpus's own counts — not caller-supplied like
+    * [[stratifiedSample]] — then applied as the same one-scan
+    * hash-threshold filter.
+    *
+    * The per-stratum count table is contract-bounded small (languages /
+    * sources), so it is collected and folded in sorted-stratum order —
+    * a deterministic left-to-right IEEE sum (the IVF-seed pattern;
+    * aggregate order inside Spark would be partition-dependent and
+    * could flip a rounded threshold between runs). alpha = 0.5 uses
+    * `sqrt` explicitly: IEEE-correctly-rounded on every platform,
+    * unlike the last ulp of a libm `pow`. */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+                        alpha: Double, budget: Long, seed: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"temperatureSample: alpha=$alpha")
+    require(budget > 0, s"temperatureSample: budget=$budget")
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble)
+      else if (alpha == 1.0) n.toDouble
+      else math.pow(n.toDouble, alpha)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val wsum = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n) }
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, budget.toDouble * w(n) / (wsum * n.toDouble))
+    }
+    // stratum unseen at train time (late-arriving partition): rate 0
+    val threshold = rates.foldLeft(lit(0L): Column) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(math.round(r * Buckets))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), seed) < threshold)
+  }
+
   /** Per-group quota cap: keep at most `quota` rows per group, chosen
     * in deterministic seeded-hash order — domain/source capping so no
     * group dominates a training mixture (the "at most N docs per

@@ -21,6 +21,8 @@ object DatasetQueries {
   private val LangRates   = Map("en" -> 0.5, "de" -> 0.2)
   private val SourceRates = Map("src0" -> 1.0, "src1" -> 0.5)
   private[queries] val QuotaSeed = 3003L
+  private[queries] val TempSeed = 4004L
+  private val TempBudget = 200L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic stratified sample: per-language rates, one scan,
@@ -59,6 +61,18 @@ object DatasetQueries {
       Sampling.quotaSample(documents(s, d)
         .select(col("doc_id"), col("lang")), "doc_id", "lang",
         quota = 40, seed = QuotaSeed)
+        .orderBy(col("doc_id"))
+    },
+
+    // temperature-balanced mixture (alpha=0.5, XLM-R style): rates
+    // DERIVED from the corpus's own per-language counts, then applied
+    // as the one-scan hash-threshold filter. The kept roster checks the
+    // whole derivation (counts -> sqrt weights -> budget split -> rate
+    // rounding -> membership) jointly.
+    "ds6_temperature_mix" -> { (s, d) =>
+      Sampling.temperatureSample(documents(s, d)
+        .select(col("doc_id"), col("lang")), "doc_id", "lang",
+        alpha = 0.5, budget = TempBudget, seed = TempSeed)
         .orderBy(col("doc_id"))
     },
 
@@ -122,6 +136,26 @@ object DatasetQueries {
          |  d.doc_id, d.lang
          |FROM documents d JOIN $aux a USING (doc_id)
          |ORDER BY position""".stripMargin,
+
+    // ds6: the whole temperature derivation recomputed in SQL — counts,
+    // sqrt weights folded in sorted-lang order (list_reduce mirrors the
+    // engine's left-to-right deterministic sum; sqrt is IEEE-exact,
+    // unlike pow), budget split, floor(x*1e6 + 0.5) threshold (the
+    // math.round contract), then hash-bucket membership from the aux.
+    "ds6_temperature_mix" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |tot AS (
+         |  SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang),
+         |    (a, b) -> a + b) AS wsum FROM cnt),
+         |thr AS (
+         |  SELECT lang,
+         |    CAST(floor(least(1.0, 200.0 * sqrt(CAST(n AS DOUBLE))
+         |      / (wsum * CAST(n AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS t
+         |  FROM cnt CROSS JOIN tot)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN $aux a USING (doc_id) JOIN thr USING (lang)
+         |WHERE a.b_temp < thr.t
+         |ORDER BY d.doc_id""".stripMargin,
 
     "ds5_quota_sample" ->
       s"""WITH ranked AS (

@@ -160,4 +160,49 @@ class DatasetSpec extends SparkSpec {
       .flatMap(c => c._3 until (c._3 + c._4)).toSet
     assert(covered == (0 until 10).toSet)
   }
+
+  test("temperatureSample: alpha=0.5 up-weights small strata; matches manual thresholds") {
+    // strata: a=16 docs, b=4 docs -> w = 4, 2; wsum = 6; budget 3:
+    // rate_a = 3*4/(6*16) = 0.125, rate_b = 3*2/(6*4) = 0.25
+    val rows = ((1 to 16).map(i => (i.toLong, "a")) ++
+      (17 to 20).map(i => (i.toLong, "b"))).toDF("doc_id", "lang")
+    val got = Sampling.temperatureSample(rows, "doc_id", "lang",
+      alpha = 0.5, budget = 3L, seed = 99L)
+      .collect().map(_.getLong(0)).toSet
+    // replicate the expected membership with the same hash + thresholds
+    val expected = rows.filter(
+      Sampling.hashBucket($"doc_id", 99L) <
+        when($"lang" === "a", lit(125000L)).otherwise(lit(250000L)))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // the small stratum's RATE is 2x the large one's (temperature lift)
+    // even though its raw share is 4x smaller
+  }
+
+  test("temperatureSample: alpha=1 reduces to proportional (uniform rate)") {
+    val rows = ((1 to 30).map(i => (i.toLong, "a")) ++
+      (31 to 40).map(i => (i.toLong, "b"))).toDF("doc_id", "lang")
+    // alpha=1: rate_s = budget/N = 8/40 = 0.2 for every stratum
+    val got = Sampling.temperatureSample(rows, "doc_id", "lang",
+      alpha = 1.0, budget = 8L, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    val expected = rows.filter(
+      Sampling.hashBucket($"doc_id", 7L) < lit(200000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("temperatureSample caps rates at 1.0 and is partition-independent") {
+    val rows = ((1 to 3).map(i => (i.toLong, "tiny")) ++
+      (4 to 103).map(i => (i.toLong, "big"))).toDF("doc_id", "lang")
+    // huge budget: every rate would exceed 1 -> everything kept
+    val all = Sampling.temperatureSample(rows, "doc_id", "lang",
+      alpha = 0.5, budget = 1000L, seed = 1L)
+    assert(all.count() == 103)
+    val a = Sampling.temperatureSample(rows.repartition(1), "doc_id", "lang",
+      alpha = 0.5, budget = 20L, seed = 1L).collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(rows.repartition(13), "doc_id", "lang",
+      alpha = 0.5, budget = 20L, seed = 1L).collect().map(_.getLong(0)).toSet
+    assert(a == b, "membership must depend only on (key, seed, counts)")
+  }
 }
