@@ -61,6 +61,48 @@ object Lm {
         round(-sum(col("tf") * col("logp")) / sum(col("tf")), 6).as("nll"))
   }
 
+  /** Bigram-LM document scoring — the conditional-probability step up
+    * from [[unigramLogProb]] (the KenLM direction): each document's mean
+    * negative log-probability of its token TRANSITIONS under the
+    * corpus's own add-one bigram model,
+    *   p(cur | prev) = (c(prev, cur) + 1) / (c(prev) + V)
+    * with c(·) corpus counts and V = |{cur}| (distinct successor
+    * vocabulary — the smoothing denominator's contract here). Docs with
+    * fewer than two tokens have no transitions and are absent.
+    *
+    * Output: (doc_id, n_bigrams, nll2), nll2 rounded 6 dp.
+    *
+    * Shape: ONE zipped-slice pair explode aggregated to per-doc
+    * (doc, prev, cur, k) — checkpointed, then BOTH corpus statistics
+    * ride as windows over those rows (partition (prev, cur) for the
+    * bigram count, prev for the context count) and V broadcasts as a
+    * 1-row aggregate: the corpus text is tokenized once, and nothing
+    * wider than pair-count rows ever shuffles. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val m = greatest(size(toks) - 1, lit(0))
+    val prs = zip_with(
+      slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("prev"), b.as("cur")))
+    val pairs = df
+      .select(col(idCol).as("doc_id"), explode(prs).as("pr"))
+      .select(col("doc_id"), col("pr.prev").as("prev"), col("pr.cur").as("cur"))
+      .groupBy(col("doc_id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(false)
+    val cpc = sum(col("k")).over(Window.partitionBy(col("prev"), col("cur")))
+    val cp = sum(col("k")).over(Window.partitionBy(col("prev")))
+    val totals = pairs.agg(countDistinct(col("cur")).as("n_vocab"))
+    pairs.withColumn("cpc", cpc).withColumn("cp", cp)
+      .crossJoin(broadcast(totals))
+      .withColumn("logp",
+        log((col("cpc") + lit(1.0)) / (col("cp") + col("n_vocab"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        round(-sum(col("k") * col("logp")) / sum(col("k")), 6).as("nll2"))
+  }
+
   /** Top-k vocabulary by corpus frequency — the seed list for
     * wordlevel/wordpiece tokenizer training. Output: (rank, term, cf,
     * df_t) with cf the corpus frequency, df_t the document frequency;

@@ -26,6 +26,13 @@ object LmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // add-one bigram transition model (the KenLM direction): per-doc
+    // mean negative log-probability over token transitions.
+    "t10_bigram_lm" -> { (s, d) =>
+      Lm.bigramLogProb(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // Gopher-style quality-rule decision table: token-count bounds,
     // mean-token-length bounds, distinct-stopword floor, and the
     // conjunction keep flag — the full per-doc decision is gated.
@@ -93,6 +100,33 @@ object LmQueries {
          |  round(-sum(tf * ln((cf + 1.0) / (n_total + n_vocab)))
          |    / sum(tf), 6) AS nll
          |FROM cf CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t10: both corpus counts as window sums over the per-doc pair
+    // aggregate, exactly as the engine computes them; ln -> 6 dp.
+    "t10_bigram_lm" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |prs AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+         |      i -> tk[i])) AS prev,
+         |    unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+         |      i -> tk[i + 1])) AS cur
+         |  FROM t),
+         |pairs AS (
+         |  SELECT doc_id, prev, cur, count(*) AS k FROM prs GROUP BY 1, 2, 3),
+         |tot AS (SELECT count(DISTINCT cur) AS n_vocab FROM pairs),
+         |w AS (
+         |  SELECT doc_id, k,
+         |    sum(k) OVER (PARTITION BY prev, cur) AS cpc,
+         |    sum(k) OVER (PARTITION BY prev) AS cp
+         |  FROM pairs)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |  round(-sum(k * ln((cpc + 1.0) / (cp + n_vocab)))
+         |    / sum(k), 6) AS nll2
+         |FROM w CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t9_gopher_rules" ->
