@@ -27,6 +27,21 @@ import graft.functions.TextAnalysis
   */
 object Lm {
 
+  import org.apache.spark.sql.Column
+
+  /** Adjacent-token pairs of `textCol` as one zipped-slice array —
+    * pure per-row arithmetic, zero shuffle. m = n-1 clamped at 0: a
+    * 0/1-token doc slices to empty arrays and contributes no pairs, no
+    * per-row conditional needed. Shared by [[bpePairCounts]] and
+    * [[bigramLogProb]] so the clamping/tokenization contract lives in
+    * one place. */
+  private def adjacentPairs(textCol: Column,
+                            combine: (Column, Column) => Column): Column = {
+    val toks = TextAnalysis.tokens(textCol)
+    val m = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m), combine)
+  }
+
   /** Unigram-LM document scoring (CCNet-style quality filter): each
     * document's mean negative log-probability under the corpus's own
     * add-one-smoothed unigram model,
@@ -79,10 +94,7 @@ object Lm {
     * 1-row aggregate: the corpus text is tokenized once, and nothing
     * wider than pair-count rows ever shuffles. */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val m = greatest(size(toks) - 1, lit(0))
-    val prs = zip_with(
-      slice(toks, lit(1), m), slice(toks, lit(2), m),
+    val prs = adjacentPairs(col(textCol),
       (a, b) => struct(a.as("prev"), b.as("cur")))
     val pairs = df
       .select(col(idCol).as("doc_id"), explode(prs).as("pr"))
@@ -128,13 +140,7 @@ object Lm {
     * Output: (rank, pair, n), rank over (n desc, pair asc). */
   def bpePairCounts(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 100): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    // m = n-1 clamped at 0: a 0/1-token doc slices to empty arrays and
-    // contributes no pairs — no per-row conditional needed
-    val m = greatest(size(toks) - 1, lit(0))
-    val pairs = zip_with(
-      slice(toks, lit(1), m), slice(toks, lit(2), m),
-      (a, b) => concat(a, lit(" "), b))
+    val pairs = adjacentPairs(col(textCol), (a, b) => concat(a, lit(" "), b))
     val counted = df.select(explode(pairs).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n"))

@@ -51,7 +51,10 @@ object Quant {
     def dequant(v: Column, i: Column): Column =
       lo(i) + code(v, i).cast("double") / 255.0 * span(i)
 
-    df.select(
+    // vector-less rows (null/empty embedding) carry nothing to encode
+    // and are dropped — mirrors the oracle's unnest semantics, which
+    // yields no rows for them
+    df.filter(size(col(vecCol)) > 0).select(
       col(idCol),
       size(col(vecCol)).as("n_dims"),
       array_join(transform(col(vecCol), (v, i) => code(v, i).cast("string")), ",")

@@ -78,6 +78,13 @@ object Sampling {
                         alpha: Double, budget: Long, seed: Long): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"temperatureSample: alpha=$alpha")
     require(budget > 0, s"temperatureSample: budget=$budget")
+    // string-keyed strata contract (same as stratifiedSample's
+    // Map[String, Double]); fail fast with a real message instead of a
+    // ClassCastException inside the collect
+    require(df.schema(strataCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"temperatureSample: strata column '$strataCol' must be string, " +
+        s"got ${df.schema(strataCol).dataType.simpleString}")
     def w(n: Long): Double =
       if (alpha == 0.5) math.sqrt(n.toDouble)
       else if (alpha == 1.0) n.toDouble
@@ -88,11 +95,10 @@ object Sampling {
     val rates = counts.map { case (s, n) =>
       s -> math.min(1.0, budget.toDouble * w(n) / (wsum * n.toDouble))
     }
-    // stratum unseen at train time (late-arriving partition): rate 0
-    val threshold = rates.foldLeft(lit(0L): Column) { case (acc, (s, r)) =>
-      when(col(strataCol) === s, lit(math.round(r * Buckets))).otherwise(acc)
-    }
-    df.filter(hashBucket(col(keyCol), seed) < threshold)
+    // apply through the shared one-scan threshold filter; default 0.0
+    // = a stratum unseen at train time (late-arriving partition) drops
+    stratifiedSample(df, keyCol, strataCol, rates.toMap,
+      defaultFraction = 0.0, seed = seed)
   }
 
   /** Per-group quota cap: keep at most `quota` rows per group, chosen

@@ -149,8 +149,8 @@ object DatasetQueries {
          |    (a, b) -> a + b) AS wsum FROM cnt),
          |thr AS (
          |  SELECT lang,
-         |    CAST(floor(least(1.0, 200.0 * sqrt(CAST(n AS DOUBLE))
-         |      / (wsum * CAST(n AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS t
+         |    CAST(floor(least(1.0, $TempBudget.0 * sqrt(CAST(n AS DOUBLE))
+         |      / (wsum * CAST(n AS DOUBLE))) * ${Sampling.Buckets} + 0.5) AS BIGINT) AS t
          |  FROM cnt CROSS JOIN tot)
          |SELECT d.doc_id, d.lang
          |FROM documents d JOIN $aux a USING (doc_id) JOIN thr USING (lang)

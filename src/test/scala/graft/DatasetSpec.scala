@@ -192,6 +192,15 @@ class DatasetSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("temperatureSample rejects non-string strata with a clear error") {
+    val df = Seq((1L, 7), (2L, 8)).toDF("doc_id", "src_id")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(df, "doc_id", "src_id",
+        alpha = 0.5, budget = 1L, seed = 1L)
+    }
+    assert(e.getMessage.contains("must be string"))
+  }
+
   test("temperatureSample caps rates at 1.0 and is partition-independent") {
     val rows = ((1 to 3).map(i => (i.toLong, "tiny")) ++
       (4 to 103).map(i => (i.toLong, "big"))).toDF("doc_id", "lang")

@@ -33,6 +33,14 @@ class QuantSpec extends SparkSpec {
     assert(math.abs(got(3L)._3 - expected) < 1e-12)
   }
 
+  test("vector-less rows are dropped (oracle unnest semantics)") {
+    val df = Seq((1L, Seq(0.0f, 1.0f)), (2L, Seq.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val got = Quant.scalarQuantize(df, "vec_id", "embedding")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), "empty embedding must yield no output row")
+  }
+
   test("reconstruction error bounded by half a quantization step") {
     val df = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = Quant.scalarQuantize(df, "vec_id", "embedding")
