@@ -150,6 +150,29 @@ object Lm {
       .select("rank", "pair", "n")
   }
 
+  /** Merge two [[invertedIndex]] outputs built over DISJOINT doc-id
+    * sets (the incremental-ingest contract: the delta is new docs only)
+    * into the index of the unioned corpus — index MAINTENANCE without a
+    * full rebuild. Per-(term, block) counts add; postings (each side's
+    * sorted, disjoint within the segment) re-sort numerically after the
+    * concat. ONE exchange on (term, block); segments that only one side
+    * touches pass through a 1-row group. At 100 TB this is the nightly
+    * pattern: index the day's delta, merge segment-wise — the base
+    * corpus is never re-scanned. */
+  def mergeIndexes(a: DataFrame, b: DataFrame): DataFrame = {
+    val asLongs = (p: Column) => transform(split(p, ","), s => s.cast("long"))
+    a.unionByName(b)
+      .groupBy(col("term"), col("block"))
+      .agg(
+        sum(col("df_block")).as("df_block"),
+        sum(col("cf_block")).as("cf_block"),
+        array_join(
+          transform(
+            array_sort(flatten(collect_list(asLongs(col("postings"))))),
+            x => x.cast("string")),
+          ",").as("postings"))
+  }
+
   /** Blocked inverted index: term → posting SEGMENTS of `blockSize`
     * doc-id ranges, the layout a distributed index build actually
     * writes (per-block segments bound both task memory and the skew a

@@ -70,6 +70,21 @@ object LmQueries {
     "ii1_inverted_index" -> { (s, d) =>
       Lm.invertedIndex(documents(s, d), "doc_id", "text", blockSize = IndexBlock)
         .orderBy(col("term"), col("block"))
+    },
+
+    // incremental index maintenance: index a base corpus and a
+    // doc-id-disjoint delta separately, merge segment-wise — the gate
+    // hash-checks merge == full rebuild (the oracle independently
+    // rebuilds over the whole table), including every merged postings
+    // string across the straddled blocks.
+    "ii2_index_merge" -> { (s, d) =>
+      val docs = documents(s, d)
+      val base = Lm.invertedIndex(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", blockSize = IndexBlock)
+      val delta = Lm.invertedIndex(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", blockSize = IndexBlock)
+      Lm.mergeIndexes(base, delta)
+        .orderBy(col("term"), col("block"))
     }
   )
 
@@ -184,6 +199,17 @@ object LmQueries {
     // non-negative doc-id domain; postings re-joined in doc-id order on
     // both sides.
     "ii1_inverted_index" ->
+      s"""WITH $tfSql
+         |SELECT term, CAST(doc_id // $IndexBlock AS BIGINT) AS block,
+         |  count(*) AS df_block,
+         |  CAST(sum(tf) AS BIGINT) AS cf_block,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         |FROM tf GROUP BY 1, 2 ORDER BY term, block""".stripMargin,
+
+    // ii2: the oracle does NOT merge — it rebuilds the index over the
+    // full table from scratch, so a wrong merge (double count, unsorted
+    // or dropped postings in a straddled segment) hash-fails.
+    "ii2_index_merge" ->
       s"""WITH $tfSql
          |SELECT term, CAST(doc_id // $IndexBlock AS BIGINT) AS block,
          |  count(*) AS df_block,

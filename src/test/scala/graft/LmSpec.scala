@@ -83,6 +83,23 @@ class LmSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("mergeIndexes == full rebuild, incl. straddled-block postings") {
+    val all = Seq((0L, "x"), (99L, "x"), (100L, "x y"), (150L, "x"), (250L, "x"))
+      .toDF("doc_id", "text")
+    // split INSIDE block 1 (100-199): base gets 100, delta gets 150
+    val base = Lm.invertedIndex(all.filter($"doc_id" < 150), "doc_id", "text", 100L)
+    val delta = Lm.invertedIndex(all.filter($"doc_id" >= 150), "doc_id", "text", 100L)
+    val merged = Lm.mergeIndexes(base, delta)
+      .orderBy($"term", $"block").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val rebuilt = Lm.invertedIndex(all, "doc_id", "text", 100L)
+      .orderBy($"term", $"block").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(merged.toSeq == rebuilt.toSeq)
+    assert(merged.exists(t => t._1 == "x" && t._2 == 1L && t._5 == "100,150"),
+      "straddled block must re-sort the concatenated postings")
+  }
+
   test("gopher helpers: meanTokenLen exact division, distinct stopwords") {
     val rows = Seq((1L, "aa bbbb"), (2L, "the the the a"), (3L, "  "))
       .toDF("doc_id", "text")
