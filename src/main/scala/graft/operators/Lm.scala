@@ -166,11 +166,19 @@ object Lm {
       .agg(
         sum(col("df_block")).as("df_block"),
         sum(col("cf_block")).as("cf_block"),
-        array_join(
-          transform(
-            array_sort(flatten(collect_list(asLongs(col("postings"))))),
-            x => x.cast("string")),
-          ",").as("postings"))
+        array_sort(flatten(collect_list(asLongs(col("postings")))))
+          .as("__post"))
+      // contract violation (overlapping doc-id sets) would otherwise
+      // corrupt the index SILENTLY (double counts, duplicate postings)
+      // — a duplicate id in a merged segment fails the job loudly
+      .withColumn("postings",
+        when(size(array_distinct(col("__post"))) === size(col("__post")),
+          array_join(transform(col("__post"), x => x.cast("string")), ","))
+          .otherwise(raise_error(concat(
+            lit("mergeIndexes: overlapping doc ids in segment (term="),
+            col("term"), lit(", block="), col("block").cast("string"),
+            lit(") — inputs must index disjoint doc-id sets")))))
+      .drop("__post")
   }
 
   /** Blocked inverted index: term → posting SEGMENTS of `blockSize`

@@ -198,23 +198,23 @@ object LmQueries {
     // ii1: `//` truncates toward zero = Spark's `div` on the
     // non-negative doc-id domain; postings re-joined in doc-id order on
     // both sides.
-    "ii1_inverted_index" ->
-      s"""WITH $tfSql
-         |SELECT term, CAST(doc_id // $IndexBlock AS BIGINT) AS block,
-         |  count(*) AS df_block,
-         |  CAST(sum(tf) AS BIGINT) AS cf_block,
-         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-         |FROM tf GROUP BY 1, 2 ORDER BY term, block""".stripMargin,
+    "ii1_inverted_index" -> indexRebuildSql,
 
     // ii2: the oracle does NOT merge — it rebuilds the index over the
-    // full table from scratch, so a wrong merge (double count, unsorted
-    // or dropped postings in a straddled segment) hash-fails.
-    "ii2_index_merge" ->
-      s"""WITH $tfSql
-         |SELECT term, CAST(doc_id // $IndexBlock AS BIGINT) AS block,
-         |  count(*) AS df_block,
-         |  CAST(sum(tf) AS BIGINT) AS cf_block,
-         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-         |FROM tf GROUP BY 1, 2 ORDER BY term, block""".stripMargin
+    // full table from scratch (the SAME rebuild SQL as ii1, shared so
+    // the definition of "rebuild" can never diverge), so a wrong merge
+    // (double count, unsorted or dropped postings in a straddled
+    // segment) hash-fails.
+    "ii2_index_merge" -> indexRebuildSql
   )
+
+  /** Full-table inverted-index rebuild — the oracle for BOTH ii1 (direct
+    * build) and ii2 (incremental merge must equal this). */
+  private lazy val indexRebuildSql: String =
+    s"""WITH $tfSql
+       |SELECT term, CAST(doc_id // $IndexBlock AS BIGINT) AS block,
+       |  count(*) AS df_block,
+       |  CAST(sum(tf) AS BIGINT) AS cf_block,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+       |FROM tf GROUP BY 1, 2 ORDER BY term, block""".stripMargin
 }

@@ -100,6 +100,17 @@ class LmSpec extends SparkSpec {
       "straddled block must re-sort the concatenated postings")
   }
 
+  test("mergeIndexes fails loudly on overlapping doc-id sets") {
+    val docs = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "text")
+    val idx = Lm.invertedIndex(docs, "doc_id", "text", 100L)
+    val e = intercept[Exception] {
+      Lm.mergeIndexes(idx, idx).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("overlapping doc ids")), e.toString)
+  }
+
   test("gopher helpers: meanTokenLen exact division, distinct stopwords") {
     val rows = Seq((1L, "aa bbbb"), (2L, "the the the a"), (3L, "  "))
       .toDF("doc_id", "text")
