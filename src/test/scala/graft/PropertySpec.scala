@@ -97,6 +97,39 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("Lm invariants on generated corpora: pair count, nll domain, vocab ranks") {
+    val docGen = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "d", "e")).map(_.mkString(" "))
+    val texts = Gen.listOfN(60, docGen).sample.get
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    // bigram transition count = max(n_tokens - 1, 0), summed over docs
+    val expPairs = texts.map(t => math.max(t.trim.split("\\s+").count(_.nonEmpty) - 1, 0)).sum
+    val gotPairs = graft.operators.Lm.bigramLogProb(df, "doc_id", "text")
+      .agg(sum($"n_bigrams")).first().getLong(0)
+    assert(gotPairs == expPairs.toLong)
+
+    // nll is positive and finite (every smoothed probability < 1)
+    val nlls = graft.operators.Lm.unigramLogProb(df, "doc_id", "text")
+      .collect().map(_.getDouble(2))
+    assert(nlls.forall(v => v > 0 && !v.isInfinite && !v.isNaN))
+
+    // vocab ranks are 1..k without gaps, cf non-increasing
+    val vr = graft.operators.Lm.vocabTopK(df, "doc_id", "text", k = 10)
+      .orderBy($"rank").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(vr.map(_._1).toSeq == (1 to vr.length))
+    assert(vr.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("scalarQuantize codes stay in [0, 255] on generated vectors") {
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-100f, 100f))
+    val rows = Gen.listOfN(50, vecGen).sample.get.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("vec_id", "embedding")
+    val codes = graft.operators.Quant.scalarQuantize(df, "vec_id", "embedding")
+      .collect().flatMap(_.getString(2).split(",")).map(_.toInt)
+    assert(codes.forall(c => c >= 0 && c <= 255))
+  }
+
   test("join invariants: inner <= left; left preserves left row count") {
     val left = (1 to 300).map(i => (i % 50, i)).toDF("k", "v")
     val right = (1 to 40).map(i => (i, s"r$i")).toDF("k", "name") // keys 1..40
