@@ -58,6 +58,34 @@ object Sampling {
         baseSeed + e).withColumn("epoch", lit(e))
     }.reduce(_ unionByName _)
 
+  /** Deterministic, exclusive, exhaustive train/validation/test split:
+    * each row gets exactly one split label, decided by its key's hash
+    * bucket against cumulative fraction thresholds — reproducible,
+    * partition-independent, and leak-free by construction (a key can
+    * never land in two splits, and re-running on a grown corpus never
+    * moves an old key between splits). The LAST split absorbs the
+    * rounding remainder so coverage is exhaustive regardless of how
+    * the fractions quantize. One scan, zero shuffle. */
+  def hashSplit(df: DataFrame, keyCol: String,
+                splits: Seq[(String, Double)], seed: Long,
+                splitName: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit: no splits")
+    require(splits.forall(_._2 > 0.0), s"hashSplit: non-positive fraction in $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"hashSplit: fractions sum to $total, not 1")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val thresholds = splits.zip(cum).map { case ((name, _), c) =>
+      name -> math.round(c * Buckets)
+    }
+    val bucket = hashBucket(col(keyCol), seed)
+    // CASE over cumulative thresholds; the final branch is the ELSE so
+    // bucket Buckets-1 always lands somewhere even if round() fell short
+    val label = thresholds.init.foldRight(lit(thresholds.last._1): Column) {
+      case ((name, t), acc) => when(bucket < t, lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitName, label)
+  }
+
   /** Temperature-balanced mixture sampling (the XLM-R / multilingual-C4
     * rebalancing rule): stratum weights w_s = n_s^alpha, a token budget
     * of ~`budget` rows distributed proportionally to w_s, so low-resource

@@ -23,6 +23,8 @@ object DatasetQueries {
   private[queries] val QuotaSeed = 3003L
   private[queries] val TempSeed = 4004L
   private val TempBudget = 200L
+  private[queries] val SplitSeed = 5005L
+  private val Splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic stratified sample: per-language rates, one scan,
@@ -73,6 +75,15 @@ object DatasetQueries {
       Sampling.temperatureSample(documents(s, d)
         .select(col("doc_id"), col("lang")), "doc_id", "lang",
         alpha = 0.5, budget = TempBudget, seed = TempSeed)
+        .orderBy(col("doc_id"))
+    },
+
+    // deterministic 80/10/10 train/val/test split: the full labeled
+    // roster is gated, so exclusivity, coverage, and every threshold
+    // decision are hash-checked jointly.
+    "ds7_hash_split" -> { (s, d) =>
+      Sampling.hashSplit(documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", Splits, seed = SplitSeed)
         .orderBy(col("doc_id"))
     },
 
@@ -155,6 +166,17 @@ object DatasetQueries {
          |SELECT d.doc_id, d.lang
          |FROM documents d JOIN $aux a USING (doc_id) JOIN thr USING (lang)
          |WHERE a.b_temp < thr.t
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // ds7: thresholds are cumulative math.round(frac * 1e6) mirrored as
+    // literals (cum 0.8 -> 800000, 0.9 -> 900000); the last split is
+    // the ELSE, matching the engine's exhaustive-by-construction CASE.
+    "ds7_hash_split" ->
+      s"""SELECT d.doc_id, d.lang,
+         |  CASE WHEN a.b_split < 800000 THEN 'train'
+         |       WHEN a.b_split < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents d JOIN $aux a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
     "ds5_quota_sample" ->

@@ -69,6 +69,7 @@ object OracleAux {
         hashBucket(col("doc_id"), 2000L).as("b_epoch0"),
         hashBucket(col("doc_id"), 2001L).as("b_epoch1"),
         hashBucket(col("doc_id"), DatasetQueries.TempSeed).as("b_temp"),
+        hashBucket(col("doc_id"), DatasetQueries.SplitSeed).as("b_split"),
         xxhash64(col("doc_id"), lit(777L)).as("h_shuffle"),
         xxhash64(col("doc_id"), lit(DatasetQueries.QuotaSeed)).as("h_quota"))
     }

@@ -192,6 +192,28 @@ class DatasetSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("hashSplit: exclusive, exhaustive, deterministic, fraction-plausible") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.hashSplit(docs.repartition(1), "doc_id", splits, 11L)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = Sampling.hashSplit(docs.repartition(13), "doc_id", splits, 11L)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a == b, "split membership must depend only on (key, seed)")
+    assert(a.size == docs.count(), "every row gets exactly one label")
+    val byLabel = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // 500 docs at 80/10/10: binomial 5-sigma bands
+    assert(byLabel("train") > 350 && byLabel("train") < 450, byLabel.toString)
+    assert(byLabel("val") > 15 && byLabel("val") < 90, byLabel.toString)
+  }
+
+  test("hashSplit rejects fractions that do not sum to 1") {
+    val e = intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4), 1L)
+    }
+    assert(e.getMessage.contains("sum"))
+  }
+
   test("temperatureSample rejects non-string strata with a clear error") {
     val df = Seq((1L, 7), (2L, 8)).toDF("doc_id", "src_id")
     val e = intercept[IllegalArgumentException] {
