@@ -70,6 +70,8 @@ object Sampling {
                 splits: Seq[(String, Double)], seed: Long,
                 splitName: String = "split"): DataFrame = {
     require(splits.nonEmpty, "hashSplit: no splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"hashSplit: duplicate split names in ${splits.map(_._1)}")
     require(splits.forall(_._2 > 0.0), s"hashSplit: non-positive fraction in $splits")
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"hashSplit: fractions sum to $total, not 1")
@@ -77,6 +79,11 @@ object Sampling {
     val thresholds = splits.zip(cum).map { case ((name, _), c) =>
       name -> math.round(c * Buckets)
     }
+    // a fraction below the bucket resolution would round to an empty
+    // range and silently produce an always-empty split — fail fast
+    require((0L +: thresholds.map(_._2).init) .zip(thresholds)
+      .forall { case (prev, (_, t)) => t > prev },
+      s"hashSplit: a fraction rounds to an empty bucket range (thresholds=$thresholds, resolution=1/$Buckets)")
     val bucket = hashBucket(col(keyCol), seed)
     // CASE over cumulative thresholds; the final branch is the ELSE so
     // bucket Buckets-1 always lands somewhere even if round() fell short

@@ -202,9 +202,27 @@ class DatasetSpec extends SparkSpec {
     assert(a.size == docs.count(), "every row gets exactly one label")
     val byLabel = a.values.groupBy(identity).view.mapValues(_.size).toMap
     assert(byLabel.keySet == Set("train", "val", "test"))
-    // 500 docs at 80/10/10: binomial 5-sigma bands
-    assert(byLabel("train") > 350 && byLabel("train") < 450, byLabel.toString)
-    assert(byLabel("val") > 15 && byLabel("val") < 90, byLabel.toString)
+    // binomial ~5-sigma bands derived from the corpus size
+    val n = docs.count().toDouble
+    def band(p: Double) = (n * p - 5 * math.sqrt(n * p * (1 - p)),
+      n * p + 5 * math.sqrt(n * p * (1 - p)))
+    val (tLo, tHi) = band(0.8)
+    assert(byLabel("train") > tLo && byLabel("train") < tHi, byLabel.toString)
+    val (vLo, vHi) = band(0.1)
+    assert(byLabel("val") > vLo && byLabel("val") < vHi, byLabel.toString)
+  }
+
+  test("hashSplit rejects duplicate names and resolution-empty fractions") {
+    val dup = intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "val" -> 0.1), 1L)
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    val tiny = intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id",
+        Seq("val" -> 4e-7, "train" -> (1.0 - 4e-7)), 1L)
+    }
+    assert(tiny.getMessage.contains("empty bucket range"))
   }
 
   test("hashSplit rejects fractions that do not sum to 1") {
