@@ -139,6 +139,21 @@ object Bench {
     val times = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.map(t => num(t._1, "%.3f")).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // Bimodality flag (round-10 advice): the min-anchored stable cluster
+    // deliberately discards contaminated slow runs, but for a GENUINELY
+    // bimodal query (two reproducible modes, e.g. the y3 heap-shift case)
+    // it would silently headline the fast mode. Any query whose trimmed
+    // headline diverges from the plain all-runs median by >1.5x is listed
+    // here with both numbers, so intermittent regressions surface in the
+    // artifact itself instead of needing a times[] audit.
+    val bimodal = results.flatMap { case (k, v) =>
+      val ts = v.map(_._1)
+      val h = stableMed(ts); val m = med(ts)
+      if (h > 0 && m / h > 1.5)
+        Some(s"\"" + k + "\":{\"headline\":" + num(h, "%.3f") +
+          ",\"plain_median\":" + num(m, "%.3f") + "}")
+      else None
+    }.mkString("{", ",", "}")
     val loads = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.map(t => num(t._2, "%.2f")).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -148,8 +163,8 @@ object Bench {
     // contamination" — BENCH_r08.json at 89 GiB); artifacts carrying
     // this field ran with GC-triggered cleaner draining forced on
     val guard = """"gc_guard":"periodicGC=30s + per-query System.gc() (SCALE.md heap-contamination finding)""""
-    val adjud = """"adjudication":"queries=median of runs within 3x of per-query min; >3x spread auto-reruns (<= runs extra); raw per-run times+loadavg in times/loads""""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"times":$times,"loads":$loads,"runs":$runs,"sf":"$sfDir",$guard,$adjud,"env":$env}""")
+    val adjud = """"adjudication":"queries=median of runs within 3x of per-query min; >3x spread auto-reruns (<= runs extra); raw per-run times+loadavg in times/loads; headline-vs-plain-median divergence >1.5x flagged in bimodal""""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"times":$times,"loads":$loads,"bimodal":$bimodal,"runs":$runs,"sf":"$sfDir",$guard,$adjud,"env":$env}""")
     spark.stop()
   }
 }

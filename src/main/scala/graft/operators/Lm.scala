@@ -81,18 +81,23 @@ object Lm {
     * negative log-probability of its token TRANSITIONS under the
     * corpus's own add-one bigram model,
     *   p(cur | prev) = (c(prev, cur) + 1) / (c(prev) + V)
-    * with c(·) corpus counts and V = |{cur}| (distinct successor
-    * vocabulary — the smoothing denominator's contract here). Docs with
-    * fewer than two tokens have no transitions and are absent.
+    * with c(·) corpus counts and V the FULL unigram vocabulary size
+    * (every distinct token in the corpus, including tokens of 1-token
+    * docs and sentence-final tokens) — the standard add-one bigram
+    * formulation (KenLM/CCNet convention; round-10 advice replaced the
+    * earlier successor-only V). Docs with fewer than two tokens have no
+    * transitions and are absent.
     *
     * Output: (doc_id, n_bigrams, nll2), nll2 rounded 6 dp.
     *
     * Shape: ONE zipped-slice pair explode aggregated to per-doc
-    * (doc, prev, cur, k) — checkpointed, then BOTH corpus statistics
-    * ride as windows over those rows (partition (prev, cur) for the
-    * bigram count, prev for the context count) and V broadcasts as a
-    * 1-row aggregate: the corpus text is tokenized once, and nothing
-    * wider than pair-count rows ever shuffles. */
+    * (doc, prev, cur, k) — checkpointed, then BOTH corpus counts ride
+    * as windows over those rows (partition (prev, cur) for the bigram
+    * count, prev for the context count). V needs tokens the pair rows
+    * can't see (1-token docs), so it is a second map-side-combinable
+    * 1-row aggregate over the termFreqs scan, broadcast into the
+    * scoring projection — nothing wider than pair-count rows ever
+    * shuffles. */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val prs = adjacentPairs(col(textCol),
       (a, b) => struct(a.as("prev"), b.as("cur")))
@@ -104,7 +109,8 @@ object Lm {
       .localCheckpoint(false)
     val cpc = sum(col("k")).over(Window.partitionBy(col("prev"), col("cur")))
     val cp = sum(col("k")).over(Window.partitionBy(col("prev")))
-    val totals = pairs.agg(countDistinct(col("cur")).as("n_vocab"))
+    val totals = Ranking.termFreqs(df, idCol, textCol)
+      .agg(countDistinct(col("term")).as("n_vocab"))
     pairs.withColumn("cpc", cpc).withColumn("cp", cp)
       .crossJoin(broadcast(totals))
       .withColumn("logp",

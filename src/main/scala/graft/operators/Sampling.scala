@@ -124,7 +124,11 @@ object Sampling {
       if (alpha == 0.5) math.sqrt(n.toDouble)
       else if (alpha == 1.0) n.toDouble
       else math.pow(n.toDouble, alpha)
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    // NULL strata never receive a rate (they fall to defaultFraction=0.0
+    // in stratifiedSample below), so exclude them before the collect —
+    // otherwise getString(0) yields null and Ordering[String] NPEs
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     val wsum = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n) }
     val rates = counts.map { case (s, n) =>

@@ -118,7 +118,9 @@ object LmQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // t10: both corpus counts as window sums over the per-doc pair
-    // aggregate, exactly as the engine computes them; ln -> 6 dp.
+    // aggregate, exactly as the engine computes them; V = the FULL
+    // unigram vocabulary (standard add-one bigram; round-10 advice),
+    // recomputed from the raw text, not from the pair rows; ln -> 6 dp.
     "t10_bigram_lm" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_filter($toksSql, x -> len(x) > 0) AS tk
@@ -132,7 +134,9 @@ object LmQueries {
          |  FROM t),
          |pairs AS (
          |  SELECT doc_id, prev, cur, count(*) AS k FROM prs GROUP BY 1, 2, 3),
-         |tot AS (SELECT count(DISTINCT cur) AS n_vocab FROM pairs),
+         |tot AS (
+         |  SELECT count(DISTINCT tok) AS n_vocab
+         |  FROM (SELECT unnest(tk) AS tok FROM t)),
          |w AS (
          |  SELECT doc_id, k,
          |    sum(k) OVER (PARTITION BY prev, cur) AS cpc,

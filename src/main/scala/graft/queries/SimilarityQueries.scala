@@ -252,6 +252,22 @@ object SimilarityQueries {
 
   private val dblEmb = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
+  /** Wrong-SF tripwire (round-10 advice): the y2/y3/x5/sd1 oracles embed
+    * knob values (hyperplane literals, the centroid LIMIT) that the
+    * ENGINE derives from the live corpus count at gate time
+    * (planesFor/centroidsFor), so the SQL mirrors are only valid at the
+    * corpus size they were generated for — 500 embeddings rows = sf0.01.
+    * At any other SF the mirror would silently hash-mismatch (or pass by
+    * coincidence). This CASE — lazily evaluated, so it costs nothing at
+    * the right count — makes a wrong-SF run fail LOUDLY with the reason. */
+  private val Sf001EmbeddingsRows = 500L
+  private def sfGuard(gate: String): String =
+    s"""CASE WHEN (SELECT count(*) FROM embeddings) = $Sf001EmbeddingsRows
+       | THEN true ELSE error('$gate: oracle SQL embeds planesFor/centroidsFor
+       | knobs derived from a $Sf001EmbeddingsRows-row embeddings corpus
+       | (sf0.01) — run this oracle at sf0.01 only') END"""
+      .stripMargin.linesIterator.mkString(" ")
+
   val oracle: Map[String, String] = Map(
     "y1_ann_bruteforce" ->
       s"""WITH corpus AS (
@@ -280,7 +296,8 @@ object SimilarityQueries {
       val banded = (0 until 8).map(t =>
         s"SELECT vec_id, $t AS t, ${sqlSignature("v", 4, t)} AS bucket FROM base")
         .mkString(" UNION ALL ")
-      s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+      s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings
+         |  WHERE ${sfGuard("y2_ann_lsh")}),
          |banded AS ($banded),
          |probes AS (
          |  SELECT vec_id AS query_id, t, bucket FROM banded
@@ -311,7 +328,8 @@ object SimilarityQueries {
       val banded = (0 until 4).map(t =>
         s"SELECT vec_id, $t AS t, ${sqlSignature("v", 4, t)} AS bucket FROM base")
         .mkString(" UNION ALL ")
-      s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+      s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings
+         |  WHERE ${sfGuard("y3_knn_graph")}),
          |banded0 AS ($banded),
          |banded AS (
          |  SELECT vec_id, t, bucket,
@@ -505,6 +523,7 @@ object SimilarityQueries {
          | THEN ${sqlDot("b.v", "s.cv")} / ${sqlNorm("s.cv")} ELSE 0.0 END""".stripMargin
       s"""WITH base AS (
          |  SELECT vec_id, $dblEmb AS v FROM embeddings
+         |  WHERE ${sfGuard("sd1_semantic_dedup")}
          |  UNION ALL
          |  SELECT vec_id + 100000 AS vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01) AS v
@@ -539,6 +558,7 @@ object SimilarityQueries {
     "x5_embedding_near_dup" ->
       s"""WITH base AS (
          |  SELECT vec_id, $dblEmb AS v FROM embeddings
+         |  WHERE ${sfGuard("x5_embedding_near_dup")}
          |  UNION ALL
          |  SELECT vec_id + 100000 AS vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01) AS v

@@ -241,6 +241,27 @@ class DatasetSpec extends SparkSpec {
     assert(e.getMessage.contains("must be string"))
   }
 
+  test("temperatureSample tolerates NULL strata (they drop, rates unaffected)") {
+    // round-10 advice: null strata used to NPE inside the driver-side
+    // sort. They must instead fall to defaultFraction=0.0 (drop) and
+    // leave every named stratum's derived rate untouched.
+    val withNulls = ((1 to 16).map(i => (i.toLong, "a")) ++
+      (17 to 20).map(i => (i.toLong, "b")) ++
+      (21 to 25).map(i => (i.toLong, null.asInstanceOf[String])))
+      .toDF("doc_id", "lang")
+    val got = Sampling.temperatureSample(withNulls, "doc_id", "lang",
+      alpha = 0.5, budget = 3L, seed = 99L)
+      .collect().map(_.getLong(0)).toSet
+    // identical membership to the null-free corpus of the same strata
+    val clean = ((1 to 16).map(i => (i.toLong, "a")) ++
+      (17 to 20).map(i => (i.toLong, "b"))).toDF("doc_id", "lang")
+    val expected = Sampling.temperatureSample(clean, "doc_id", "lang",
+      alpha = 0.5, budget = 3L, seed = 99L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.forall(_ <= 20L), "null-stratum rows must all drop")
+  }
+
   test("temperatureSample caps rates at 1.0 and is partition-independent") {
     val rows = ((1 to 3).map(i => (i.toLong, "tiny")) ++
       (4 to 103).map(i => (i.toLong, "big"))).toDF("doc_id", "lang")

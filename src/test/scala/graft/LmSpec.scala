@@ -37,14 +37,16 @@ class LmSpec extends SparkSpec {
 
   test("bigramLogProb matches hand computation; short docs absent") {
     // corpus: d1 "a b a", d2 "b a", d3 "solo" (no transitions)
-    // c(a,b)=1 c(b,a)=2; c(prev=a)=1 c(prev=b)=2; V=|{cur}|=|{a,b}|=2
-    // p(b|a) = 2/3, p(a|b) = 3/4
+    // c(a,b)=1 c(b,a)=2; c(prev=a)=1 c(prev=b)=2; V = FULL unigram
+    // vocabulary |{a,b,solo}| = 3 (standard add-one bigram — "solo"
+    // counts even though it never appears in a transition)
+    // p(b|a) = (1+1)/(1+3) = 1/2, p(a|b) = (2+1)/(2+3) = 3/5
     val df = Seq((1L, "a b a"), (2L, "b a"), (3L, "solo"))
       .toDF("doc_id", "text")
     val got = Lm.bigramLogProb(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val nll1 = -(math.log(2.0 / 3.0) + math.log(3.0 / 4.0)) / 2.0
-    val nll2 = -math.log(3.0 / 4.0)
+    val nll1 = -(math.log(1.0 / 2.0) + math.log(3.0 / 5.0)) / 2.0
+    val nll2 = -math.log(3.0 / 5.0)
     assert(got(1L)._1 == 2 && math.abs(got(1L)._2 - nll1) < 1e-6)
     assert(got(2L)._1 == 1 && math.abs(got(2L)._2 - nll2) < 1e-6)
     assert(!got.contains(3L), "a 1-token doc has no transitions")
