@@ -18,13 +18,15 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
 
-  /** events with the nanosecond `ts` (read as long under
-    * spark.sql.legacy.parquet.nanosAsLong) converted to a microsecond
-    * TimestampType column for windowing/streaming. */
+  /** events with `ts` normalized to a microsecond TimestampType column
+    * for windowing/streaming — type-adaptive over both physical layouts
+    * the table has shipped with (nanos-BIGINT and timestamp[us]); see
+    * [[graft.streaming.EventsStream.eventTimeCol]]. */
   def eventsTs(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    // integer div: epoch-nanos exceed 2^53, double-routed `/` is lossy
-    events(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.functions.col
+    val df = events(s, d)
+    df.withColumn("ts",
+      graft.streaming.EventsStream.eventTimeCol(col("ts"), df.schema("ts").dataType))
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

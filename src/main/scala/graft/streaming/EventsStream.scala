@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Structured Streaming over the events table — the streaming story the
   * reference lacks (SURVEY §2.8: its "incremental mode" is a daily
@@ -24,22 +24,42 @@ import org.apache.spark.sql.types.StructType
   */
 object EventsStream {
 
-  /** The events schema as stored (ts = nanosecond epoch read as long
-    * under spark.sql.legacy.parquet.nanosAsLong). */
-  val RawSchema: StructType = StructType.fromDDL(
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-      "value DOUBLE, props STRING")
+  /** TYPE-ADAPTIVE event-time conversion for the stored `ts` column.
+    * The events table has shipped with two physical layouts:
+    *
+    *  - nanosecond-epoch `timestamp[ns]`, surfaced as BIGINT under
+    *    `spark.sql.legacy.parquet.nanosAsLong` (the historical layout);
+    *  - a real `timestamp[us]`, surfaced as TIMESTAMP_NTZ (the legacy
+    *    flag does not apply to micros) or TIMESTAMP.
+    *
+    * Dispatching on the INPUT dataType (not a config) means the same
+    * query runs against either layout — a pipeline must not break when
+    * an upstream producer upgrades its writer. Both branches land on
+    * TimestampType in the UTC session (NTZ wall-time == instant there),
+    * so every downstream window/watermark/unix_micros is layout-blind.
+    *
+    * Long branch uses integer `div`, NOT `/`: epoch-nanos exceed 2^53,
+    * so a double-routed division is off by ±1 µs. */
+  def eventTimeCol(ts: Column, dt: DataType): Column = dt match {
+    case LongType         => timestamp_micros(call_function("div", ts, lit(1000L)))
+    case TimestampType    => ts
+    case TimestampNTZType => ts.cast(TimestampType)
+    case other => throw new IllegalArgumentException(
+      s"events.ts: expected BIGINT (epoch nanos), TIMESTAMP or " +
+        s"TIMESTAMP_NTZ, got $other")
+  }
 
-  /** Convert raw nano-long ts to a microsecond TimestampType column.
-    * Integer `div`, NOT `/`: epoch-nanos exceed 2^53, so a double-routed
-    * division is off by ±1 µs. */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    df.withColumn("event_time",
+      eventTimeCol(col("ts"), df.schema("ts").dataType))
 
-  /** File-source stream over a parquet directory of events. */
+  /** File-source stream over a parquet directory of events. The schema
+    * comes from the directory's own parquet footers (one driver-side
+    * metadata read), so the stream adapts to whichever `ts` layout is on
+    * disk instead of pinning one in a DDL literal. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     withEventTime(
-      spark.readStream.schema(RawSchema)
+      spark.readStream.schema(spark.read.parquet(dir).schema)
         .option("maxFilesPerTrigger", "4")
         .parquet(dir))
 

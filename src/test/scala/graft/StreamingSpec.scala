@@ -68,6 +68,50 @@ class StreamingSpec extends SparkSpec {
       s"|stream|=${got.size} |batch|=${want.size}")
   }
 
+  test("event-time ingestion is type-adaptive across ts physical layouts") {
+    // The driver has shipped events.ts as nanosecond-epoch BIGINT (read
+    // as long under nanosAsLong) AND as a real timestamp[us] (read as
+    // TIMESTAMP_NTZ). An environment regenerating the table must never
+    // zero the event-time surface again: the same fixture written in
+    // all three layouts must produce IDENTICAL event_time, batch and
+    // stream alike.
+    import spark.implicits._
+    val micros = Seq(1700000000000000L, 1700000000123456L, 1700003600999999L)
+    val base = micros.zipWithIndex
+      .map { case (us, i) => (i.toLong, us) }.toDF("event_id", "us")
+    val root = java.nio.file.Files.createTempDirectory("ts_layouts").toString
+    val layouts = Map(
+      // nanos exceed 2^53: exact long arithmetic, never a double route
+      "nanos" -> base.select($"event_id", ($"us" * 1000L).as("ts")),
+      "ts"    -> base.select($"event_id", timestamp_micros($"us").as("ts")),
+      "ntz"   -> base.select($"event_id",
+        timestamp_micros($"us").cast("timestamp_ntz").as("ts")))
+    val batchResults = layouts.map { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$root/$name")
+      val onDisk = spark.read.parquet(s"$root/$name")
+      val got = EventsStream.withEventTime(onDisk)
+        .select($"event_id", unix_micros($"event_time").as("us"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      name -> got
+    }
+    val want = micros.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap
+    batchResults.foreach { case (name, got) =>
+      assert(got == want, s"layout $name: batch event_time diverged")
+    }
+    // the stream path infers its schema from the footers — same contract
+    layouts.keys.foreach { name =>
+      val streamed = EventsStream.runAvailableNow(spark, s"$root/$name",
+        _.select($"event_id", unix_micros($"event_time").as("us")),
+        s"ts_layout_$name", OutputMode.Append())
+      val got = streamed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"layout $name: streamed event_time diverged")
+    }
+    // and an unsupported layout fails loudly, not with a binary-op error
+    val bad = base.select($"event_id", $"us".cast("string").as("ts"))
+    val e = intercept[IllegalArgumentException] { EventsStream.withEventTime(bad) }
+    assert(e.getMessage.contains("events.ts"))
+  }
+
   test("mapGroupsWithState running totals match a plain aggregate") {
     import spark.implicits._
     val typed = EventsStream.withEventTime(graft.Tables.events(spark, dir))
