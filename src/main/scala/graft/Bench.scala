@@ -164,7 +164,20 @@ object Bench {
     // this field ran with GC-triggered cleaner draining forced on
     val guard = """"gc_guard":"periodicGC=30s + per-query System.gc() (SCALE.md heap-contamination finding)""""
     val adjud = """"adjudication":"queries=median of runs within 3x of per-query min; >3x spread auto-reruns (<= runs extra); raw per-run times+loadavg in times/loads; headline-vs-plain-median divergence >1.5x flagged in bimodal""""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"times":$times,"loads":$loads,"bimodal":$bimodal,"runs":$runs,"sf":"$sfDir",$guard,$adjud,"env":$env}""")
+    // Two-artifact output (11 rounds of the driver's BENCH_r*.json coming
+    // back `parsed: null`): the FULL self-adjudicating record — raw
+    // times, loads, spread, bimodal flags, env — is large enough that
+    // only its tail survives the driver's stdout capture, so it goes to
+    // a FILE, and stdout's final line is a COMPACT headline (total +
+    // per-query medians) that fits any capture window whole.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"times":$times,"loads":$loads,"bimodal":$bimodal,"runs":$runs,"sf":"$sfDir",$guard,$adjud,"env":$env}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath (${e.getMessage}); full artifact follows on stderr")
+      System.err.println(full)
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

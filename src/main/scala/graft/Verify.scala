@@ -27,6 +27,14 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
     val queries = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names.contains(k) })
+    // Failure LEDGER (round-11 finding): a query that throws before its
+    // parquet write simply has no output dir, and the driver's
+    // correctness file then records a SMALLER DENOMINATOR instead of a
+    // failure — 9 broken gates read as "112/112 green". Every failure
+    // (error or timeout) is therefore recorded here and dumped as an
+    // explicit artifact next to outDir, so a regression is always
+    // visible evidence, never a silent shrink.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     queries.foreach { case (name, fn) =>
       val task = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = {
@@ -41,8 +49,11 @@ object Verify {
           spark.sparkContext.cancelJobGroup(name)
           task.cancel(true)
           System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
+          errors(name) = s"timeout after ${timeoutSec}s"
         case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${Option(e.getCause).getOrElse(e).getMessage}")
+          val msg = Option(e.getCause).getOrElse(e).getMessage
+          System.err.println(s"[verify] $name failed: $msg")
+          errors(name) = Option(msg).getOrElse(e.getClass.getName)
       }
     }
     // aux tables for hash-importing oracles (see queries.OracleAux):
@@ -86,6 +97,16 @@ object Verify {
         s"${q(k)}: ${q(v.replace(graft.queries.OracleAux.Placeholder, auxDir))}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the failure ledger — a SIBLING file like the aux dir (the driver
+    // enumerates outDir's children as query results; an extra file
+    // inside could be misread as one). Written even when empty: "{}"
+    // proves the ledger ran, distinguishing 0 failures from no ledger.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(
+      new java.io.File(outDir).getAbsolutePath.stripSuffix("/") + "_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} failed: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }
