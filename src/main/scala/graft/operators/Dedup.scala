@@ -72,8 +72,16 @@ object Dedup {
     // reduction, and near-dup pair producers (x2/x3/x4/x5) already emit
     // each pair once. Callers with heavily-duplicated pair lists should
     // pre-distinct to cut message volume.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    //
+    // Symmetrization is an EXPLODE of both directions from one scan, not
+    // a self-union: the union's two branches each re-execute the whole
+    // upstream pair derivation (the near-dup LSH join — its final join
+    // node is not an exchange, so ReusedExchange cannot save it), which
+    // measured ~2× the pair-pipeline cost inside this checkpoint.
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     // Initial labels fold the first propagation hop into the node-set
     // aggregation itself: label0(v) = min(v, min(N(v))) — one groupBy
@@ -102,11 +110,15 @@ object Dedup {
           lit(null).cast(labelType).as("__prev"))
       val self = labels.select(col("id"), col("label"),
         col("label").as("__prev"))
+      // LAZY localCheckpoint: the convergence probe below is then the
+      // action that materializes it — one Spark job per iteration where
+      // eager-checkpoint-then-isEmpty paid two (halves the loop's
+      // job-scheduling overhead; the data itself is tiny)
       val next = self.unionByName(msgs)
         .groupBy(col("id"))
         // max(__prev) = the unique non-null self row's previous label
         .agg(min(col("label")).as("label"), max(col("__prev")).as("__prev"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       converged = next.filter(col("label") =!= col("__prev")).isEmpty
       labels = next.drop("__prev")
       it += 1
@@ -117,6 +129,93 @@ object Dedup {
         s"$maxIters; raise maxIters (labels are monotone, extra iterations " +
         "only add passes)")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components by ALTERNATING large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC '14) —
+    * the scale path for HIGH-DIAMETER pair graphs, where [[components]]'
+    * per-hop min-label propagation needs diameter-many rounds: star
+    * operations hook whole subtrees onto their minimum in one step, so
+    * the round count is O(log n) REGARDLESS of diameter (a 10⁶-node
+    * chain converges in ~20 rounds, not 10⁶). Near-dup graphs from the
+    * x2–x5 producers are clique-ish (diameter 1–2) and converge in 2–3
+    * rounds under either algorithm; prefer THIS one when the edge list
+    * is not known to be shallow — transitive near-dup chains at corpus
+    * scale are exactly where diameter explodes.
+    *
+    * Each round is two phases over a CANONICAL (big → small) directed
+    * edge set, each phase one partial-aggregated min + one shuffle join
+    * (no collect_list — a hub node's neighborhood never materializes in
+    * one task):
+    *
+    *  - large-star: every node hooks its LARGER neighbors onto the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node hooks its smaller neighbors (and itself)
+    *    onto that neighborhood's minimum.
+    *
+    * Both preserve connectivity and strictly shrink potential; the
+    * fixpoint is a star forest rooted at component minima. Convergence
+    * is verified (edge set unchanged: same count, empty difference), so
+    * the result is never a silently split cluster — mirroring
+    * [[components]]' verified-fixpoint contract.
+    *
+    * Output contract matches [[components]] exactly: (id, cluster_id)
+    * for every id in `pairs`, cluster_id = component minimum — the two
+    * are interchangeable, hash-identically, in every gate. */
+  def componentsAlternating(pairs: DataFrame, aCol: String, bCol: String,
+                            maxRounds: Int = 40): DataFrame = {
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("src"),
+        least(col(aCol), col(bCol)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty // a self-pairs-only input is already done
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star over the SYMMETRIC view: m(u) = min(N(u) ∪ {u});
+      // every neighbor v > u re-hooks to m(u). Canonical input means
+      // both directions come from one explode of one scan.
+      val sym = edges.select(explode(array(
+          struct(col("src").as("u"), col("dst").as("v")),
+          struct(col("dst").as("u"), col("src").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val lsMins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val ls = sym.join(lsMins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star on the (big → small) output: m(u) = min of u's
+      // smaller neighbors; u and every other small neighbor hook to it.
+      val ssMins = ls.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+      val hooked = ls.join(ssMins, col("src") === col("u"))
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val next = hooked
+        .unionByName(ssMins.select(col("u").as("src"), col("m").as("dst")))
+        .distinct()
+        .localCheckpoint(false) // lazy: the count below materializes it
+      // verified fixpoint: equal cardinality + empty one-way difference
+      // over DISTINCT sets ⇒ set equality (the except only runs on
+      // count-equal rounds — usually just the final one)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"componentsAlternating: star alternation did not converge in " +
+        s"$maxRounds rounds — rounds are O(log n), so this indicates a " +
+        "pathological input (or raise maxRounds; star ops are idempotent " +
+        "at the fixpoint, extra rounds only add passes)")
+    // star forest: src → root. Roots label themselves; nodes that only
+    // ever appeared in self-pairs (src == dst in the raw input) were
+    // dropped from `edges` and are re-added as their own singleton
+    // cluster, preserving the every-id-in-pairs output contract.
+    val nodes = pairs.select(explode(array(col(aCol), col(bCol))).as("id")).distinct()
+    nodes.join(edges, nodes("id") === edges("src"), "left")
+      .select(nodes("id"), coalesce(col("dst"), nodes("id")).as("cluster_id"))
   }
 
   // ---- n-gram Jaccard ----------------------------------------------------

@@ -121,6 +121,11 @@ object TextQueries {
     "x6_dup_clusters" -> { (s, d) =>
       val pairs = Dedup.minhashLshPairsShared(nearDupCorpus(s, d), "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+      // components (min-label), not componentsAlternating: near-dup
+      // graphs are clique-ish (diameter 1-2), where min-label's folded
+      // first hop converges in one confirming pass — measured 1.6x
+      // faster than star alternation here, whose two-phase rounds only
+      // pay off on DEEP graphs (see componentsAlternating scaladoc)
       Dedup.components(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))

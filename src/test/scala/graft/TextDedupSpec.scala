@@ -188,6 +188,57 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L), got)
   }
 
+  test("componentsAlternating: matches components, converges on deep chains") {
+    import graft.operators.Dedup
+    // same mixed graph as the components test — output contract identical
+    val pairs = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L),
+      (10L,11L),(10L,12L),(11L,12L),(20L,21L)).toDF("id_a","id_b")
+    val got = Dedup.componentsAlternating(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Dedup.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got=$got want=$want")
+    // the scale claim: a 200-node CHAIN (diameter 199, far beyond
+    // components' default 20-hop budget) converges within the O(log n)
+    // round bound — 12 rounds for n=200, nowhere near 199
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val deep = Dedup.componentsAlternating(chain, "id_a", "id_b", maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 199L).forall(deep(_) == 0L),
+      deep.filter(_._2 != 0L).take(5).toString)
+    // adversarial shape: labels ASCEND along the chain (worst case for
+    // min-propagation direction) plus duplicate + self pairs in the
+    // input; self-pair-only nodes keep their singleton cluster row
+    val messy = (Seq((7L,7L), (100L,100L)) ++ (0L until 50L).map(i => (i+1, i)) ++
+      Seq((3L,2L), (2L,3L))).toDF("id_a", "id_b")
+    val gotM = Dedup.componentsAlternating(messy, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 50L).forall(gotM(_) == 0L) && gotM(100L) == 100L, gotM)
+    // 7 is chain-internal AND self-paired — still labeled by the chain
+    assert(gotM(7L) == 0L)
+    // non-convergence inside an absurdly small round budget fails loudly
+    val e = intercept[IllegalStateException] {
+      Dedup.componentsAlternating(chain, "id_a", "id_b", maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
+
+  test("componentsAlternating == components on a random pair graph") {
+    import graft.operators.Dedup
+    // deterministic pseudo-random graph: 300 nodes, ~250 edges from a
+    // hash mix — many components of varied shape
+    val edges = (0 until 250).map { i =>
+      val a = (i * 2654435761L) % 300
+      val b = (i * 40503L + 7) % 300
+      (a, b)
+    }.toDF("id_a", "id_b")
+    val a = Dedup.componentsAlternating(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val b = Dedup.components(edges, "id_a", "id_b", maxIters = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(a == b, s"diff=${(a diff b).take(5)} / ${(b diff a).take(5)}")
+  }
+
   test("duplicatedSpans: cross-doc span, maximal merge, exact boundaries") {
     // docs 1 and 2 share tokens a..f (6 tokens) at different offsets;
     // with k=3 that is duplicated gram starts 4 in a row -> ONE span each
