@@ -156,6 +156,87 @@ object Lm {
       .select("rank", "pair", "n")
   }
 
+  /** Apply ONE BPE merge (a, b) -> a·b to a token-array column, greedy
+    * left-to-right non-overlapping (Sennrich et al. 2016 semantics: in
+    * "a a a" the first pair merges and the survivor does NOT re-pair
+    * with the third token in the same round). A single expression fold
+    * over the positions — per-row O(tokens), zero shuffle, no UDF.
+    *
+    * Null-safety: `nxt` is null at the last position; eqNullSafe makes
+    * the hit test false there instead of poisoning the accumulator. */
+  private[graft] def applyMerge(toks: Column, a: String, b: String,
+                                joiner: String): Column = {
+    val mergedTok = lit(a + joiner + b)
+    val folded = aggregate(
+      sequence(lit(1), size(toks)),
+      struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
+      (acc, i) => {
+        val t   = element_at(toks, i)
+        // try_: position size+1 is out of bounds, and ANSI element_at
+        // throws there instead of returning the null the hit test wants
+        val nxt = try_element_at(toks, i + 1)
+        val hit = !acc.getField("skip") &&
+          t === lit(a) && nxt.eqNullSafe(lit(b))
+        struct(
+          when(acc.getField("skip"), acc.getField("out"))
+            .when(hit, array_append(acc.getField("out"), mergedTok))
+            .otherwise(array_append(acc.getField("out"), t)).as("out"),
+          when(acc.getField("skip"), lit(false)).otherwise(hit).as("skip"))
+      },
+      acc => acc.getField("out"))
+    // sequence(1, 0) would DESCEND, not empty — guard the no-token row
+    when(size(toks) === 0, toks).otherwise(folded)
+  }
+
+  /** Iterated BPE merge selection — the actual tokenizer-training loop
+    * [[bpePairCounts]] does one round of: per round, count every
+    * adjacent symbol pair across the corpus, adopt the single most
+    * frequent (ties: pair asc), APPLY it everywhere, recount — so round
+    * r's counts see rounds 1..r-1's merged symbols, which is the part a
+    * one-shot pair ranking cannot express. Output: (round, pair, n)
+    * with n the winning pair's corpus count at selection time.
+    *
+    * Scale shape: the corpus tokenizes ONCE (checkpointed); each round
+    * is one map-side-combinable pair-count aggregate + a TOP-1 pull to
+    * the driver (the merge table IS driver state — the k-means-centroid
+    * contract) + one per-row expression rewrite. Nothing but the
+    * O(vocab²-bounded) pair counts ever shuffles, and the merge rewrite
+    * rides the next round's scan. `rounds` is the contract bound
+    * (real tokenizer training: 10k-50k rounds, still each O(corpus)). */
+  def bpeMerges(df: DataFrame, idCol: String, textCol: String,
+                rounds: Int = 3, joiner: String = "~"): DataFrame = {
+    require(rounds > 0, s"bpeMerges: rounds must be positive, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = df.select(TextAnalysis.tokens(col(textCol)).as("toks"))
+      .localCheckpoint()
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val m = greatest(size(col("toks")) - 1, lit(0))
+      val top = cur
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), m), slice(col("toks"), lit(2), m),
+          (x, y) => concat(x, lit(" "), y))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // corpus has no adjacent pairs left
+      else {
+        val pair = top(0).getString(0)
+        picks += ((r, pair, top(0).getLong(1)))
+        // tokens are whitespace-split and merges join with `joiner`, so
+        // neither side of a pair can contain a space: split is exact
+        val Array(a, b) = pair.split(" ", 2)
+        cur = cur.select(applyMerge(col("toks"), a, b, joiner).as("toks"))
+          .localCheckpoint()
+      }
+      r += 1
+    }
+    picks.toSeq.toDF("round", "pair", "n")
+  }
+
   /** Merge two [[invertedIndex]] outputs built over DISJOINT doc-id
     * sets (the incremental-ingest contract: the delta is new docs only)
     * into the index of the unioned corpus — index MAINTENANCE without a

@@ -17,6 +17,7 @@ object LmQueries {
   private val VocabK = 100
   private val PairK = 100
   private val IndexBlock = 100L
+  private val BpeRounds = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc mean negative log-probability under the corpus's own
@@ -64,6 +65,16 @@ object LmQueries {
     "v2_bpe_pairs" -> { (s, d) =>
       Lm.bpePairCounts(documents(s, d), "doc_id", "text", k = PairK)
         .orderBy(col("rank"))
+    },
+
+    // ITERATED BPE (3 rounds): select top pair, apply the merge to the
+    // whole corpus, recount — round r sees rounds 1..r-1's merged
+    // symbols, which v2's one-shot ranking cannot. The oracle re-runs
+    // the identical algorithm unrolled in SQL (greedy left-to-right
+    // merge == parity-within-candidate-runs, window-expressible).
+    "v3_bpe_merges" -> { (s, d) =>
+      Lm.bpeMerges(documents(s, d), "doc_id", "text", rounds = BpeRounds)
+        .orderBy(col("round"))
     },
 
     // blocked inverted index: term -> per-100-doc-id posting segments.
@@ -199,6 +210,8 @@ object LmQueries {
          |SELECT CAST(rank AS INT) AS rank, pair, n
          |FROM ranked WHERE rank <= $PairK ORDER BY rank""".stripMargin,
 
+    "v3_bpe_merges" -> bpeMergesSql,
+
     // ii1: `//` truncates toward zero = Spark's `div` on the
     // non-negative doc-id domain; postings re-joined in doc-id order on
     // both sides.
@@ -211,6 +224,71 @@ object LmQueries {
     // segment) hash-fails.
     "ii2_index_merge" -> indexRebuildSql
   )
+
+  /** Iterated-BPE oracle, unrolled per round. Each round: count pairs
+    * over t{r-1}, LIMIT-1 winner (n desc, pair asc — same total order
+    * as the engine), then rebuild t{r} by applying the merge. Greedy
+    * left-to-right application is expressed with windows: candidate
+    * positions grouped into runs of consecutive positions (pos minus
+    * row_number is constant within a run — runs only arise for a=b
+    * pairs), and a candidate merges iff its offset from the run start
+    * is even — exactly the positions a left-to-right scan takes. The
+    * merged-start / consumed-next rewrite is two self-joins against the
+    * kept set. An independent derivation of the same semantics as the
+    * engine's expression fold, so a drift in either fails the hash. */
+  private lazy val bpeMergesSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val p = r - 1
+      val apply =
+        if (r == BpeRounds) "" // the last merge is never re-counted
+        else s""",
+           |u$r AS (
+           |  SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, tk
+           |  FROM t$p),
+           |v$r AS (
+           |  SELECT doc_id, pos, tk[pos] AS tok, tk[pos + 1] AS nxt
+           |  FROM u$r),
+           |c$r AS (
+           |  SELECT doc_id, pos,
+           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+           |  FROM v$r
+           |  WHERE tok = (SELECT a FROM w$r) AND nxt = (SELECT b FROM w$r)),
+           |k$r AS (
+           |  SELECT doc_id, pos FROM (
+           |    SELECT doc_id, pos,
+           |      pos - min(pos) OVER (PARTITION BY doc_id, run) AS off
+           |    FROM c$r)
+           |  WHERE off % 2 = 0),
+           |t$r AS (
+           |  SELECT doc_id, list(newtok ORDER BY pos) AS tk FROM (
+           |    SELECT v.doc_id, v.pos,
+           |      CASE WHEN ks.pos IS NOT NULL
+           |        THEN v.tok || '~' || v.nxt ELSE v.tok END AS newtok
+           |    FROM v$r v
+           |    LEFT JOIN k$r ks ON ks.doc_id = v.doc_id AND ks.pos = v.pos
+           |    LEFT JOIN k$r kd ON kd.doc_id = v.doc_id AND kd.pos = v.pos - 1
+           |    WHERE kd.pos IS NULL)
+           |  GROUP BY doc_id)""".stripMargin
+      s"""p$r AS (
+         |  SELECT unnest(list_transform(
+         |    generate_series(1, greatest(len(tk) - 1, 0)),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS pair
+         |  FROM t$p),
+         |w$r AS (
+         |  SELECT pair, CAST(count(*) AS BIGINT) AS n,
+         |    split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+         |  FROM p$r GROUP BY pair ORDER BY count(*) DESC, pair ASC LIMIT 1)$apply""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS INT) AS round, pair, n FROM w$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> len(x) > 0) AS tk
+       |  FROM documents),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
 
   /** Full-table inverted-index rebuild — the oracle for BOTH ii1 (direct
     * build) and ii2 (incremental merge must equal this). */

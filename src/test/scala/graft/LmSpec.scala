@@ -71,6 +71,42 @@ class LmSpec extends SparkSpec {
     assert(got.size == 5, s"1-token and blank docs must add no pairs: $got")
   }
 
+  test("applyMerge is greedy left-to-right, non-overlapping, null-safe at ends") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Seq("a", "a", "a")),          // odd run: merge first pair only
+      (2L, Seq("a", "a", "a", "a")),     // even run: two merges
+      (3L, Seq("b", "a", "a", "b")),     // interior run
+      (4L, Seq("a", "b", "a", "a")),     // candidate at the very end
+      (5L, Seq("a")),                    // no pair possible
+      (6L, Seq.empty[String]))           // empty doc stays empty
+      .toDF("id", "toks")
+    val got = df.select(col("id"),
+        Lm.applyMerge(col("toks"), "a", "a", "~").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a~a", "a"))
+    assert(got(2L) == Seq("a~a", "a~a"))
+    assert(got(3L) == Seq("b", "a~a", "b"))
+    assert(got(4L) == Seq("a", "b", "a~a"))
+    assert(got(5L) == Seq("a"))
+    assert(got(6L) == Seq())
+  }
+
+  test("bpeMerges iterates: later rounds count previously merged symbols") {
+    // corpus engineered so round 2's winner EXISTS ONLY after round 1's
+    // merge is applied: "x y" wins round 1 (3 occurrences); round 2's
+    // top pair is then "x~y z" (2 occurrences) — unobservable by a
+    // one-shot pair ranking over the raw corpus
+    val df = Seq(
+      (1L, "x y z q x y z q"),
+      (2L, "x y w")).toDF("doc_id", "text")
+    val got = Lm.bpeMerges(df, "doc_id", "text", rounds = 2)
+      .orderBy($"round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got(0) == ((1, "x y", 3L)), got.toSeq)
+    assert(got(1) == ((2, "x~y z", 2L)), got.toSeq)
+  }
+
   test("invertedIndex blocks postings by doc-id range and sorts them") {
     val df = Seq((0L, "x"), (99L, "x"), (100L, "x y"), (250L, "x"))
       .toDF("doc_id", "text")
