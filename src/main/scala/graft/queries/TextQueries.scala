@@ -131,6 +131,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // same clustering through the ALTERNATING large-star/small-star
+    // path (the deep-graph O(log n)-rounds algorithm) — oracle-gated
+    // against the same transitive closure as x6, so both component
+    // implementations are hash-pinned to identical cluster assignments.
+    "x8_dup_clusters_star" -> { (s, d) =>
+      val pairs = Dedup.minhashLshPairsShared(nearDupCorpus(s, d), "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+      Dedup.componentsAlternating(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash near-dup pairs — 64-bit signatures, 7 bands so recall at
     // hamming <= 6 is pigeonhole-EXACT (no LSH luck in the gate result).
     "x4_simhash" -> { (s, d) =>
@@ -280,6 +292,24 @@ object TextQueries {
 
   /** Full x3 pair derivation in DuckDB (no final ORDER BY — reusable as
     * a CTE body by x6's component closure). */
+  /** Transitive closure of the x3 pair list (recursive CTE; label = min
+    * reachable id) — the shared oracle for BOTH component
+    * implementations (x6 min-label, x8 large-star/small-star): one
+    * definition of "correct clusters", two engine algorithms pinned to
+    * it. */
+  private lazy val dupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   private lazy val minhashPairsSql: String = {
     val params = graft.operators.Dedup.hashParams(128)
     val prime = graft.operators.Dedup.MinhashPrime
@@ -536,18 +566,12 @@ object TextQueries {
     // x6: connected components over the x3 pair list — the oracle closes
     // the SAME pairs transitively (recursive CTE; labels = min reachable
     // id), so a wrong/unconverged Spark label propagation hash-fails.
-    "x6_dup_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-         |SELECT id AS doc_id, min(r) AS cluster_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "x6_dup_clusters" -> dupClustersSql,
+
+    // x8: the SAME transitive closure gates the alternating
+    // large-star/small-star implementation — one oracle, two engine
+    // algorithms, both hash-pinned to identical clusters.
+    "x8_dup_clusters_star" -> dupClustersSql,
 
 
     // x4: 64-bit simhash bit votes, 7-band blocking, hamming verify in
