@@ -110,16 +110,18 @@ object Dedup {
           lit(null).cast(labelType).as("__prev"))
       val self = labels.select(col("id"), col("label"),
         col("label").as("__prev"))
-      // LAZY localCheckpoint: the convergence probe below is then the
-      // action that materializes it — one Spark job per iteration where
-      // eager-checkpoint-then-isEmpty paid two (halves the loop's
-      // job-scheduling overhead; the data itself is tiny)
+      // LAZY localCheckpoint + a COUNT probe: the count is the action
+      // that materializes the checkpoint — one full-scan Spark job per
+      // iteration where eager-checkpoint-then-isEmpty paid two (and
+      // isEmpty's progressive take(1) waves would under-compute a lazy
+      // checkpoint, forcing a separate backfill job for the skipped
+      // partitions; a count computes every partition exactly once)
       val next = self.unionByName(msgs)
         .groupBy(col("id"))
         // max(__prev) = the unique non-null self row's previous label
         .agg(min(col("label")).as("label"), max(col("__prev")).as("__prev"))
         .localCheckpoint(false)
-      converged = next.filter(col("label") =!= col("__prev")).isEmpty
+      converged = next.filter(col("label") =!= col("__prev")).count() == 0
       labels = next.drop("__prev")
       it += 1
     }
