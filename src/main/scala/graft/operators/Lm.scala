@@ -237,6 +237,42 @@ object Lm {
     picks.toSeq.toDF("round", "pair", "n")
   }
 
+  /** Apply a LEARNED merge table to the corpus — the tokenizer
+    * APPLICATION step ([[bpeMerges]] is the training step): each
+    * document's tokens run through every merge in table order, greedy
+    * left-to-right per merge, exactly as training applied them. Output:
+    * (doc_id, n_tokens_raw, n_tokens_bpe, encoded_text) with the full
+    * encoded sequence space-joined — the gate pins the entire encoding,
+    * not a summary.
+    *
+    * Scale shape: the merge table is a handful of literals folded into
+    * ONE projection (chained expression folds, no UDF, no shuffle, no
+    * state) — encoding 100 TB is a pure map over the corpus scan, which
+    * is the whole point of running tokenization inside the engine. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)],
+                joiner: String = "~"): DataFrame = {
+    // ONE PROJECTION PER MERGE, never nested folds in one expression:
+    // Spark performs no subexpression elimination inside lambda
+    // functions, so a fold whose input is the previous fold's
+    // EXPRESSION re-evaluates it per element access — O(tokens²) per
+    // nesting level (measured: a 3-deep nest timed out on 500 docs).
+    // Behind a projection boundary each fold reads a bound per-row
+    // attribute instead; CollapseProject keeps the boundary because the
+    // alias is non-cheap and multiply-referenced (the tokenized()
+    // pattern in Dedup).
+    val base = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__raw"))
+    val enc = merges.foldLeft(base.withColumn("__enc", col("__raw"))) {
+      case (d, (a, b)) =>
+        d.withColumn("__enc", applyMerge(col("__enc"), a, b, joiner))
+    }
+    enc.select(col("doc_id"),
+      size(col("__raw")).as("n_tokens_raw"),
+      size(col("__enc")).as("n_tokens_bpe"),
+      array_join(col("__enc"), " ").as("encoded_text"))
+  }
+
   /** Merge two [[invertedIndex]] outputs built over DISJOINT doc-id
     * sets (the incremental-ingest contract: the delta is new docs only)
     * into the index of the unioned corpus — index MAINTENANCE without a

@@ -77,6 +77,21 @@ object LmQueries {
         .orderBy(col("round"))
     },
 
+    // BPE APPLICATION: train the 3-round merge table, then encode the
+    // whole corpus with it — one literal-folded projection, no shuffle.
+    // The gate pins every document's full encoded token sequence.
+    "v4_bpe_encode" -> { (s, d) =>
+      val merges = Lm.bpeMerges(documents(s, d), "doc_id", "text",
+          rounds = BpeRounds)
+        .orderBy(col("round")).collect().toSeq
+        .map { r =>
+          val Array(a, b) = r.getString(1).split(" ", 2)
+          (a, b)
+        }
+      Lm.bpeEncode(documents(s, d), "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    },
+
     // blocked inverted index: term -> per-100-doc-id posting segments.
     "ii1_inverted_index" -> { (s, d) =>
       Lm.invertedIndex(documents(s, d), "doc_id", "text", blockSize = IndexBlock)
@@ -211,6 +226,7 @@ object LmQueries {
          |FROM ranked WHERE rank <= $PairK ORDER BY rank""".stripMargin,
 
     "v3_bpe_merges" -> bpeMergesSql,
+    "v4_bpe_encode" -> bpeEncodeSql,
 
     // ii1: `//` truncates toward zero = Spark's `div` on the
     // non-negative doc-id domain; postings re-joined in doc-id order on
@@ -236,11 +252,38 @@ object LmQueries {
     * merged-start / consumed-next rewrite is two self-joins against the
     * kept set. An independent derivation of the same semantics as the
     * engine's expression fold, so a drift in either fails the hash. */
-  private lazy val bpeMergesSql: String = {
+  private lazy val bpeMergesSql: String = bpeSql(applyLast = false) +
+    "\n" + (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS INT) AS round, pair, n FROM w$r")
+      .mkString("\nUNION ALL ") +
+    "\nORDER BY round"
+
+  /** v4: the same unrolled rounds WITH the final apply, then the whole
+    * encoded corpus — token counts and the full space-joined encoding
+    * per document. Zero-token docs never enter the rebuild CTEs, so
+    * their row falls back to the raw (empty) token list. */
+  private lazy val bpeEncodeSql: String = {
+    val R = BpeRounds
+    bpeSql(applyLast = true) + s"""
+       |SELECT t0.doc_id,
+       |  CAST(len(t0.tk) AS INT) AS n_tokens_raw,
+       |  CAST(COALESCE(len(t$R.tk), len(t0.tk)) AS INT) AS n_tokens_bpe,
+       |  COALESCE(array_to_string(t$R.tk, ' '), array_to_string(t0.tk, ' '))
+       |    AS encoded_text
+       |FROM t0 LEFT JOIN t$R USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared unrolled BPE round chain: t0 (tokenized corpus), then per
+    * round r: p{r} pair counts, w{r} winner, and — when the round's
+    * merge must be applied (always except optionally the last) — the
+    * u/v/c/k/t{r} greedy-application CTEs. Returns the full WITH
+    * clause, ready for a final SELECT. */
+  private def bpeSql(applyLast: Boolean): String = {
     val rounds = (1 to BpeRounds).map { r =>
       val p = r - 1
       val apply =
-        if (r == BpeRounds) "" // the last merge is never re-counted
+        if (r == BpeRounds && !applyLast) "" // the last merge is never re-counted
         else s""",
            |u$r AS (
            |  SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, tk
@@ -279,15 +322,10 @@ object LmQueries {
          |    split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
          |  FROM p$r GROUP BY pair ORDER BY count(*) DESC, pair ASC LIMIT 1)$apply""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeRounds)
-      .map(r => s"SELECT CAST($r AS INT) AS round, pair, n FROM w$r")
-      .mkString("\nUNION ALL ")
     s"""WITH t0 AS (
        |  SELECT doc_id, list_filter($toksSql, x -> len(x) > 0) AS tk
        |  FROM documents),
-       |$rounds
-       |$out
-       |ORDER BY round""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** Full-table inverted-index rebuild — the oracle for BOTH ii1 (direct

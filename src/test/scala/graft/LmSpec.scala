@@ -107,6 +107,33 @@ class LmSpec extends SparkSpec {
     assert(got(1) == ((2, "x~y z", 2L)), got.toSeq)
   }
 
+  test("bpeEncode applies the merge table in order; counts and text agree") {
+    val df = Seq(
+      (1L, "x y z q x y z q"),   // both merges fire, twice
+      (2L, "x y w"),             // only merge 1 fires
+      (3L, "z"),                 // untouched
+      (4L, " ")).toDF("doc_id", "text") // zero tokens
+    val got = Lm.bpeEncode(df, "doc_id", "text",
+        Seq(("x", "y"), ("x~y", "z")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(1L) == ((8, 4, "x~y~z q x~y~z q")))
+    assert(got(2L) == ((3, 2, "x~y w")))
+    assert(got(3L) == ((1, 1, "z")))
+    assert(got(4L) == ((0, 0, "")))
+    // train-then-encode round-trip: the corpus encoded with its OWN
+    // learned table has every learned pair merged away (no adjacent
+    // (a,b) from the table survives in any encoded sequence)
+    val merges = Lm.bpeMerges(df, "doc_id", "text", rounds = 2)
+      .orderBy($"round").collect()
+      .map { r => val Array(a, b) = r.getString(1).split(" ", 2); (a, b) }
+    val enc = Lm.bpeEncode(df, "doc_id", "text", merges.toSeq)
+      .collect().map(_.getString(3))
+    merges.foreach { case (a, b) =>
+      assert(!enc.exists(_.contains(s"$a $b")),
+        s"learned pair ($a,$b) survived encoding: ${enc.toSeq}") }
+  }
+
   test("invertedIndex blocks postings by doc-id range and sorts them") {
     val df = Seq((0L, "x"), (99L, "x"), (100L, "x y"), (250L, "x"))
       .toDF("doc_id", "text")
