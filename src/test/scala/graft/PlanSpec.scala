@@ -44,6 +44,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p)
   }
 
+  test("bpeEncode is a shuffle-free map with one projection per merge") {
+    val enc = graft.operators.Lm.bpeEncode(
+      graft.Tables.documents(spark, d), "doc_id", "text",
+      Seq(("a", "b"), ("c", "d"), ("e", "f")))
+    val p = enc.queryExecution.executedPlan.toString
+    // pure map over the scan: encoding 100 TB must never shuffle
+    assert(!p.contains("Exchange"), s"bpeEncode gained a shuffle:\n$p")
+    // each merge keeps its own projection boundary (a collapsed plan
+    // would nest the folds and re-evaluate them per element access —
+    // the O(tokens²)-per-level cliff this shape exists to avoid)
+    val projects = "Project".r.findAllIn(p).length
+    assert(projects >= 5, s"expected >=5 projections (tokenize + 3 merges + final), got $projects:\n$p")
+  }
+
   test("range join plans as hash join, never nested loop") {
     import org.apache.spark.sql.functions._
     val ev = graft.streaming.EventsStream.withEventTime(
