@@ -78,10 +78,20 @@ object Dedup {
     // upstream pair derivation (the near-dup LSH join — its final join
     // node is not an exchange, so ReusedExchange cannot save it), which
     // measured ~2× the pair-pipeline cost inside this checkpoint.
+    //
+    // The edge list is hash-partitioned on the join key (dst) BEFORE the
+    // checkpoint: localCheckpoint preserves outputPartitioning, and the
+    // per-iteration labels frame arrives hash-partitioned on id from its
+    // own aggregation, so every iteration's edges⋈labels join is then
+    // exchange-free on BOTH sides — the (large) edge list is shuffled
+    // once for the whole loop, not once per iteration. At corpus scale
+    // the edge list is the big side; this is the difference between
+    // O(iters) and O(1) edge shuffles.
     val edges = pairs.select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
       .localCheckpoint()
     // Initial labels fold the first propagation hop into the node-set
     // aggregation itself: label0(v) = min(v, min(N(v))) — one groupBy

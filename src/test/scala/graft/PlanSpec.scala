@@ -44,6 +44,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p)
   }
 
+  test("components iteration joins reuse the checkpointed edge partitioning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the components-loop shape: edges hash-partitioned on the join key
+    // BEFORE the checkpoint (localCheckpoint preserves
+    // outputPartitioning), labels arriving partitioned from their own
+    // aggregation — the iteration then needs exactly its two
+    // aggregation exchanges (label0 + next), with NEITHER join side
+    // re-shuffled. A lost edge partitioning shows up as a third
+    // exchange: the O(iters)-edge-shuffles regression this guards.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+      .repartition(col("dst")).localCheckpoint()
+    val labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("id")).as("label"))
+    val iter = edges.join(labels, col("dst") === col("id"))
+      .groupBy(col("src")).agg(min(col("label")))
+    val p = iter.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected 2 aggregation exchanges and no join-side reshuffle, got $exchanges:\n$p")
+  }
+
   test("bpeEncode is a shuffle-free map with one projection per merge") {
     val enc = graft.operators.Lm.bpeEncode(
       graft.Tables.documents(spark, d), "doc_id", "text",
