@@ -75,8 +75,11 @@ object Verify {
           spark.sparkContext.cancelJobGroup(s"aux_$name")
           task.cancel(true)
           System.err.println(s"[verify] aux $name timed out after ${timeoutSec}s")
+          errors(s"aux_$name") = s"timeout after ${timeoutSec}s"
         case e: Throwable =>
-          System.err.println(s"[verify] aux $name failed: ${Option(e.getCause).getOrElse(e).getMessage}")
+          val msg = Option(e.getCause).getOrElse(e).getMessage
+          System.err.println(s"[verify] aux $name failed: $msg")
+          errors(s"aux_$name") = Option(msg).getOrElse(e.getClass.getName)
       }
     }
     pool.shutdownNow()
