@@ -26,6 +26,37 @@ class PropertySpec extends SparkSpec {
       .map(r => if (r.isNullAt(0)) None else Some(r.getString(0))).toSeq
   }
 
+  test("applyMerge == reference greedy scan on random token arrays") {
+    // the expression fold IS greedy left-to-right non-overlapping merge;
+    // pin it to an independent driver-side reference over random arrays
+    // from a 3-symbol alphabet (maximal run/overlap density)
+    def reference(toks: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += s"$a~$b"; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toList
+    }
+    val tokGen = Gen.listOfN(400,
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c"))))
+    val arrays = tokGen.sample.get
+    val pairs = Seq(("a", "a"), ("a", "b"), ("c", "c"), ("b", "c"))
+    val df = arrays.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("i", "toks")
+    pairs.foreach { case (a, b) =>
+      val got = df.select($"i",
+          graft.operators.Lm.applyMerge($"toks", a, b, "~").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      arrays.zipWithIndex.foreach { case (t, i) =>
+        val want = reference(t, a, b)
+        assert(got(i.toLong) == want,
+          s"merge ($a,$b) diverged on $t: got ${got(i.toLong)}, want $want")
+      }
+    }
+  }
+
   test("cleanAddress invariants: null or lowercase, space-trimmed, length > 2") {
     // NOTE deliberate non-property: cleanAddress is NOT idempotent — the
     // reference strips '^[#.]+' before trimming (transform.py:64), so
