@@ -164,12 +164,14 @@ object Bench {
     // this field ran with GC-triggered cleaner draining forced on
     val guard = """"gc_guard":"periodicGC=30s + per-query System.gc() (SCALE.md heap-contamination finding)""""
     val adjud = """"adjudication":"queries=median of runs within 3x of per-query min; >3x spread auto-reruns (<= runs extra); raw per-run times+loadavg in times/loads; headline-vs-plain-median divergence >1.5x flagged in bimodal""""
-    // Two-artifact output (11 rounds of the driver's BENCH_r*.json coming
+    // Two-artifact output (12 rounds of the driver's BENCH_r*.json coming
     // back `parsed: null`): the FULL self-adjudicating record — raw
     // times, loads, spread, bimodal flags, env — is large enough that
     // only its tail survives the driver's stdout capture, so it goes to
-    // a FILE, and stdout's final line is a COMPACT headline (total +
-    // per-query medians) that fits any capture window whole.
+    // a FILE, and stdout's final line carries NO per-query map at all
+    // (the r12 compact line still embedded the 124-entry medians map and
+    // still got its head clipped): just total + runs + sf + the file
+    // pointer — small enough that any tail capture holds it whole.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"times":$times,"loads":$loads,"bimodal":$bimodal,"runs":$runs,"sf":"$sfDir",$guard,$adjud,"env":$env}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full)
@@ -177,7 +179,7 @@ object Bench {
       System.err.println(s"[bench] could not write $fullPath (${e.getMessage}); full artifact follows on stderr")
       System.err.println(full)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","full":"$fullPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

@@ -290,8 +290,6 @@ object TextQueries {
        |       t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
        |       / len($toksSql) ELSE 0.0 END - 0.3)) * 0.3""".stripMargin
 
-  /** Full x3 pair derivation in DuckDB (no final ORDER BY — reusable as
-    * a CTE body by x6's component closure). */
   /** Transitive closure of the x3 pair list (recursive CTE; label = min
     * reachable id) — the shared oracle for BOTH component
     * implementations (x6 min-label, x8 large-star/small-star): one
@@ -310,6 +308,8 @@ object TextQueries {
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Full x3 pair derivation in DuckDB (no final ORDER BY — reusable as
+    * a CTE body by x6's component closure). */
   private lazy val minhashPairsSql: String = {
     val params = graft.operators.Dedup.hashParams(128)
     val prime = graft.operators.Dedup.MinhashPrime
