@@ -159,33 +159,43 @@ object Lm {
   /** Apply ONE BPE merge (a, b) -> a·b to a token-array column, greedy
     * left-to-right non-overlapping (Sennrich et al. 2016 semantics: in
     * "a a a" the first pair merges and the survivor does NOT re-pair
-    * with the third token in the same round). A single expression fold
-    * over the positions — per-row O(tokens), zero shuffle, no UDF.
+    * with the third token in the same round).
     *
-    * Null-safety: `nxt` is null at the last position; eqNullSafe makes
-    * the hit test false there instead of poisoning the accumulator. */
+    * Implementation: ONE regexp pass over the space-padded joined string
+    * — Java regex replacement is itself leftmost-first non-overlapping
+    * (after a match, scanning resumes at the match end), which IS the
+    * greedy BPE rule, and the lookarounds don't consume the delimiter
+    * spaces, so back-to-back occurrences ("a b a b") all merge in the
+    * single pass. Tokens are whitespace-split ([[TextAnalysis.tokens]])
+    * so the padded string round-trips exactly: no token contains a space
+    * and none is empty. Per-row cost is genuinely O(tokens) — the
+    * previous expression-fold built its output with array_append on the
+    * accumulator (a copy per element, O(tokens²) per row; round-12
+    * advice) — and RegExpReplace/split/trim are all codegen'd
+    * built-ins, so the merge stays a pure shuffle-free map.
+    * Property-pinned against a driver-side greedy scan (PropertySpec). */
   private[graft] def applyMerge(toks: Column, a: String, b: String,
                                 joiner: String): Column = {
-    val mergedTok = lit(a + joiner + b)
-    val folded = aggregate(
-      sequence(lit(1), size(toks)),
-      struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
-      (acc, i) => {
-        val t   = element_at(toks, i)
-        // try_: position size+1 is out of bounds, and ANSI element_at
-        // throws there instead of returning the null the hit test wants
-        val nxt = try_element_at(toks, i + 1)
-        val hit = !acc.getField("skip") &&
-          t === lit(a) && nxt.eqNullSafe(lit(b))
-        struct(
-          when(acc.getField("skip"), acc.getField("out"))
-            .when(hit, array_append(acc.getField("out"), mergedTok))
-            .otherwise(array_append(acc.getField("out"), t)).as("out"),
-          when(acc.getField("skip"), lit(false)).otherwise(hit).as("skip"))
-      },
-      acc => acc.getField("out"))
-    // sequence(1, 0) would DESCEND, not empty — guard the no-token row
-    when(size(toks) === 0, toks).otherwise(folded)
+    val padded = concat(lit(" "), array_join(toks, " "), lit(" "))
+    // split("", " ") is [""], not [] — guard the no-token row
+    when(size(toks) === 0, toks)
+      .otherwise(split(trim(applyMergeStr(padded, a, b, joiner)), " "))
+  }
+
+  /** [[applyMerge]] in the string domain: input and output are the
+    * SPACE-PADDED joined token string (" t1 t2 ... tn "). Both the
+    * pattern and the replacement are literal-quoted, so tokens carrying
+    * regex metacharacters (or prior merges' joiner) are matched exactly.
+    * Chains compose linearly: unlike lambda higher-order functions,
+    * regexp_replace reads its child exactly once, so R stacked merges in
+    * one projection cost R linear passes — no projection boundary per
+    * merge needed (contrast the r12 fold, which required one). */
+  private[graft] def applyMergeStr(padded: Column, a: String, b: String,
+                                   joiner: String): Column = {
+    import java.util.regex.{Matcher, Pattern}
+    regexp_replace(padded,
+      lit("(?<= )" + Pattern.quote(a) + " " + Pattern.quote(b) + "(?= )"),
+      lit(Matcher.quoteReplacement(a + joiner + b)))
   }
 
   /** Iterated BPE merge selection — the actual tokenizer-training loop
@@ -245,32 +255,32 @@ object Lm {
     * encoded sequence space-joined — the gate pins the entire encoding,
     * not a summary.
     *
-    * Scale shape: the merge table is a handful of literals folded into
-    * ONE projection (chained expression folds, no UDF, no shuffle, no
-    * state) — encoding 100 TB is a pure map over the corpus scan, which
-    * is the whole point of running tokenization inside the engine. */
+    * Scale shape: the whole merge table folds into ONE projection — a
+    * chain of literal-pattern [[applyMergeStr]] regexp passes over the
+    * space-padded token string (each pass linear, each read exactly
+    * once; the r12 fold needed a projection boundary PER merge because
+    * lambda HOFs re-evaluate their child per element — regexp chains
+    * don't). No UDF, no shuffle, no state: encoding 100 TB is a pure
+    * map over the corpus scan, which is the whole point of running
+    * tokenization inside the engine. */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)],
                 joiner: String = "~"): DataFrame = {
-    // ONE PROJECTION PER MERGE, never nested folds in one expression:
-    // Spark performs no subexpression elimination inside lambda
-    // functions, so a fold whose input is the previous fold's
-    // EXPRESSION re-evaluates it per element access — O(tokens²) per
-    // nesting level (measured: a 3-deep nest timed out on 500 docs).
-    // Behind a projection boundary each fold reads a bound per-row
-    // attribute instead; CollapseProject keeps the boundary because the
-    // alias is non-cheap and multiply-referenced (the tokenized()
-    // pattern in Dedup).
     val base = df.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("__raw"))
-    val enc = merges.foldLeft(base.withColumn("__enc", col("__raw"))) {
-      case (d, (a, b)) =>
-        d.withColumn("__enc", applyMerge(col("__enc"), a, b, joiner))
+    val padded = concat(lit(" "), array_join(col("__raw"), " "), lit(" "))
+    val encStr = merges.foldLeft(padded) {
+      case (s, (a, b)) => applyMergeStr(s, a, b, joiner)
     }
-    enc.select(col("doc_id"),
-      size(col("__raw")).as("n_tokens_raw"),
-      size(col("__enc")).as("n_tokens_bpe"),
-      array_join(col("__enc"), " ").as("encoded_text"))
+    // __encs behind a projection boundary: it feeds BOTH the token count
+    // and the output text; the alias guarantees one evaluation per row
+    // without leaning on codegen subexpression elimination
+    base.select(col("doc_id"), col("__raw"), trim(encStr).as("__encs"))
+      .select(col("doc_id"),
+        size(col("__raw")).as("n_tokens_raw"),
+        when(size(col("__raw")) === 0, lit(0))
+          .otherwise(size(split(col("__encs"), " "))).as("n_tokens_bpe"),
+        col("__encs").as("encoded_text"))
   }
 
   /** Merge two [[invertedIndex]] outputs built over DISJOINT doc-id

@@ -66,18 +66,21 @@ class PlanSpec extends SparkSpec {
       s"expected 2 aggregation exchanges and no join-side reshuffle, got $exchanges:\n$p")
   }
 
-  test("bpeEncode is a shuffle-free map with one projection per merge") {
+  test("bpeEncode is a shuffle-free single-stage regexp chain") {
     val enc = graft.operators.Lm.bpeEncode(
       graft.Tables.documents(spark, d), "doc_id", "text",
       Seq(("a", "b"), ("c", "d"), ("e", "f")))
     val p = enc.queryExecution.executedPlan.toString
     // pure map over the scan: encoding 100 TB must never shuffle
     assert(!p.contains("Exchange"), s"bpeEncode gained a shuffle:\n$p")
-    // each merge keeps its own projection boundary (a collapsed plan
-    // would nest the folds and re-evaluate them per element access —
-    // the O(tokens²)-per-level cliff this shape exists to avoid)
-    val projects = "Project".r.findAllIn(p).length
-    assert(projects >= 5, s"expected >=5 projections (tokenize + 3 merges + final), got $projects:\n$p")
+    // the whole merge table rides as a chain of regexp passes — one
+    // regexp_replace per merge, all inside whole-stage codegen. (The r12
+    // expression-fold shape needed a projection boundary per merge; the
+    // regexp chain reads each child exactly once, so merges stack freely.)
+    val regexps = "(?i)regexp_replace".r.findAllIn(p).length
+    assert(regexps == 3, s"expected 3 regexp merge passes, got $regexps:\n$p")
+    // codegen stages render as "*(n)" in the plan string
+    assert(p.contains("*(2) Project"), s"bpeEncode fell out of codegen:\n$p")
   }
 
   test("range join plans as hash join, never nested loop") {

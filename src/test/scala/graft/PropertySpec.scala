@@ -27,9 +27,10 @@ class PropertySpec extends SparkSpec {
   }
 
   test("applyMerge == reference greedy scan on random token arrays") {
-    // the expression fold IS greedy left-to-right non-overlapping merge;
-    // pin it to an independent driver-side reference over random arrays
-    // from a 3-symbol alphabet (maximal run/overlap density)
+    // the padded-string regexp pass IS greedy left-to-right
+    // non-overlapping merge; pin it to an independent driver-side
+    // reference over random arrays from a 3-symbol alphabet (maximal
+    // run/overlap density)
     def reference(toks: List[String], a: String, b: String): List[String] = {
       val out = scala.collection.mutable.ListBuffer[String]()
       var i = 0
