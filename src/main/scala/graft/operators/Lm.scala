@@ -198,40 +198,94 @@ object Lm {
       lit(Matcher.quoteReplacement(a + joiner + b)))
   }
 
+  /** Adjacent-pair array ("x y" strings) of a token-array column —
+    * two slices zipped, pure per-row arithmetic. m = n-1 clamped at 0:
+    * 0/1-token rows contribute no pairs. */
+  private def pairsFromToks(toks: Column): Column = {
+    val m = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (x, y) => concat(x, lit(" "), y))
+  }
+
   /** Iterated BPE merge selection — the actual tokenizer-training loop
-    * [[bpePairCounts]] does one round of: per round, count every
-    * adjacent symbol pair across the corpus, adopt the single most
-    * frequent (ties: pair asc), APPLY it everywhere, recount — so round
-    * r's counts see rounds 1..r-1's merged symbols, which is the part a
-    * one-shot pair ranking cannot express. Output: (round, pair, n)
-    * with n the winning pair's corpus count at selection time.
+    * [[bpePairCounts]] does one round of: per round, adopt the single
+    * most frequent adjacent symbol pair (ties: pair asc), APPLY it
+    * everywhere, repeat — so round r's counts see rounds 1..r-1's
+    * merged symbols, which is the part a one-shot pair ranking cannot
+    * express. Output: (round, pair, n) with n the winning pair's exact
+    * corpus count at selection time.
     *
-    * Scale shape: the corpus tokenizes ONCE (checkpointed); each round
-    * is one map-side-combinable pair-count aggregate + a TOP-1 pull to
-    * the driver (the merge table IS driver state — the k-means-centroid
-    * contract) + one per-row expression rewrite. Nothing but the
-    * O(vocab²-bounded) pair counts ever shuffles, and the merge rewrite
-    * rides the next round's scan. `rounds` is the contract bound
-    * (real tokenizer training: 10k-50k rounds, still each O(corpus)). */
+    * Scale shape — DELTA-MAINTAINED pair counts (the round-12 full-
+    * recount would not survive real tokenizer training at 10k-50k
+    * merges: O(rounds × corpus) pair explodes + shuffles, plus one
+    * leaked checkpoint per round). The corpus tokenizes ONCE into a
+    * checkpointed space-padded string column; the global pair-count
+    * frame is built ONCE (the only full pair explode in the whole run)
+    * and thereafter MAINTAINED: a merge only changes pairs on rows
+    * that contain the merged pair, so each round's update is
+    *   counts' = counts + Σ_{affected rows} (pairs(row') − pairs(row))
+    * — an explode over the affected subset only, aggregated map-side,
+    * merged into the O(distinct-pairs) counts frame. Per round:
+    *  1. top-1 pull from the checkpointed counts frame (1 tiny job —
+    *     the merge table IS driver state, the k-means-centroid
+    *     contract);
+    *  2. ± pair deltas from `contains`-filtered rows only (one linear
+    *     corpus scan, shuffle volume = delta rows, not corpus pairs);
+    *  3. one shuffle-free conditional-rewrite projection re-checkpoints
+    *     the corpus; BOTH state frames unpersist their predecessor's
+    *     blocks, so storage is 2 frames regardless of round count.
+    * After round 1 no full pair recount ever runs, and the affected
+    * fraction shrinks as merges get rarer — the property that makes
+    * 10k-round training feasible (measured: tools/BpeProbe, SCALE.md).
+    * The final round skips steps 2-3 entirely (its state has no
+    * consumer). For multi-hour production runs prefer `checkpoint()`
+    * to reliable storage (executor loss invalidates local checkpoints).
+    * `onRound` is a probe hook (round, phase, nanos) — a no-op by
+    * default, used by tools/BpeProbe to publish per-phase cost. */
   def bpeMerges(df: DataFrame, idCol: String, textCol: String,
-                rounds: Int = 3, joiner: String = "~"): DataFrame = {
+                rounds: Int = 3, joiner: String = "~"): DataFrame =
+    bpeMerges(df, idCol, textCol, rounds, joiner, (_, _, _) => ())
+
+  private[graft] def bpeMerges(df: DataFrame, idCol: String, textCol: String,
+                               rounds: Int, joiner: String,
+                               onRound: (Int, String, Long) => Unit): DataFrame = {
     require(rounds > 0, s"bpeMerges: rounds must be positive, got $rounds")
     val spark = df.sparkSession
+    val sc = spark.sparkContext
     import spark.implicits._
-    var cur = df.select(TextAnalysis.tokens(col(textCol)).as("toks"))
-      .localCheckpoint()
+    // tracked eager checkpoints: the ids each materialization pins are
+    // diffed from getPersistentRDDs, so replacing a state frame can
+    // drop EXACTLY its predecessor's blocks (Dataset.unpersist does not
+    // reach localCheckpoint storage) without touching caller caches
+    def checkpointTracked(frame: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val cp = frame.localCheckpoint()
+      (cp, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def drop(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    def timed[A](r: Int, phase: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val a = body
+      onRound(r, phase, System.nanoTime() - t0); a
+    }
+    // corpus state: ONE space-padded joined-token string per row — the
+    // domain applyMergeStr rewrites and `contains` probes directly.
+    // Round-trips exactly: tokens are whitespace-split and non-empty.
+    var (cur, curIds) = timed(0, "tokenize")(checkpointTracked(
+      df.select(concat(lit(" "),
+        array_join(TextAnalysis.tokens(col(textCol)), " "), lit(" ")).as("s"))))
+    // the ONE full pair count (an empty/1-token row pads to a string
+    // that trims+splits to a single token — no pairs, by the m-clamp)
+    val toksOf = (s: Column) => split(trim(s), " ")
+    var (counts, countIds) = timed(0, "initial_count")(checkpointTracked(
+      cur.select(explode(pairsFromToks(toksOf(col("s")))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))))
     val picks = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val m = greatest(size(col("toks")) - 1, lit(0))
-      val top = cur
-        .select(explode(zip_with(
-          slice(col("toks"), lit(1), m), slice(col("toks"), lit(2), m),
-          (x, y) => concat(x, lit(" "), y))).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair").asc)
-        .limit(1).collect()
+      val top = timed(r, "top1")(
+        counts.orderBy(col("n").desc, col("pair").asc).limit(1).collect())
       if (top.isEmpty) exhausted = true // corpus has no adjacent pairs left
       else {
         val pair = top(0).getString(0)
@@ -239,11 +293,35 @@ object Lm {
         // tokens are whitespace-split and merges join with `joiner`, so
         // neither side of a pair can contain a space: split is exact
         val Array(a, b) = pair.split(" ", 2)
-        cur = cur.select(applyMerge(col("toks"), a, b, joiner).as("toks"))
-          .localCheckpoint()
+        if (r < rounds) { // the final pick's state has no consumer
+          // a row is affected iff it contains the pair — the padded
+          // form makes " a b " an exact adjacent-occurrence test
+          val hit = col("s").contains(" " + a + " " + b + " ")
+          val rewritten = applyMergeStr(col("s"), a, b, joiner)
+          // ± deltas over affected rows only; token arrays materialized
+          // behind aliases so the non-cheap split/regexp evaluate once
+          val delta = cur.filter(hit)
+            .select(toksOf(col("s")).as("t0"), toksOf(rewritten).as("t1"))
+            .select(explode(concat(
+              transform(pairsFromToks(col("t0")),
+                p => struct(p.as("pair"), lit(-1L).as("w"))),
+              transform(pairsFromToks(col("t1")),
+                p => struct(p.as("pair"), lit(1L).as("w"))))).as("pw"))
+            .groupBy(col("pw.pair").as("pair"))
+            .agg(sum(col("pw.w")).as("n"))
+          val (nc, ncIds) = timed(r, "delta_counts")(checkpointTracked(
+            counts.unionByName(delta)
+              .groupBy(col("pair")).agg(sum(col("n")).as("n"))
+              .filter(col("n") > 0)))
+          drop(countIds); counts = nc; countIds = ncIds
+          val (nr, nrIds) = timed(r, "rewrite")(checkpointTracked(
+            cur.select(when(hit, rewritten).otherwise(col("s")).as("s"))))
+          drop(curIds); cur = nr; curIds = nrIds
+        }
       }
       r += 1
     }
+    drop(countIds); drop(curIds)
     picks.toSeq.toDF("round", "pair", "n")
   }
 

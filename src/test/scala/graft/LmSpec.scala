@@ -107,6 +107,75 @@ class LmSpec extends SparkSpec {
     assert(got(1) == ((2, "x~y z", 2L)), got.toSeq)
   }
 
+  test("bpeMerges at rounds=12 == driver-side reference trainer (delta-count path)") {
+    // the delta-maintained counts must stay EXACTLY equal to a full
+    // recount at every round — pin 12 rounds (well past the gate's 3,
+    // so the maintained frame carries through many merge generations)
+    // against an independent full-recount trainer over a seeded random
+    // corpus from a 4-symbol alphabet (maximal pair churn: most merges
+    // destroy and create pairs adjacent to earlier winners)
+    def refMerge(toks: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += s"$a~$b"; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toList
+    }
+    def refTrain(docs: Seq[List[String]], rounds: Int): Seq[(Int, String, Long)] = {
+      var cur = docs
+      val picks = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+      var r = 1; var done = false
+      while (r <= rounds && !done) {
+        val counts = cur.flatMap(t => t.iterator.zip(t.iterator.drop(1))
+            .map { case (a, b) => s"$a $b" }.toList)
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        if (counts.isEmpty) done = true
+        else {
+          val (p, n) = counts.toSeq.minBy { case (pair, k) => (-k, pair) }
+          picks += ((r, p, n))
+          val Array(a, b) = p.split(" ", 2)
+          cur = cur.map(refMerge(_, a, b))
+        }
+        r += 1
+      }
+      picks.toSeq
+    }
+    val rnd = new scala.util.Random(13)
+    val docs = (1 to 120).map(_ =>
+      List.fill(1 + rnd.nextInt(30))(Seq("a", "b", "c", "d")(rnd.nextInt(4))))
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = Lm.bpeMerges(df, "doc_id", "text", rounds = 12)
+      .orderBy($"round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == refTrain(docs, 12), s"diverged: $got")
+  }
+
+  test("bpeMerges stops when the corpus runs out of pairs") {
+    val df = Seq((1L, "a a")).toDF("doc_id", "text")
+    val got = Lm.bpeMerges(df, "doc_id", "text", rounds = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "a a", 1L)))
+  }
+
+  test("bpeMerges leaves no persisted state behind") {
+    // both state frames (corpus, counts) unpersist their predecessors
+    // per round AND the final pair at exit — 12 rounds of training must
+    // not grow the session's persistent-RDD set (the round-12 shape
+    // leaked one corpus checkpoint per round)
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 60).map(i => (i.toLong,
+      List.fill(20)(Seq("a", "b", "c")(rnd.nextInt(3))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Lm.bpeMerges(df, "doc_id", "text", rounds = 12).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDD ids: $leaked")
+  }
+
   test("bpeEncode applies the merge table in order; counts and text agree") {
     val df = Seq(
       (1L, "x y z q x y z q"),   // both merges fire, twice
