@@ -143,6 +143,31 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Caller-facing clustering facade over the two components
+    * algorithms, so a caller can't accidentally pick the wrong regime
+    * (round-12 advice): the min-label path is measured ~1.6× faster on
+    * the clique-ish graphs near-dup producers emit (diameter 1-2, 2
+    * iterations), but needs diameter-many hops — a long transitive
+    * chain blows past `maxIters` and throws; the star path is O(log n)
+    * rounds at ANY diameter but pays two phases + a verified
+    * set-equality per round. Declare the shape:
+    *
+    *  - `deep = false` (default): clique-ish pair graphs — LSH/simhash/
+    *    cosine near-dup output, where every member pairs with most
+    *    others. Dispatches to [[components]].
+    *  - `deep = true`: possibly-deep graphs — transitive chains
+    *    (A≈B≈C… without A≈C), entity-resolution edges, anything whose
+    *    diameter is unknown. Dispatches to [[componentsAlternating]].
+    *
+    * Both produce the identical (id, cluster_id = component minimum)
+    * contract for every id in `pairs` — hash-interchangeable, so a
+    * wrong declaration costs time (or a loud maxIters failure), never
+    * correctness. */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String,
+               deep: Boolean = false): DataFrame =
+    if (deep) componentsAlternating(pairs, aCol, bCol)
+    else components(pairs, aCol, bCol)
+
   /** Connected components by ALTERNATING large-star/small-star (Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC '14) —
     * the scale path for HIGH-DIAMETER pair graphs, where [[components]]'
@@ -176,9 +201,20 @@ object Dedup {
     * are interchangeable, hash-identically, in every gate. */
   def componentsAlternating(pairs: DataFrame, aCol: String, bCol: String,
                             maxRounds: Int = 40): DataFrame = {
-    var edges = pairs
-      .select(greatest(col(aCol), col(bCol)).as("src"),
-        least(col(aCol), col(bCol)).as("dst"))
+    // the RAW pair list is checkpointed once up front so the (often
+    // expensive — in x8 it is the whole minhash-LSH pipeline) upstream
+    // derivation executes exactly once: both the canonical edge set and
+    // the FINAL node set derive from it. The node set cannot come from
+    // the canonical edges — canonicalization drops self-pairs, whose
+    // ids the every-id-in-pairs output contract must keep — and
+    // deriving it from `pairs` at the end re-ran the whole upstream a
+    // second time (round-12 advice; the ~2× re-execution the
+    // [[components]] comment documents avoiding).
+    val raw = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint()
+    var edges = raw
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
@@ -225,7 +261,7 @@ object Dedup {
     // ever appeared in self-pairs (src == dst in the raw input) were
     // dropped from `edges` and are re-added as their own singleton
     // cluster, preserving the every-id-in-pairs output contract.
-    val nodes = pairs.select(explode(array(col(aCol), col(bCol))).as("id")).distinct()
+    val nodes = raw.select(explode(array(col("a"), col("b"))).as("id")).distinct()
     nodes.join(edges, nodes("id") === edges("src"), "left")
       .select(nodes("id"), coalesce(col("dst"), nodes("id")).as("cluster_id"))
   }

@@ -42,13 +42,31 @@ object ScaleGen {
   /** Key-domain stride between copies; far above any source-scale key. */
   val Stride = 10000000L
 
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Per-copy alphabet permutation: copies 0-25 are caesar rotations
+    * (copy 0 = identity — preserved so regenerated sf1 output stays
+    * bit-identical across rounds), copies ≥ 26 are seeded Fisher-Yates
+    * shuffles. Caesar alone WRAPS at 26: at factor 100, copies k and
+    * k+26 would share a cipher, so their cloned docs collide shingle-
+    * for-shingle and every dup group becomes a cross-copy clique —
+    * pair volume then grows quadratically in the same-shift copy count
+    * and the scale test benchmarks the generator's artifact. Distinct
+    * permutations keep dup/near-dup growth linear at any factor;
+    * [[requireDistinctCiphers]] fails loudly on a seed collision. */
+  private def permFor(k: Int): String =
+    if (k < 26) Lower.drop(k) + Lower.take(k)
+    else new scala.util.Random(0xB5E0 + k).shuffle(Lower.toList).mkString
+
+  private[tools] def requireDistinctCiphers(factor: Int): Unit = {
+    val ps = (0 until factor).map(permFor)
+    require(ps.distinct.size == ps.size,
+      s"ScaleGen: cipher collision among $factor copies — bump the seed base")
+  }
+
   private def caesar(c: Column, shift: Int): Column = {
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
-    val s = ((shift % 26) + 26) % 26
-    val rl = lower.drop(s) + lower.take(s)
-    val ru = upper.drop(s) + upper.take(s)
-    translate(translate(c, lower, rl), upper, ru)
+    val rl = permFor(shift)
+    translate(translate(c, Lower, rl), Lower.toUpperCase, rl.toUpperCase)
   }
 
   /** ±1 multiplier pattern for copy k at vector index i: pseudo-random
@@ -73,6 +91,11 @@ object ScaleGen {
     val inDir  = args(0)
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional comma-separated table filter (e.g. "documents,embeddings"
+    // for a docs-only sf10 probe corpus) — default: everything
+    val tables: String => Boolean =
+      if (args.length > 3) args(3).split(",").toSet else _ => true
+    requireDistinctCiphers(factor)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -85,9 +108,10 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
 
     def in(name: String) = spark.read.parquet(s"$inDir/$name.parquet")
-    def out(df: DataFrame, name: String, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+    def out(df: => DataFrame, name: String, parts: Int): Unit =
+      if (tables(name))
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
 
     // fixed world dims: copied verbatim, never remapped
     out(in("region"), "region", 1)

@@ -223,6 +223,31 @@ class TextDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
 
+  test("clusters facade: dispatch matches the declared regime in both directions") {
+    import graft.operators.Dedup
+    // clique-ish input (the near-dup producer shape): both regimes
+    // return the identical contract — the facade's interchangeability
+    // promise
+    val clique = Seq((10L,11L),(10L,12L),(11L,12L),(20L,21L)).toDF("id_a","id_b")
+    val shallow = Dedup.clusters(clique, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val viaDeep = Dedup.clusters(clique, "id_a", "id_b", deep = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(shallow == viaDeep && shallow ==
+      Set(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L), shallow)
+    // deep-chain input (diameter 59 > min-label's default 20-hop
+    // budget): the default regime fails LOUDLY — never a silently
+    // split cluster — and deep=true converges in O(log n) rounds
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusters(chain, "id_a", "id_b")
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+    val deep = Dedup.clusters(chain, "id_a", "id_b", deep = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 59L).forall(deep(_) == 0L), deep.filter(_._2 != 0L).take(5))
+  }
+
   test("componentsAlternating == components on a random pair graph") {
     import graft.operators.Dedup
     // deterministic pseudo-random graph: 300 nodes, ~250 edges from a
