@@ -34,6 +34,54 @@ object Dedup {
       .select(col(idCol).as("drop_id"), col(textCol))
   }
 
+  /** Paragraph-level exact dedup with a global keep-first policy — the
+    * sub-document dedup stage of web-scale curation pipelines (RefinedWeb
+    * and MassiveText both dedup at paragraph/line granularity before
+    * document-level near-dup: boilerplate — navigation text, license
+    * headers, cookie banners — repeats across millions of documents that
+    * are NOT document-level duplicates). Reference scope: the reference
+    * engine has no sub-document dedup; this extends the x1–x8 family
+    * downward one granularity level.
+    *
+    * Semantics: split `textCol` on `sep`, drop empty paragraphs; each
+    * DISTINCT paragraph survives exactly once, at its globally first
+    * occurrence (minimum (id, position), so the policy is deterministic
+    * and id-stable like [[exact]]'s min-id survivor); documents are
+    * reassembled from their surviving paragraphs in original order, and
+    * a document whose every paragraph occurred earlier drops out (the
+    * dedup-drop outcome, mirrored by the oracle).
+    *
+    * Scale shape — TWO exchanges, no join, no window:
+    *
+    *   explode → groupBy(paragraph).agg(min(struct(id, pos)))   [1 shuffle]
+    *           → groupBy(id) reassemble                          [1 shuffle]
+    *
+    * The survivor set IS the first aggregate's output (one row per
+    * distinct paragraph), so nothing joins back against the exploded
+    * occurrences: shuffle volume after the first partial aggregation is
+    * DISTINCT paragraphs, not occurrences. The min(struct) is map-side
+    * combinable, which is the skew story: a boilerplate paragraph
+    * repeated 10⁸ times combines to one row per map partition instead of
+    * landing in a single reducer — the row_number()-over-paragraph
+    * window formulation (the natural first draft, cf. [[exactDropIds]]
+    * at document granularity) puts the whole hot key in one task and is
+    * exactly what this shape avoids. Keys are full paragraph strings,
+    * consistent with [[exact]]; swapping the group key for a 128-bit
+    * hash pair halves shuffle width at a ~2⁻¹²⁸ false-merge risk. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .filter(col("para") =!= "")
+    val keep = paras.groupBy(col("para"))
+      .agg(min(struct(col("id"), col("pos"))).as("k"))
+    keep.groupBy(col("k.id").as(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("k.pos").as("pos"), col("para")))),
+          p => p.getField("para")), sep).as(textCol))
+  }
+
   // ---- pair lists -> clusters --------------------------------------------
 
   /** Connected components over an undirected pair list — the step that

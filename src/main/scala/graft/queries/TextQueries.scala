@@ -23,6 +23,19 @@ object TextQueries {
     docs.unionByName(perturbed)
   }
 
+  /** Multi-paragraph corpus for sub-document dedup: documents texts have
+    * no newlines, so composites are built by joining each run of 4
+    * consecutive doc_ids' texts with '\n' (doc_id order within the
+    * composite). The corpus inherits the documents table's exact-dup
+    * structure (the x1 gate's n_copies > 1 groups) as CROSS-composite
+    * repeated paragraphs — real boilerplate topology, not synthetic. */
+  def paragraphCorpus(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id").as("k"), col("text"))
+      .groupBy(floor(col("k") / 4).cast("long").as("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("k"), col("text")))),
+          p => p.getField("text")), "\n").as("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counts (whitespace + BPE-ish), punctuation/stopword ratios,
     // composite quality score.
@@ -99,6 +112,13 @@ object TextQueries {
       Dedup.exact(documents(s, d), "doc_id", "text")
         .select(col("keep_id"), col("n_copies"))
         .orderBy(col("keep_id"))
+    },
+
+    // paragraph-level exact dedup (global keep-first, reassembled docs;
+    // fully-duplicate composites drop out) over the composite corpus.
+    "x9_paragraph_dedup" -> { (s, d) =>
+      Dedup.dedupParagraphs(paragraphCorpus(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
     },
 
     // n-gram Jaccard near-dup pairs (blocked candidates + exact verify).
@@ -406,6 +426,29 @@ object TextQueries {
     "x1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // x9: composite corpus + paragraph keep-first + reassembly all
+    // re-derived in SQL — the window formulation here mirrors the
+    // engine's min(struct(id, pos)) survivor exactly (rn = 1 under
+    // ORDER BY doc_id, pos), so a wrong survivor or a mis-ordered
+    // reassembly hash-fails. Fully-dropped composites vanish on both
+    // sides (rn = 1 never holds for any of their paragraphs).
+    "x9_paragraph_dedup" ->
+      """WITH comp AS (
+        |  SELECT CAST(floor(doc_id / 4) AS BIGINT) AS cid,
+        |    string_agg(text, chr(10) ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY 1),
+        |parts AS (SELECT cid, string_split(text, chr(10)) AS ps FROM comp),
+        |paras AS (
+        |  SELECT cid, i - 1 AS pos, ps[i] AS para
+        |  FROM parts, unnest(generate_series(1, len(ps))) AS t(i)
+        |  WHERE ps[i] <> ''),
+        |keep AS (
+        |  SELECT cid, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY cid, pos) AS rn
+        |  FROM paras)
+        |SELECT cid AS doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+        |FROM keep WHERE rn = 1 GROUP BY cid ORDER BY doc_id""".stripMargin,
 
     "cur2_curation_v2" ->
       s"""WITH toks AS (

@@ -305,4 +305,32 @@ class TextDedupSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3).count() == 0)
     assert(Dedup.duplicatedSpans(docs, "doc_id", "text", k = 50).count() == 0)
   }
+
+  test("dedupParagraphs: global keep-first, in-order reassembly, dedup-drop") {
+    val docs = Seq(
+      (1L, "a\nb\nc"),       // all first occurrences — unchanged
+      (2L, "b\nd"),          // b seen in doc 1 -> "d"
+      (3L, "c\na\ne"),       // c, a seen -> "e"
+      (4L, "a\nb"),          // everything seen -> document drops out
+      (5L, "x\nx\ny"),       // within-doc repeat: keep-first is (id, pos)
+      (6L, "\n\nz")          // empty paragraphs ignored -> "z"
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(
+      1L -> "a\nb\nc", 2L -> "d", 3L -> "e", 5L -> "x\ny", 6L -> "z"))
+  }
+
+  test("dedupParagraphs plan: no window, exactly two exchanges") {
+    val docs = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
+    val plan = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the keep-first survivor must come from a map-side-combinable
+    // aggregate (skew story in the scaladoc), never a per-paragraph
+    // window; and the survivor set must feed reassembly directly —
+    // no third exchange from a join back to the exploded occurrences
+    assert(!plan.contains("Window"), plan)
+    assert("Exchange".r.findAllIn(plan).size == 2, plan)
+  }
 }
