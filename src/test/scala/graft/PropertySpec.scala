@@ -171,4 +171,31 @@ class PropertySpec extends SparkSpec {
     assert(inner <= leftJ)
     assert(leftJ == left.count()) // right side unique per key -> count preserved
   }
+
+  test("dedupParagraphs == reference greedy seen-set scan on random corpora") {
+    // global keep-first at min (id, pos) IS a single ordered pass with a
+    // seen-set; pin the two-exchange distributed shape to that
+    // independent driver-side reference over corpora drawn from a tiny
+    // paragraph pool (maximal cross-doc and within-doc dup density,
+    // empty paragraphs included)
+    def reference(docs: Seq[(Long, String)]): Map[Long, String] = {
+      val seen = scala.collection.mutable.HashSet[String]()
+      docs.sortBy(_._1).flatMap { case (id, text) =>
+        val kept = text.split("\n", -1).filter(p => p.nonEmpty && seen.add(p))
+        if (kept.nonEmpty) Some(id -> kept.mkString("\n")) else None
+      }.toMap
+    }
+    val pool = Vector("alpha", "beta", "gamma", "delta", "", "alpha beta", "x")
+    val corpusGen = Gen.listOfN(40,
+      Gen.choose(0, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(pool)).map(_.mkString("\n"))))
+    for (trial <- 1 to 5) {
+      val texts = corpusGen.sample.get
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val got = graft.operators.Dedup
+        .dedupParagraphs(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == reference(docs), s"trial $trial diverged on $docs")
+    }
+  }
 }
