@@ -314,6 +314,36 @@ object Dedup {
       .select(nodes("id"), coalesce(col("dst"), nodes("id")).as("cluster_id"))
   }
 
+  /** Quality-aware survivor per dup cluster — the keep policy downstream
+    * of [[components]]/[[clusters]]: production dedup keeps the BEST
+    * document of each near-dup group, not the arbitrary min-id one (the
+    * highest-quality copy of a template page is the one worth training
+    * on). Ties break to the minimum id, so the policy degrades to the
+    * [[exact]]-style deterministic min-id survivor when scores tie.
+    *
+    * Input: `clusters` = (idCol, clusterCol) from a components pass;
+    * `scored` = (scoredIdCol, scoreCol) per-document scores (any source —
+    * `TextAnalysis.qualityScore`, a classifier, perplexity). Output:
+    * (clusterCol, keep_id, quality_score, n_members), one row per
+    * cluster.
+    *
+    * Scale shape: one equi-join (both sides id-partitioned corpus-scale
+    * frames — sort-merge, no broadcast assumption) + ONE map-side-
+    * combinable aggregate: argmax is max(struct(score, -id)), so a
+    * 10⁶-member mega-cluster combines per map partition instead of
+    * collecting member lists — no collect_list, no window over the
+    * cluster key. */
+  def clusterRepresentatives(clusters: DataFrame, idCol: String, clusterCol: String,
+                             scored: DataFrame, scoredIdCol: String,
+                             scoreCol: String): DataFrame =
+    clusters.select(col(idCol), col(clusterCol))
+      .join(scored.select(col(scoredIdCol).as(idCol), col(scoreCol).as("__q")), idCol)
+      .groupBy(col(clusterCol))
+      .agg(max(struct(col("__q").as("q"), (-col(idCol)).as("negid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col(clusterCol), (-col("best.negid")).as("keep_id"),
+        col("best.q").as("quality_score"), col("n_members"))
+
   // ---- n-gram Jaccard ----------------------------------------------------
 
   /** Distinct word n-gram shingles of a text column.

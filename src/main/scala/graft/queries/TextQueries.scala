@@ -163,6 +163,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // quality-aware dedup keep policy: best-quality doc (tie: min id)
+    // per x6 cluster — the survivor-selection step downstream of
+    // clustering, argmax via map-side-combinable max(struct).
+    "x10_cluster_keep_best" -> { (s, d) =>
+      val corpus = nearDupCorpus(s, d)
+      val pairs = Dedup.minhashLshPairsShared(corpus, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+      val clusters = Dedup.components(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val scored = corpus.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      Dedup.clusterRepresentatives(clusters, "doc_id", "cluster_id",
+        scored, "doc_id", "q")
+        .orderBy(col("cluster_id"))
+    },
+
     // SimHash near-dup pairs — 64-bit signatures, 7 bands so recall at
     // hamming <= 6 is pigeonhole-EXACT (no LSH luck in the gate result).
     "x4_simhash" -> { (s, d) =>
@@ -616,6 +632,39 @@ object TextQueries {
     // algorithms, both hash-pinned to identical clusters.
     "x8_dup_clusters_star" -> dupClustersSql,
 
+
+    // x10: the x6 transitive closure + the t1 quality formula + a
+    // keep-best window all re-derived in SQL — the engine's
+    // max(struct(q, -id)) argmax is pinned to rn=1 under
+    // (q DESC, doc_id ASC), so a wrong tie-break, a wrong member
+    // count, or a quality drift all hash-fail.
+    "x10_cluster_keep_best" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    array_to_string(list_slice($toksSql, 1, len($toksSql) - 1), ' ') || ' graftdup' AS text
+         |  FROM documents),
+         |quality AS (SELECT doc_id, $qualitySql AS q FROM corpus),
+         |ranked AS (
+         |  SELECT c.cluster_id, c.doc_id, q.q,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY q.q DESC, c.doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |  FROM clusters c JOIN quality q USING (doc_id))
+         |SELECT cluster_id, doc_id AS keep_id, q AS quality_score,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     // x4: 64-bit simhash bit votes, 7-band blocking, hamming verify in
     // DuckDB over Spark-dumped token hashes.

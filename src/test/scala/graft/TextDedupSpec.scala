@@ -322,6 +322,25 @@ class TextDedupSpec extends SparkSpec {
       1L -> "a\nb\nc", 2L -> "d", 3L -> "e", 5L -> "x\ny", 6L -> "z"))
   }
 
+  test("clusterRepresentatives: argmax quality, min-id tie-break, member counts") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.7), (6L, 0.7))
+      .toDF("doc_id", "q")
+    val rep = Dedup.clusterRepresentatives(
+      clusters, "doc_id", "cluster_id", scores, "doc_id", "q")
+    assert(rep.columns.toSeq ==
+      Seq("cluster_id", "keep_id", "quality_score", "n_members"))
+    val got = rep.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // cluster 1: 2 and 3 tie at 0.9 -> min id 2; cluster 5: 5/6 tie -> 5
+    assert(got == Set((1L, 2L, 0.9, 3L), (4L, 4L, 0.1, 1L), (5L, 5L, 0.7, 2L)))
+    // argmax must be the map-side-combinable struct max, never a window
+    // or a member-list collect (mega-cluster skew story in the scaladoc)
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("collect_list"), plan)
+  }
+
   test("dedupParagraphs plan: no window, exactly two exchanges") {
     val docs = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
     val plan = Dedup.dedupParagraphs(docs, "doc_id", "text")
