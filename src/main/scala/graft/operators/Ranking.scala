@@ -70,20 +70,35 @@ object Ranking {
                   queryTerms: Seq[String], k1: Double = 1.2,
                   b: Double = 0.75, k: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopDocs: empty query")
-    // the tf aggregate feeds THREE consumers (doc lengths, matched-term
-    // df, the contribution join) whose subtrees diverge before any
-    // exchange — checkpoint it once instead of tokenizing three times
-    // (the x3 shared-scan pattern; prefer checkpoint() to reliable
-    // storage for multi-hour jobs)
-    val tf = termFreqs(df, idCol, textCol).localCheckpoint(false)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val corpus = dl.select(count(lit(1)).as("n_docs"),
+    // BM25 for a FIXED query set only ever reads the query terms' tf and
+    // each doc's length — the full-vocabulary (doc, term, tf) aggregate
+    // (termFreqs, the r10 shape) paid a corpus-wide exchange that GREW
+    // WITH THE VOCABULARY (measured: t5 was the worst sf0.1→sf1 scaler
+    // at 3.8× — a corpus-statistic term this query never needed). Both
+    // are per-row geometry: dl = token count, per-term tf = one
+    // size(filter(...)) lane per query term, all in ONE map-side
+    // projection over the scan. The only exchanges left are the |query|-
+    // row df_t aggregate, the 1-row corpus stats, and the top-k merge —
+    // none grows with the vocabulary. The tiny (doc_id, dl, 5×tf) frame
+    // is checkpointed once for its two consumers (corpus stats + the
+    // scoring leg), replacing the far wider all-terms tf checkpoint.
+    val geom = df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("dl"),
+        array(queryTerms.map(t =>
+          struct(lit(t).as("term"),
+            size(filter(col("__toks"), x => x === lit(t))).cast("long").as("tf"))): _*)
+          .as("__m"))
+      .filter(col("dl") > 0) // docs with >= 1 token — the only scorable docs
+      .localCheckpoint(false)
+    val corpus = geom.select(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    val matched = tf.filter(col("term").isin(queryTerms: _*))
+    val matched = geom.select(col("doc_id"), col("dl"), explode(col("__m")).as("e"))
+      .select(col("doc_id"), col("dl"), col("e.term").as("term"), col("e.tf").as("tf"))
+      .filter(col("tf") > 0)
     val dft = matched.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
     val contrib = matched
-      .join(dft, Seq("term"))
-      .join(dl, Seq("doc_id"))
+      .join(broadcast(dft), Seq("term"))
       .crossJoin(broadcast(corpus))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df_t") + lit(0.5))
