@@ -332,7 +332,10 @@ object Dedup {
     * combinable aggregate: argmax is max(struct(score, -id)), so a
     * 10⁶-member mega-cluster combines per map partition instead of
     * collecting member lists — no collect_list, no window over the
-    * cluster key. */
+    * cluster key. The argmax encoding negates the id, so ids must be
+    * numeric (every producer in this suite emits long ids); for string
+    * keys, map to a dense long first ([[graft.operators.Warehouse]]'s
+    * surrogate keys). */
   def clusterRepresentatives(clusters: DataFrame, idCol: String, clusterCol: String,
                              scored: DataFrame, scoredIdCol: String,
                              scoreCol: String): DataFrame =

@@ -9,13 +9,16 @@ import graft.functions.TextAnalysis
   * document ranking — the quality/relevance layer of a training-data
   * curation pipeline (keyword profiling, query-anchored filtering).
   *
-  * Scale design: everything derives from ONE exploded (doc, term) pass
-  * aggregated map-side-combinably to (doc, term, tf) — the corpus text
-  * is never shuffled; the only wide exchanges carry (doc, term, tf)
-  * triples (linear in token count, distinct per doc), the vocabulary
-  * aggregate, and the final per-doc top-k window. Global scalars
-  * (corpus size, average doc length) are 1-row aggregates broadcast
-  * into the scoring projection.
+  * Scale design: TF-IDF (which ranks the WHOLE vocabulary) derives from
+  * one exploded (doc, term) pass aggregated map-side-combinably to
+  * (doc, term, tf) — the corpus text is never shuffled; its wide
+  * exchanges carry (doc, term, tf) triples (linear in token count,
+  * distinct per doc) and the per-doc top-k window. BM25 over a FIXED
+  * query set deliberately does NOT share that substrate: its tf/dl
+  * needs are per-row geometry, computed in one map-side projection with
+  * no vocabulary-sized exchange at all (see [[bm25TopDocs]]). Global
+  * scalars (corpus size, average doc length) are 1-row aggregates
+  * broadcast into the scoring projection.
   *
   * Float parity: scores use ln(), whose last ulp is library-dependent,
   * so scores are ROUNDED (6 dp) and every rank/row_number orders by the
