@@ -728,6 +728,66 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_sim")
   }
 
+  /** Cross-corpus near-dup roster — "dedup split B against split A":
+    * every `right` document whose MinHash bands collide with a `left`
+    * document AND whose verified Jaccard clears `threshold` is reported
+    * with its best left-side match (jaccard desc, min left id on ties —
+    * deterministic). The document-level complement of gram-overlap
+    * decontamination ([[contamination]]): train/eval leakage is a CROSS
+    * pair problem — a self-join over the union finds the same pairs but
+    * wastes the within-side candidate volume, which at corpus scale is
+    * almost all of it (each split is internally near-dup-heavy AFTER its
+    * own dedup pass ran; the cross join's candidate volume is only the
+    * actual leakage).
+    *
+    * Scale shape mirrors [[minhashLshPairsShared]]: each side tokenizes
+    * ONCE into a checkpointed (id, sig, grams) frame, the band join
+    * carries ids only, gram sets attach to verified candidates, and the
+    * best-match roster is one map-side-combinable max(struct) per right
+    * doc — no window, no collect. Banding parameters and the hash family
+    * are shared with the self-join path, so a pair scores the same
+    * jaccard here as there.
+    *
+    * Output: (doc_id = right id, matched_doc_id = best left id,
+    * jaccard_sim), one row per leaked right doc. */
+  def crossDedupRoster(left: DataFrame, right: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
+                       threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def sigGrams(df: DataFrame) = {
+      val rows = tokenized(df, idCol, textCol).select(col("id"),
+        explode(shinglesFromTokens(col("__toks"), n)).as("g"))
+        .select(col("id"), TextAnalysis.tokenHash32(col("g")).as("h32"),
+          xxhash64(col("g")).as("h64"))
+      val agg = udaf(new MinhashArrayAgg(numHashes, hashParams(numHashes).toArray))
+      rows.groupBy(col("id"))
+        .agg(agg(col("h32")).as("sig"), collect_set(col("h64")).as("grams"))
+        .localCheckpoint(false)
+    }
+    def banded(sg: DataFrame) = sg.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumn("bucket", xxhash64(col("band"), col("col").cast("string")))
+      .select("id", "band", "bucket")
+    val (sgL, sgR) = (sigGrams(left), sigGrams(right))
+    val candidates = banded(sgL).select(col("id").as("id_a"), col("band"), col("bucket"))
+      .hint("merge")
+      .join(banded(sgR).select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(sgL.select(col("id").as("id_a"), col("grams").as("grams_a")).hint("merge"), Seq("id_a"))
+      .join(sgR.select(col("id").as("id_b"), col("grams").as("grams_b")).hint("merge"), Seq("id_b"))
+      .withColumn("jaccard_sim", jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard_sim") >= threshold)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(max(struct(col("jaccard_sim").as("j"), (-col("id_a")).as("nega"))).as("best"))
+      .select(col("doc_id"), (-col("best.nega")).as("matched_doc_id"),
+        col("best.j").as("jaccard_sim"))
+  }
+
   /** LSH candidate pairs + exact-Jaccard verification.
     * bands×rowsPerBand hashes; a pair is a candidate if any band of its
     * signatures matches exactly (equality join on (band, bucket-hash)).

@@ -13,15 +13,20 @@ import graft.operators.Dedup
   * factor has true near-duplicates to find. */
 object TextQueries {
 
-  /** documents ∪ perturbed copy (doc_id+1000000, last token swapped). */
-  def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), col("text"))
+  /** Perturbed copy of documents (doc_id+1000000, last token swapped) —
+    * the synthetic near-dup half of [[nearDupCorpus]], and the "split B"
+    * of the x11 cross-dedup gate. */
+  def perturbedDocs(s: SparkSession, d: String): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
-    val perturbed = documents(s, d).select(
+    documents(s, d).select(
       (col("doc_id") + 1000000L).as("doc_id"),
       concat(concat_ws(" ", slice(toks, lit(1), size(toks) - 1)), lit(" graftdup")).as("text"))
-    docs.unionByName(perturbed)
   }
+
+  /** documents ∪ perturbed copy (doc_id+1000000, last token swapped). */
+  def nearDupCorpus(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(perturbedDocs(s, d))
 
   /** Multi-paragraph corpus for sub-document dedup: documents texts have
     * no newlines, so composites are built by joining each run of 4
@@ -177,6 +182,17 @@ object TextQueries {
       Dedup.clusterRepresentatives(clusters, "doc_id", "cluster_id",
         scored, "doc_id", "q")
         .orderBy(col("cluster_id"))
+    },
+
+    // cross-corpus dedup roster: each perturbed "split B" doc's best
+    // verified match in the original documents "split A" — train/eval
+    // leakage as a cross band-join, never a union self-join.
+    "x11_cross_dedup" -> { (s, d) =>
+      Dedup.crossDedupRoster(
+        documents(s, d).select(col("doc_id"), col("text")),
+        perturbedDocs(s, d), "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+        .orderBy(col("doc_id"))
     },
 
     // SimHash near-dup pairs — 64-bit signatures, 7 bands so recall at
@@ -665,6 +681,36 @@ object TextQueries {
          |SELECT cluster_id, doc_id AS keep_id, q AS quality_score,
          |  CAST(n_members AS BIGINT) AS n_members
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    // x11: the engine bands split A and split B separately and joins
+    // across; per-doc signatures are corpus-independent, so the union
+    // self-join pairs (the x3 mirror) restricted to one A-side and one
+    // B-side id are EXACTLY the cross candidates. Side membership is by
+    // SET (A = documents ids, B = ids + 1000000), never by an id
+    // threshold — at sf1+ the ScaleGen copy strides put most original
+    // ids above 1e6 and a threshold silently misclassifies whole copies
+    // (caught by the sf1 pin: 49,907 engine rows vs 4,990 under the
+    // threshold form). Both orientations of the ordered pair list are
+    // folded in; a pair lands in exactly one branch (the sides are
+    // disjoint id sets). rn = 1 under (jaccard DESC, a_id ASC) mirrors
+    // the engine's max(struct) argmax.
+    "x11_cross_dedup" ->
+      s"""WITH pairs AS ($minhashPairsSql),
+         |cross_pairs AS (
+         |  SELECT id_a AS a_id, id_b AS b_id, jaccard_sim FROM pairs
+         |  WHERE id_a IN (SELECT doc_id FROM documents)
+         |    AND id_b IN (SELECT doc_id + 1000000 FROM documents)
+         |  UNION ALL
+         |  SELECT id_b AS a_id, id_a AS b_id, jaccard_sim FROM pairs
+         |  WHERE id_b IN (SELECT doc_id FROM documents)
+         |    AND id_a IN (SELECT doc_id + 1000000 FROM documents)),
+         |roster AS (
+         |  SELECT b_id AS doc_id, a_id, jaccard_sim,
+         |    row_number() OVER (PARTITION BY b_id
+         |      ORDER BY jaccard_sim DESC, a_id ASC) AS rn
+         |  FROM cross_pairs)
+         |SELECT doc_id, a_id AS matched_doc_id, jaccard_sim
+         |FROM roster WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // x4: 64-bit simhash bit votes, 7-band blocking, hamming verify in
     // DuckDB over Spark-dumped token hashes.

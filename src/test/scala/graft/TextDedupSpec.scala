@@ -341,6 +341,22 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("collect_list"), plan)
   }
 
+  test("crossDedupRoster: cross-only matches, tie-break to min left id") {
+    val left = Seq(
+      (1L, "p q r s t u"), (2L, "p q r s t u"), // identical LEFT twins
+      (3L, "unrelated stuff totally here")).toDF("doc_id", "text")
+    val right = Seq(
+      (10L, "p q r s t u"),                     // leaked: matches 1 AND 2
+      (11L, "other words apart entirely")).toDF("doc_id", "text")
+    val rep = Dedup.crossDedupRoster(left, right, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+    assert(rep.columns.toSeq == Seq("doc_id", "matched_doc_id", "jaccard_sim"))
+    val got = rep.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // only the leaked right doc is reported (within-left dup pair 1-2 is
+    // NOT — cross means cross), matched to the minimum left id at tie
+    assert(got.toSeq == Seq((10L, 1L, 1.0)), got.toSeq)
+  }
+
   test("dedupParagraphs plan: no window, exactly two exchanges") {
     val docs = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
     val plan = Dedup.dedupParagraphs(docs, "doc_id", "text")
