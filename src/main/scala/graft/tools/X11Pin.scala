@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Independent-comparator pin for x11_cross_dedup at scale factors the
+  * DuckDB oracle cannot reach (the same x3-family oracle disk limit as
+  * X10Pin documents): the engine's A×B cross band-join roster is
+  * compared against a derivation through the INDEPENDENT union
+  * self-join path — `minhashLshPairsShared` over A ∪ B, pairs filtered
+  * to one-id-per-side by set membership (both orientations), then the
+  * same (jaccard desc, min A-id) argmax. The two paths share the hash
+  * family and verify formula (they must — a pair scores one jaccard)
+  * but band, join, and select through different code; agreement over
+  * every leaked doc pins the roster.
+  *
+  * Usage: runMain graft.tools.X11Pin <sfDir>
+  */
+object X11Pin {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val left = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val right = graft.queries.TextQueries.perturbedDocs(spark, sfDir)
+    val engine = graft.operators.Dedup.crossDedupRoster(
+      left, right, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+    val union = left.unionByName(right)
+    val pairs = graft.operators.Dedup.minhashLshPairsShared(
+      union, "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+    val aIds = left.select(col("doc_id").as("a_id"))
+    val bIds = right.select(col("doc_id").as("b_id"))
+    // both orientations: the self-join orders pairs by id, and at sf1+
+    // the copy strides interleave the two sides' id ranges
+    val oriented = pairs.select(col("id_a").as("a_id"), col("id_b").as("b_id"),
+        col("jaccard_sim"))
+      .unionByName(pairs.select(col("id_b").as("a_id"), col("id_a").as("b_id"),
+        col("jaccard_sim")))
+    val reference = oriented
+      .join(aIds, "a_id").join(bIds, "b_id")
+      .groupBy(col("b_id").as("doc_id"))
+      .agg(max(struct(col("jaccard_sim").as("j"), (-col("a_id")).as("nega"))).as("best"))
+      .select(col("doc_id"), (-col("best.nega")).as("matched_doc_id"),
+        col("best.j").as("jaccard_sim"))
+    val eCnt = engine.count()
+    val rCnt = reference.count()
+    val diff = engine.exceptAll(reference).count() +
+      reference.exceptAll(engine).count()
+    println(s"[x11pin] engine rows=$eCnt reference rows=$rCnt " +
+      s"symmetric-diff rows=$diff => ${if (diff == 0 && eCnt == rCnt) "MATCH" else "MISMATCH"}")
+    spark.stop()
+  }
+}
