@@ -16,6 +16,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round bench/verify harness parses the LAST stdout line of
+// `sbt runMain`: sbt's "[success] Total time ..." epilogue (stdout) landed
+// after graft.Bench's JSON line for 13 straight rounds. Suppress the
+// epilogue and inherit the forked JVM's stdio directly (no [info]/[error]
+// logger re-framing, no buffering reorder) so the program's own final
+// println IS the final stdout line sbt emits.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

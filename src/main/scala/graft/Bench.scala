@@ -179,7 +179,19 @@ object Bench {
       System.err.println(s"[bench] could not write $fullPath (${e.getMessage}); full artifact follows on stderr")
       System.err.println(full)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","full":"$fullPath"}""")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","full":"$fullPath"}"""
+    // Belt + suspenders for the driver's last-line stdout parse: print the
+    // compact line here (after all query work), and AGAIN from a JVM
+    // shutdown hook so that even if Spark's JVM-exit cleanup interleaves
+    // any output after main returns, the last *stdout* write of the
+    // process is still this JSON. (build.sbt suppresses sbt's own
+    // "[success]" stdout epilogue — the line that clipped 13 rounds of
+    // BENCH_r*.json parses.)
+    println(compact)
+    System.out.flush()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      println(compact); System.out.flush()
+    }))
     spark.stop()
   }
 }

@@ -338,7 +338,19 @@ object Dedup {
     * surrogate keys). */
   def clusterRepresentatives(clusters: DataFrame, idCol: String, clusterCol: String,
                              scored: DataFrame, scoredIdCol: String,
-                             scoreCol: String): DataFrame =
+                             scoreCol: String): DataFrame = {
+    // The argmax encoding negates the id (scaladoc contract): enforce the
+    // numeric-id requirement as a clear error instead of the opaque
+    // analysis-time cast failure a string-id frame would otherwise hit.
+    // Long.MinValue is excluded because -Long.MinValue overflows to
+    // itself, which would silently invert that one id's tie-break.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = clusters.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"clusterRepresentatives: id column '$idCol' must be an integral type " +
+        s"(the min-id tie-break negates it); got $idType — map string keys " +
+        "to a dense long first (Warehouse surrogate keys)")
     clusters.select(col(idCol), col(clusterCol))
       .join(scored.select(col(scoredIdCol).as(idCol), col(scoreCol).as("__q")), idCol)
       .groupBy(col(clusterCol))
@@ -346,6 +358,7 @@ object Dedup {
         count(lit(1)).as("n_members"))
       .select(col(clusterCol), (-col("best.negid")).as("keep_id"),
         col("best.q").as("quality_score"), col("n_members"))
+  }
 
   // ---- n-gram Jaccard ----------------------------------------------------
 

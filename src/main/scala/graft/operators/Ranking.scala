@@ -73,6 +73,11 @@ object Ranking {
                   queryTerms: Seq[String], k1: Double = 1.2,
                   b: Double = 0.75, k: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopDocs: empty query")
+    // A query is a term SET here (the pre-r13 termFreqs path deduped via
+    // its (doc, term) groupBy): a repeated term in the input must score
+    // once, not once per occurrence — without this, the per-term lanes
+    // below would double both its tf contribution and its df_t.
+    val qTerms = queryTerms.distinct
     // BM25 for a FIXED query set only ever reads the query terms' tf and
     // each doc's length — the full-vocabulary (doc, term, tf) aggregate
     // (termFreqs, the r10 shape) paid a corpus-wide exchange that GREW
@@ -88,7 +93,7 @@ object Ranking {
     val geom = df.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("dl"),
-        array(queryTerms.map(t =>
+        array(qTerms.map(t =>
           struct(lit(t).as("term"),
             size(filter(col("__toks"), x => x === lit(t))).cast("long").as("tf"))): _*)
           .as("__m"))

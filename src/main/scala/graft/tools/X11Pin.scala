@@ -31,6 +31,18 @@ object X11Pin {
     spark.sparkContext.setLogLevel("WARN")
     val left = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val right = graft.queries.TextQueries.perturbedDocs(spark, sfDir)
+    // The union-self-join reference below is only valid if the two
+    // sides' id sets are DISJOINT (side classification is by id-set
+    // membership; an id on both sides would merge two documents in the
+    // shared-pairs groupBy and land pairs in both orientations). The
+    // +1000000 shift guarantees it for today's ScaleGen id scheme —
+    // assert it so a generator change fails loudly here, not as a
+    // confusing oracle hash divergence.
+    val overlap = left.select(col("doc_id"))
+      .intersect(right.select(col("doc_id"))).count()
+    require(overlap == 0,
+      s"X11Pin: document and perturbed id sets overlap in $overlap ids — " +
+        "the union-self-join reference is invalid for this id scheme")
     val engine = graft.operators.Dedup.crossDedupRoster(
       left, right, "doc_id", "text",
       n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)

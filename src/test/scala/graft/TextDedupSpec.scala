@@ -341,6 +341,16 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("collect_list"), plan)
   }
 
+  test("clusterRepresentatives rejects non-integral id columns loudly") {
+    val clusters = Seq(("a", 1L), ("b", 1L)).toDF("doc_id", "cluster_id")
+    val scores = Seq(("a", 0.5), ("b", 0.9)).toDF("doc_id", "q")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clusterRepresentatives(clusters, "doc_id", "cluster_id",
+        scores, "doc_id", "q")
+    }
+    assert(e.getMessage.contains("integral type"), e.getMessage)
+  }
+
   test("crossDedupRoster: cross-only matches, tie-break to min left id") {
     val left = Seq(
       (1L, "p q r s t u"), (2L, "p q r s t u"), // identical LEFT twins
@@ -355,6 +365,19 @@ class TextDedupSpec extends SparkSpec {
     // only the leaked right doc is reported (within-left dup pair 1-2 is
     // NOT — cross means cross), matched to the minimum left id at tie
     assert(got.toSeq == Seq((10L, 1L, 1.0)), got.toSeq)
+  }
+
+  test("perturbedDocs id set is disjoint from documents (x11 oracle precondition)") {
+    // The x11 oracle and X11Pin classify pair sides by id-SET membership
+    // and assume documents ids and shifted (+1000000) ids never overlap.
+    // If ScaleGen's id scheme ever breaks that, this fails loudly here
+    // (and in X11Pin's runtime assert at sf1/sf10) instead of surfacing
+    // as a confusing gate hash divergence.
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d).select("doc_id")
+    assert(docs.intersect(
+      graft.queries.TextQueries.perturbedDocs(spark, d).select("doc_id"))
+      .count() == 0L)
   }
 
   test("dedupParagraphs plan: no window, exactly two exchanges") {
