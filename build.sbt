@@ -23,6 +23,7 @@ run / fork := true
 // logger re-framing, no buffering reorder) so the program's own final
 // println IS the final stdout line sbt emits.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

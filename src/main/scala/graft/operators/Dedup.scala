@@ -766,25 +766,38 @@ object Dedup {
   def crossDedupRoster(left: DataFrame, right: DataFrame,
                        idCol: String, textCol: String,
                        n: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
-                       threshold: Double = 0.5): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    def sigGrams(df: DataFrame) = {
-      val rows = tokenized(df, idCol, textCol).select(col("id"),
-        explode(shinglesFromTokens(col("__toks"), n)).as("g"))
-        .select(col("id"), TextAnalysis.tokenHash32(col("g")).as("h32"),
-          xxhash64(col("g")).as("h64"))
-      val agg = udaf(new MinhashArrayAgg(numHashes, hashParams(numHashes).toArray))
-      rows.groupBy(col("id"))
-        .agg(agg(col("h32")).as("sig"), collect_set(col("h64")).as("grams"))
-        .localCheckpoint(false)
-    }
+                       threshold: Double = 0.5): DataFrame =
+    crossRosterOf(
+      sigGramsFrame(left, idCol, textCol, n, bands * rowsPerBand)
+        .localCheckpoint(false),
+      sigGramsFrame(right, idCol, textCol, n, bands * rowsPerBand)
+        .localCheckpoint(false),
+      bands, rowsPerBand, threshold)
+
+  /** The (id, sig, grams) signature frame both near-dup families build
+    * on — one tokenize+shingle pass, one map-side-combinable aggregate. */
+  private def sigGramsFrame(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, numHashes: Int): DataFrame = {
+    val rows = tokenized(df, idCol, textCol).select(col("id"),
+      explode(shinglesFromTokens(col("__toks"), n)).as("g"))
+      .select(col("id"), TextAnalysis.tokenHash32(col("g")).as("h32"),
+        xxhash64(col("g")).as("h64"))
+    val agg = udaf(new MinhashArrayAgg(numHashes, hashParams(numHashes).toArray))
+    rows.groupBy(col("id"))
+      .agg(agg(col("h32")).as("sig"), collect_set(col("h64")).as("grams"))
+  }
+
+  /** A×B band join + verify + per-B-doc argmax over two prepared
+    * (id, sig, grams) frames — the tail both [[crossDedupRoster]] and
+    * [[incrementalDedupRoster]] share. */
+  private def crossRosterOf(sgL: DataFrame, sgR: DataFrame, bands: Int,
+                            rowsPerBand: Int, threshold: Double): DataFrame = {
     def banded(sg: DataFrame) = sg.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumn("bucket", xxhash64(col("band"), col("col").cast("string")))
       .select("id", "band", "bucket")
-    val (sgL, sgR) = (sigGrams(left), sigGrams(right))
     val candidates = banded(sgL).select(col("id").as("id_a"), col("band"), col("bucket"))
       .hint("merge")
       .join(banded(sgR).select(col("id").as("id_b"), col("band"), col("bucket")),
@@ -799,6 +812,102 @@ object Dedup {
       .agg(max(struct(col("jaccard_sim").as("j"), (-col("id_a")).as("nega"))).as("best"))
       .select(col("doc_id"), (-col("best.nega")).as("matched_doc_id"),
         col("best.j").as("jaccard_sim"))
+  }
+
+  // ---- incremental dedup against a persisted signature store -------------
+
+  /** Persistable MinHash signature store of a corpus: (id, sig, grams,
+    * n, bands, rows_per_band) — the frame a production pipeline writes
+    * ONCE per corpus (partition by id range, parquet) so that nightly
+    * crawl batches dedup against it WITHOUT recomputing a single old
+    * signature. The banding parameters ride as constant columns (RLE —
+    * bytes on disk) because they determine the hash family: a roster
+    * built against a store with different parameters would be silently
+    * meaningless, so [[incrementalDedupRoster]] re-derives nothing and
+    * fails loudly on a mismatch instead.
+    *
+    * Store cost is O(corpus): 128 longs + distinct-gram hashes per doc.
+    * At 100 TB the store is the cheap half of the exchange — the text
+    * itself never needs to be read again. */
+  def signatureStore(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, bands: Int = 16,
+                     rowsPerBand: Int = 8): DataFrame =
+    sigGramsFrame(df, idCol, textCol, n, bands * rowsPerBand)
+      .withColumn("n", lit(n))
+      .withColumn("bands", lit(bands))
+      .withColumn("rows_per_band", lit(rowsPerBand))
+
+  /** Dedup a DELTA batch against a persisted [[signatureStore]]: every
+    * delta doc whose bands collide with a store doc and whose verified
+    * Jaccard clears `threshold` is reported with its best store match —
+    * [[crossDedupRoster]] semantics (jaccard desc, min store id on
+    * ties), but the store side arrives PRECOMPUTED: the A-side cost of
+    * the nightly run is a parquet scan of signatures, not a re-shingle
+    * of the historical corpus. Spec-pinned: identical output to
+    * crossDedupRoster over (store corpus, delta).
+    *
+    * The parameter check is in-plan (a `when`/`raise_error` lane over
+    * the RLE constant columns — free on a healthy store, loud on a
+    * mismatched one). */
+  def incrementalDedupRoster(delta: DataFrame, store: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 3, bands: Int = 16,
+                             rowsPerBand: Int = 8,
+                             threshold: Double = 0.5): DataFrame = {
+    val checked = store.select(
+      when(col("n") === n && col("bands") === bands &&
+          col("rows_per_band") === rowsPerBand, col("id"))
+        .otherwise(raise_error(concat(
+          lit(s"incrementalDedupRoster: store was built with (n, bands, " +
+            s"rows_per_band) = ("), col("n"), lit(", "), col("bands"),
+          lit(", "), col("rows_per_band"),
+          lit(s") but the query asked for ($n, $bands, $rowsPerBand) — " +
+            "signatures are not comparable across parameterizations"))))
+        .as("id"),
+      col("sig"), col("grams"))
+    crossRosterOf(checked,
+      sigGramsFrame(delta, idCol, textCol, n, bands * rowsPerBand)
+        .localCheckpoint(false),
+      bands, rowsPerBand, threshold)
+  }
+
+  /** Fold a delta batch's [[signatureStore]] frame into an existing
+    * store — store MAINTENANCE without touching old rows' derivation.
+    * The id sets must be disjoint (the incremental contract: the delta
+    * is new docs only — run [[incrementalDedupRoster]] first and drop
+    * or re-key matches); a duplicate id or a parameter mismatch fails
+    * the job loudly rather than corrupting the store silently
+    * ([[graft.operators.Lm.mergeIndexes]] convention). One exchange on
+    * id; the parameter guard is a broadcast 1-row aggregate. */
+  def mergeSignatureStore(store: DataFrame, delta: DataFrame): DataFrame = {
+    val union = store.unionByName(delta)
+    val guard = union.select(
+      count_distinct(struct(col("n"), col("bands"), col("rows_per_band")))
+        .as("__nparams"))
+    union.crossJoin(broadcast(guard))
+      // the guard gates the GROUP KEY (a dedicated flag column would be
+      // pruned away — nothing downstream would read it)
+      .select(
+        when(col("__nparams") === 1, col("id"))
+          .otherwise(raise_error(
+            lit("mergeSignatureStore: inputs carry different banding " +
+              "parameters — their signatures are not comparable")))
+          .as("id"),
+        col("sig"), col("grams"), col("n"), col("bands"),
+        col("rows_per_band"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__dup"),
+        first(col("sig")).as("sig"), first(col("grams")).as("grams"),
+        first(col("n")).as("n"), first(col("bands")).as("bands"),
+        first(col("rows_per_band")).as("rows_per_band"))
+      .select(
+        when(col("__dup") === 1, col("id"))
+          .otherwise(raise_error(concat(
+            lit("mergeSignatureStore: id "), col("id").cast("string"),
+            lit(" exists in both inputs — the delta must be new docs only"))))
+          .as("id"),
+        col("sig"), col("grams"), col("n"), col("bands"),
+        col("rows_per_band"))
   }
 
   /** LSH candidate pairs + exact-Jaccard verification.

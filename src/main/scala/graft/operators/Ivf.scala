@@ -88,14 +88,38 @@ object Ivf {
   }
 
   /** Array of the `n` nearest centroid ids for vector column `v`,
-    * nearest first, ties to the smaller cid — a single codegen'd
-    * expression (array_sort on (−score, cid) structs). */
-  def nearestCids(v: Column, centroids: Seq[Centroid], n: Int): Column = {
+    * nearest first, ties to the smaller cid. Two spec-pinned-identical
+    * arms dispatched on centroid count:
+    *
+    *  - c ≤ [[ExpressionAssignMaxC]]: a single codegen'd literal
+    *    expression (array_sort on (−score, cid) structs) — the
+    *    SQL-expressible arm every oracle-mirrored gate runs;
+    *  - larger c: [[graft.expressions.NearestCentroids]] — the centroid
+    *    matrix rides as ONE array literal into a per-row kernel, so the
+    *    plan holds O(1) nodes at SemDeDup-scale C (10⁴–10⁵) where the
+    *    literal arm's O(c·d) tree stops analyzing/codegenning
+    *    (tools/QuantParamProbe pins the cliff). */
+  def nearestCids(v: Column, centroids: Seq[Centroid], n: Int): Column =
+    if (centroids.size <= ExpressionAssignMaxC)
+      nearestCidsLiteral(v, centroids, n)
+    else nearestCidsKernel(v, centroids, n)
+
+  /** Literal arm (probe-addressable; production entry is the
+    * dispatching [[nearestCids]]). */
+  private[graft] def nearestCidsLiteral(v: Column, centroids: Seq[Centroid],
+                                        n: Int): Column = {
     val entries = centroids.map { c =>
       struct((-centScore(v, c)).as("negscore"), lit(c.cid).as("cid"))
     }
     slice(transform(array_sort(array(entries: _*)), e => e.getField("cid")), 1, n)
   }
+
+  /** Kernel arm: centroid matrix as one literal, per-row scoring loop. */
+  private[graft] def nearestCidsKernel(v: Column, centroids: Seq[Centroid],
+                                       n: Int): Column =
+    graft.expressions.QuantKernels.nearestCids(
+      org.apache.spark.sql.SparkSession.active, v,
+      centroids.map(c => (c.cid, c.v, c.norm)), n)
 
   /** Above this centroid count, [[assign]] switches from the literal
     * codegen expression to the broadcast-matrix kernel: the expression

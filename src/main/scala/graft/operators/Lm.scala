@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
@@ -333,33 +333,82 @@ object Lm {
     * encoded sequence space-joined — the gate pins the entire encoding,
     * not a summary.
     *
-    * Scale shape: the whole merge table folds into ONE projection — a
-    * chain of literal-pattern [[applyMergeStr]] regexp passes over the
-    * space-padded token string (each pass linear, each read exactly
-    * once; the r12 fold needed a projection boundary PER merge because
-    * lambda HOFs re-evaluate their child per element — regexp chains
-    * don't). No UDF, no shuffle, no state: encoding 100 TB is a pure
-    * map over the corpus scan, which is the whole point of running
+    * Scale shape — TWO spec-pinned-identical arms dispatched on merge
+    * count (the [[graft.operators.Warehouse]] size-aware pattern):
+    *
+    *  - `merges.size <=` [[LiteralEncodeMaxMerges]]: the whole table
+    *    folds into ONE projection — a chain of literal-pattern
+    *    [[applyMergeStr]] regexp passes over the space-padded token
+    *    string (each pass linear, each read exactly once; the r12 fold
+    *    needed a projection boundary PER merge because lambda HOFs
+    *    re-evaluate their child per element — regexp chains don't).
+    *    SQL-expressible, so the oracle gate lives here.
+    *  - larger tables: the [[graft.expressions.BpeEncode]] codegen
+    *    expression — the merge table rides as ONE array literal into a
+    *    per-row kernel, so plan size is O(1) in the vocabulary where
+    *    the regexp chain grows one nested node per merge and dies of
+    *    analyzer stack depth in the low thousands (tools/BpeScaleProbe
+    *    measured the break; production vocabularies are 10k–50k).
+    *
+    * Either arm: no UDF, no shuffle, no state — encoding 100 TB is a
+    * pure map over the corpus scan, which is the whole point of running
     * tokenization inside the engine. */
+  /** Above this merge count [[bpeEncode]] switches from the literal
+    * regexp chain to the [[graft.expressions.BpeEncode]] kernel
+    * expression. tools/BpeScaleProbe: the chain's nested plan hits
+    * analyzer stack limits in the low thousands of merges and its
+    * per-row cost is a full string scan per merge; 128 keeps every
+    * oracle-mirrored gate (3–50 merges) on the SQL-expressible arm with
+    * wide margin below the cliff. */
+  val LiteralEncodeMaxMerges = 128
+
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)],
-                joiner: String = "~"): DataFrame = {
+                joiner: String = "~"): DataFrame =
+    if (merges.size <= LiteralEncodeMaxMerges)
+      bpeEncodeLiteral(df, idCol, textCol, merges, joiner)
+    else bpeEncodeKernel(df, idCol, textCol, merges, joiner)
+
+  /** Literal arm: one nested regexp_replace per merge, one projection.
+    * Exposed package-private so tools/BpeScaleProbe can measure where
+    * this plan shape breaks; production entry is the dispatching
+    * [[bpeEncode]]. */
+  private[graft] def bpeEncodeLiteral(df: DataFrame, idCol: String,
+                                      textCol: String,
+                                      merges: Seq[(String, String)],
+                                      joiner: String = "~"): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("__raw"))
     val padded = concat(lit(" "), array_join(col("__raw"), " "), lit(" "))
-    val encStr = merges.foldLeft(padded) {
+    val encStr = trim(merges.foldLeft(padded) {
       case (s, (a, b)) => applyMergeStr(s, a, b, joiner)
-    }
-    // __encs behind a projection boundary: it feeds BOTH the token count
-    // and the output text; the alias guarantees one evaluation per row
-    // without leaning on codegen subexpression elimination
-    base.select(col("doc_id"), col("__raw"), trim(encStr).as("__encs"))
+    })
+    encodeEpilogue(base, encStr)
+  }
+
+  /** Kernel arm: the merge table as one array literal feeding the
+    * [[graft.expressions.BpeEncode]] codegen expression. */
+  private[graft] def bpeEncodeKernel(df: DataFrame, idCol: String,
+                                     textCol: String,
+                                     merges: Seq[(String, String)],
+                                     joiner: String = "~"): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__raw"))
+    encodeEpilogue(base,
+      graft.expressions.BpeEncode.column(
+        df.sparkSession, col("__raw"), merges, joiner))
+  }
+
+  // __encs behind a projection boundary: it feeds BOTH the token count
+  // and the output text; the alias guarantees one evaluation per row
+  // without leaning on codegen subexpression elimination
+  private def encodeEpilogue(base: DataFrame, encStr: Column): DataFrame =
+    base.select(col("doc_id"), col("__raw"), encStr.as("__encs"))
       .select(col("doc_id"),
         size(col("__raw")).as("n_tokens_raw"),
         when(size(col("__raw")) === 0, lit(0))
           .otherwise(size(split(col("__encs"), " "))).as("n_tokens_bpe"),
         col("__encs").as("encoded_text"))
-  }
 
   /** Merge two [[invertedIndex]] outputs built over DISJOINT doc-id
     * sets (the incremental-ingest contract: the delta is new docs only)

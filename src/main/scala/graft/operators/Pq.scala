@@ -80,20 +80,48 @@ object Pq {
       e => e.getField("cid")), 1)
   }
 
+  /** Above this per-subspace centroid count the codes/lut builders
+    * switch from the literal expression tree (O(m·ks·d) nodes) to the
+    * [[graft.expressions.PqCodes]]/[[graft.expressions.PqLut]] kernels
+    * (codebooks as ONE literal, O(1) nodes) — production PQ uses
+    * ks = 256–4096 where the literal tree stops analyzing/codegenning
+    * (tools/QuantParamProbe). Gate parameterizations (ks ≤ 16) all stay
+    * on the SQL-expressible literal arm. */
+  val LiteralCodebookMaxKs = 32
+
   /** codes[m] for a vector column — exposed so compositions ([[IvfPq]])
-    * can encode in the same projection as other map-side columns. */
-  private[operators] def codesCol(v: Column, books: Codebooks): Column = {
+    * can encode in the same projection as other map-side columns.
+    * Size-dispatched (see [[LiteralCodebookMaxKs]]); arms spec-pinned
+    * identical. */
+  private[graft] def codesCol(v: Column, books: Codebooks): Column =
+    if (books.head.size <= LiteralCodebookMaxKs) codesColLiteral(v, books)
+    else codesColKernel(v, books)
+
+  private[graft] def codesColLiteral(v: Column, books: Codebooks): Column = {
     val d = books.head.head.size
     array(books.indices.map(s => code(v, s, d, books(s))): _*)
   }
 
+  private[graft] def codesColKernel(v: Column, books: Codebooks): Column =
+    graft.expressions.QuantKernels.pqCodes(
+      org.apache.spark.sql.SparkSession.active, v, books)
+
   /** Per-query lookup table: lut(s)(c) = d²(q_s, centroid c of
-    * subspace s), computed ONCE per query row. */
-  private[operators] def lutCol(q: Column, books: Codebooks): Column = {
+    * subspace s), computed ONCE per query row. Size-dispatched like
+    * [[codesCol]]. */
+  private[graft] def lutCol(q: Column, books: Codebooks): Column =
+    if (books.head.size <= LiteralCodebookMaxKs) lutColLiteral(q, books)
+    else lutColKernel(q, books)
+
+  private[graft] def lutColLiteral(q: Column, books: Codebooks): Column = {
     val d = books.head.head.size
     array(books.indices.map(s =>
       array(books(s).map(c => l2sq(subvec(q, s, d), c)): _*)): _*)
   }
+
+  private[graft] def lutColKernel(q: Column, books: Codebooks): Column =
+    graft.expressions.QuantKernels.pqLut(
+      org.apache.spark.sql.SparkSession.active, q, books)
 
   /** Fixed-order ADC fold s = 0..m-1 over a lut and a codes column —
     * deterministic double sum, mirrored exactly by the oracle's ordered

@@ -195,6 +195,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // incremental dedup: split A's signatures go through a PERSISTED
+    // parquet signature store (write + read back inside the query — the
+    // nightly-pipeline shape, store IO included), split B dedups against
+    // the store. Output contract == x11, so the oracle is x11's SQL:
+    // the gate pins store-roundtrip ≡ recompute through an independent
+    // derivation.
+    "x12_incremental_dedup" -> { (s, d) =>
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_x12_store_${Integer.toHexString(d.hashCode)}").toString
+      Dedup.signatureStore(
+        documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8)
+        .write.mode("overwrite").parquet(dir)
+      Dedup.incrementalDedupRoster(
+        perturbedDocs(s, d), s.read.parquet(dir), "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash near-dup pairs — 64-bit signatures, 7 bands so recall at
     // hamming <= 6 is pigeonhole-EXACT (no LSH luck in the gate result).
     "x4_simhash" -> { (s, d) =>
@@ -695,6 +714,28 @@ object TextQueries {
     // disjoint id sets). rn = 1 under (jaccard DESC, a_id ASC) mirrors
     // the engine's max(struct) argmax.
     "x11_cross_dedup" ->
+      s"""WITH pairs AS ($minhashPairsSql),
+         |cross_pairs AS (
+         |  SELECT id_a AS a_id, id_b AS b_id, jaccard_sim FROM pairs
+         |  WHERE id_a IN (SELECT doc_id FROM documents)
+         |    AND id_b IN (SELECT doc_id + 1000000 FROM documents)
+         |  UNION ALL
+         |  SELECT id_b AS a_id, id_a AS b_id, jaccard_sim FROM pairs
+         |  WHERE id_b IN (SELECT doc_id FROM documents)
+         |    AND id_a IN (SELECT doc_id + 1000000 FROM documents)),
+         |roster AS (
+         |  SELECT b_id AS doc_id, a_id, jaccard_sim,
+         |    row_number() OVER (PARTITION BY b_id
+         |      ORDER BY jaccard_sim DESC, a_id ASC) AS rn
+         |  FROM cross_pairs)
+         |SELECT doc_id, a_id AS matched_doc_id, jaccard_sim
+         |FROM roster WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // x12: contract-identical to x11 (the engine side routes split A's
+    // signatures through a persisted parquet store; the roster itself
+    // must be indistinguishable from the recompute path), so the oracle
+    // IS x11's derivation — the gate pins store-roundtrip ≡ recompute.
+    "x12_incremental_dedup" ->
       s"""WITH pairs AS ($minhashPairsSql),
          |cross_pairs AS (
          |  SELECT id_a AS a_id, id_b AS b_id, jaccard_sim FROM pairs

@@ -35,16 +35,56 @@ class IvfSpec extends SparkSpec {
     val cents = Ivf.seedCentroids(corpus, "vec_id", "embedding", c, stride = 1L)
     val viaKernel = Ivf.assign(corpus, "vec_id", "embedding", cents)
       .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3))).sortBy(_._1)
-    // expression path, forced by lifting the threshold via direct expr use
+    // literal-expression path, forced explicitly (at this c the public
+    // nearestCids dispatches to the NearestCentroids kernel expression,
+    // which the next spec pins separately)
     val viaExpr = corpus.filter($"vec_id".isNotNull)
       .select($"vec_id".as("id"), Similarity.toDouble($"embedding").as("v"))
-      .withColumn("cluster_id", element_at(Ivf.nearestCids(col("v"), cents, 1), 1))
+      .withColumn("cluster_id",
+        element_at(Ivf.nearestCidsLiteral(col("v"), cents, 1), 1))
       .withColumn("nv", Similarity.norm(col("v")))
       .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3))).sortBy(_._1)
     assert(viaKernel.length == viaExpr.length && viaKernel.nonEmpty)
     viaKernel.zip(viaExpr).foreach { case (k, e) =>
       assert(k == e, s"kernel $k != expression $e")
     }
+  }
+
+  test("nearestCids: kernel expression == literal expression, n=1 and n>1") {
+    // duplicated vectors force score ties (the smaller-cid branch) and
+    // the corpus is real embeddings — both arms must produce identical
+    // probe lists element for element
+    val base = emb.select($"vec_id", $"embedding")
+    val corpus = base.unionByName(
+      base.select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+    val c = Ivf.ExpressionAssignMaxC + 8
+    // duplicate CENTROIDS too (seed twice from the doubled corpus ids):
+    // two cids with the same vector tie on every row
+    val cents = Ivf.seedCentroids(corpus, "vec_id", "embedding", c, stride = 1L)
+    for (n <- Seq(1, 4)) {
+      val lit = corpus.select($"vec_id",
+          Ivf.nearestCidsLiteral(Similarity.toDouble($"embedding"), cents, n).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).sortBy(_._1)
+      val ker = corpus.select($"vec_id",
+          Ivf.nearestCidsKernel(Similarity.toDouble($"embedding"), cents, n).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).sortBy(_._1)
+      assert(lit.nonEmpty && lit.length == ker.length)
+      lit.zip(ker).foreach { case (l, k) =>
+        assert(l == k, s"n=$n: literal $l != kernel $k")
+      }
+    }
+  }
+
+  test("ivfTopK above the dispatch threshold (kernel probes) is still exact at nprobe=c") {
+    val bigger = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val qs = Seq(0L, 1L, 2L, 3L)
+    val c = Ivf.ExpressionAssignMaxC + 16 // both assign and probes on kernel arms
+    val ivf = Ivf.ivfTopK(bigger, "vec_id", "embedding", qs, k = 10, c = c,
+      nprobe = c, stride = 1L).collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val bf = Similarity.bruteForceTopK(bigger, "vec_id", "embedding", qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(ivf.sorted == bf.sorted, "nprobe=c must equal brute force")
   }
 
   test("ivfTopK finds the planted twin at rank 1 with nprobe<c") {

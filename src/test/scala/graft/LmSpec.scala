@@ -203,6 +203,79 @@ class LmSpec extends SparkSpec {
         s"learned pair ($a,$b) survived encoding: ${enc.toSeq}") }
   }
 
+  test("bpeEncode kernel arm == literal regexp arm, char for char") {
+    // Same corpus, same table, both arms driven through Spark: the
+    // literal chain via the public dispatch (table <= threshold), the
+    // kernel expression invoked directly. Tokens include regex
+    // metacharacters so Pattern.quote parity is exercised, and the
+    // table includes a self-pair (a,a) and a composed pair built from
+    // an earlier merge's output.
+    val rnd = new scala.util.Random(42)
+    val alpha = Seq("a", "b", "c", "d", "a.b", "c+")
+    val docs = (1L to 40L).map(i => (i,
+      List.fill(rnd.nextInt(31))(alpha(rnd.nextInt(alpha.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Seq(("a", "b"), ("a", "a"), ("a~b", "c"), ("a.b", "c+")) ++
+      (1 to 116).map(_ => (alpha(rnd.nextInt(alpha.size)),
+        alpha(rnd.nextInt(alpha.size))))
+    assert(merges.size <= Lm.LiteralEncodeMaxMerges) // literal arm below
+    val literal = Lm.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val kernel = docs.select($"doc_id",
+        graft.expressions.BpeEncode.column(spark,
+          TextAnalysis.tokens($"text"), merges, "~").as("enc"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kernel == literal)
+  }
+
+  test("bpeEncode kernel arm == independent regex reference at 300 merges") {
+    // Above the dispatch threshold the public API routes to the kernel;
+    // pin it against a plain-JVM sequential regexp-pass reference (the
+    // defining semantics) on a table size the literal Column arm is
+    // never asked to hold.
+    import java.util.regex.{Matcher, Pattern}
+    def ref(text: String, merges: Seq[(String, String)]): String = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      var s = " " + toks.mkString(" ") + " "
+      merges.foreach { case (a, b) =>
+        s = Pattern.compile(
+          "(?<= )" + Pattern.quote(a) + " " + Pattern.quote(b) + "(?= )")
+          .matcher(s).replaceAll(Matcher.quoteReplacement(a + "~" + b))
+      }
+      s.trim
+    }
+    val rnd = new scala.util.Random(7)
+    val alpha = Seq("a", "b", "c", "d", "e")
+    val texts = (1L to 30L).map(i => (i,
+      List.fill(rnd.nextInt(41))(alpha(rnd.nextInt(alpha.size))).mkString(" ")))
+    // compose later merges from earlier outputs so deep tables exercise
+    // merged-token matching, not just base pairs
+    var grown = alpha
+    val merges = (1 to 300).map { _ =>
+      val p = (grown(rnd.nextInt(grown.size)), alpha(rnd.nextInt(alpha.size)))
+      grown = grown :+ (p._1 + "~" + p._2)
+      p
+    }
+    assert(merges.size > Lm.LiteralEncodeMaxMerges) // kernel arm via dispatch
+    val got = Lm.bpeEncode(texts.toDF("doc_id", "text"), "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == ref(t, merges), s"doc $id: '${t.take(60)}'")
+    }
+  }
+
+  test("bpeEncode above the threshold plans O(1) nodes and no shuffle") {
+    // parquet-backed (a local Seq collapses to LocalTableScan by
+    // constant folding, which would hide the projection's shape)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = (1 to 200).map(i => (s"t$i", s"u$i"))
+    val df = Lm.bpeEncode(docs, "doc_id", "text", merges)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("graft_bpe_encode"), plan)
+    assert(!plan.contains("regexp_replace"), plan)
+  }
+
   test("invertedIndex blocks postings by doc-id range and sorts them") {
     val df = Seq((0L, "x"), (99L, "x"), (100L, "x y"), (250L, "x"))
       .toDF("doc_id", "text")

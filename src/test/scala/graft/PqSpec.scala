@@ -88,6 +88,42 @@ class PqSpec extends SparkSpec {
     assert(pq.size == bf.size)
   }
 
+  test("pq codes/lut: kernel expressions == literal expressions at ks above the threshold") {
+    // real embeddings at sf0.01, ks past LiteralCodebookMaxKs: the
+    // literal arm (forced) and the PqCodes/PqLut kernels must agree to
+    // the bit — same ascending-index folds, same (dist, code) tie-break
+    val bigger = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val ks = Pq.LiteralCodebookMaxKs + 16
+    val books = Pq.seedCodebooks(bigger, "vec_id", "embedding", m = 8,
+      ks = ks, stride = 1L)
+    val v = Similarity.toDouble($"embedding")
+    val litC = bigger.select($"vec_id", Pq.codesColLiteral(v, books).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).sortBy(_._1)
+    val kerC = bigger.select($"vec_id", Pq.codesColKernel(v, books).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).sortBy(_._1)
+    assert(litC.nonEmpty && litC.length == kerC.length)
+    litC.zip(kerC).foreach { case (l, k) => assert(l == k, s"codes $l != $k") }
+    val litL = bigger.limit(20).select($"vec_id", Pq.lutColLiteral(v, books).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Seq[Double]](1)).sortBy(_._1)
+    val kerL = bigger.limit(20).select($"vec_id", Pq.lutColKernel(v, books).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Seq[Double]](1)).sortBy(_._1)
+    assert(litL.nonEmpty && litL.length == kerL.length)
+    litL.zip(kerL).foreach { case (l, k) => assert(l == k, s"lut $l != $k") }
+  }
+
+  test("adcTopK above the dispatch threshold still ranks the planted twin first") {
+    val bigger = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val twin = bigger.filter($"vec_id" === 3L)
+      .select(($"vec_id" + 500000L).as("vec_id"), $"embedding", $"label")
+    val corpus = bigger.unionByName(twin)
+    val got = Pq.adcTopK(corpus, "vec_id", "embedding", Seq(500003L), k = 3,
+      m = 8, ks = Pq.LiteralCodebookMaxKs + 16, stride = 1L)
+      .filter($"rank" === 1).collect()
+    assert(got.length == 1)
+    // the twin's nearest neighbor at rank 1 is its identical original
+    assert(got(0).getLong(2) == 3L, got.toSeq.mkString(","))
+  }
+
   test("plan: corpus never shuffles; only scored triples reach the window exchange") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

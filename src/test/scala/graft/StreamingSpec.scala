@@ -257,6 +257,45 @@ class StreamingSpec extends SparkSpec {
     assert(tag(snap) == "v1")
   }
 
+  test("incremental dedup: AvailableNow delta stream against a sig store == batch roster") {
+    // The nightly-crawl shape as a stream: the delta arrives as files,
+    // each micro-batch dedups against the PERSISTED signature store via
+    // foreachBatch. Roster rows are per-delta-doc (best match over the
+    // whole store), so batching the delta must not change the union of
+    // outputs — pinned here against the one-shot batch roster.
+    val d = "/root/testdata/sf0.001"
+    val left = graft.Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val delta = graft.queries.TextQueries.perturbedDocs(spark, d)
+    val storeDir = java.nio.file.Files.createTempDirectory("sigstore_s").toString
+    graft.operators.Dedup.signatureStore(left, "doc_id", "text")
+      .write.mode("overwrite").parquet(storeDir)
+    val deltaDir = java.nio.file.Files.createTempDirectory("delta_s").toString
+    delta.repartition(5).write.mode("overwrite").parquet(deltaDir) // >1 micro-batch
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = spark.readStream
+      .schema(spark.read.parquet(deltaDir).schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(deltaDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.operators.Dedup.incrementalDedupRoster(
+            batch, spark.read.parquet(storeDir), "doc_id", "text",
+            threshold = 0.6)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_inc_dedup").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batchRoster = graft.operators.Dedup.incrementalDedupRoster(
+        delta, spark.read.parquet(storeDir), "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.sorted.toSeq == batchRoster.sorted.toSeq)
+  }
+
   test("snapshot sink fails loudly when checkpoint outruns a deleted snapshot") {
     // checkpoint says batch 0 committed; snapshot vanished out-of-band ->
     // the next batch must refuse to rebuild state from one micro-batch

@@ -380,6 +380,69 @@ class TextDedupSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("incrementalDedupRoster over a persisted store == crossDedupRoster recompute") {
+    val d = "/root/testdata/sf0.001"
+    val left = graft.Tables.documents(spark, d).select($"doc_id", $"text")
+    val right = graft.queries.TextQueries.perturbedDocs(spark, d)
+    val full = Dedup.crossDedupRoster(left, right, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore").toString
+    Dedup.signatureStore(left, "doc_id", "text", n = 3, bands = 16,
+      rowsPerBand = 8).write.mode("overwrite").parquet(dir)
+    val inc = Dedup.incrementalDedupRoster(right, spark.read.parquet(dir),
+        "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(inc.nonEmpty && inc.toSeq == full.toSeq)
+  }
+
+  test("incrementalDedupRoster fails loudly on a parameter-mismatched store") {
+    val d = "/root/testdata/sf0.001"
+    val left = graft.Tables.documents(spark, d).select($"doc_id", $"text")
+    val right = graft.queries.TextQueries.perturbedDocs(spark, d)
+    // same numHashes (128) but different banding — silently comparable
+    // shapes, incomparable semantics: exactly the case the guard exists for
+    val store = Dedup.signatureStore(left, "doc_id", "text", n = 3,
+      bands = 8, rowsPerBand = 16)
+    val e = intercept[Exception] {
+      Dedup.incrementalDedupRoster(right, store, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("not comparable"), msg)
+  }
+
+  test("mergeSignatureStore == signatureStore of the union; overlap and param drift raise") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d).select($"doc_id", $"text")
+    val (evens, odds) = (docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1))
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1),
+        r.getSeq[Long](2).sorted, r.getInt(3), r.getInt(4), r.getInt(5)))
+        .sortBy(_._1)
+    val merged = Dedup.mergeSignatureStore(
+      Dedup.signatureStore(evens, "doc_id", "text"),
+      Dedup.signatureStore(odds, "doc_id", "text"))
+    val rebuilt = Dedup.signatureStore(docs, "doc_id", "text")
+    assert(normalize(merged).nonEmpty)
+    assert(normalize(merged).toSeq == normalize(rebuilt).toSeq)
+    val eDup = intercept[Exception] {
+      Dedup.mergeSignatureStore(
+        Dedup.signatureStore(evens, "doc_id", "text"),
+        Dedup.signatureStore(evens, "doc_id", "text")).collect()
+    }
+    val mDup = eDup.getMessage + Option(eDup.getCause).map(_.getMessage).getOrElse("")
+    assert(mDup.contains("exists in both"), mDup)
+    val ePar = intercept[Exception] {
+      Dedup.mergeSignatureStore(
+        Dedup.signatureStore(evens, "doc_id", "text", bands = 16, rowsPerBand = 8),
+        Dedup.signatureStore(odds, "doc_id", "text", bands = 8, rowsPerBand = 16))
+        .collect()
+    }
+    val mPar = ePar.getMessage + Option(ePar.getCause).map(_.getMessage).getOrElse("")
+    assert(mPar.contains("different banding"), mPar)
+  }
+
   test("dedupParagraphs plan: no window, exactly two exchanges") {
     val docs = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
     val plan = Dedup.dedupParagraphs(docs, "doc_id", "text")
