@@ -80,6 +80,105 @@ class SourcesSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("ApiJsonSource retry: flaky-then-success, backoff schedule, Retry-After honored") {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      val n = hits.incrementAndGet()
+      if (n <= 2) { ex.sendResponseHeaders(500, -1); ex.close() }
+      else {
+        val b = """[{"v":1}]""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      }
+    })
+    val hits429 = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/ratelimited", (ex: HttpExchange) => {
+      if (hits429.incrementAndGet() == 1) {
+        ex.getResponseHeaders.add("Retry-After", "7")
+        ex.sendResponseHeaders(429, -1); ex.close()
+      } else {
+        val b = """[{"v":2}]""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val p = ApiJsonSource.RetryPolicy(maxAttempts = 4,
+        initialBackoffMs = 200L, sleeper = sleeps += _)
+      val body = ApiJsonSource.fetch(s"http://localhost:$port/flaky", "a", "b", p)
+      assert(body.contains("\"v\":1"))
+      assert(hits.get() == 3)
+      assert(sleeps.toSeq == Seq(200L, 400L)) // exponential schedule
+      sleeps.clear()
+      val b2 = ApiJsonSource.fetch(s"http://localhost:$port/ratelimited", "a", "b", p)
+      assert(b2.contains("\"v\":2"))
+      assert(sleeps.toSeq == Seq(7000L)) // Retry-After overrides backoff
+    } finally server.stop(0)
+  }
+
+  test("ApiJsonSource retry: non-retryable status fails immediately; exhaustion throws") {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/gone", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.createContext("/down", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(503, -1); ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val p = ApiJsonSource.RetryPolicy(maxAttempts = 3, sleeper = sleeps += _)
+      intercept[IllegalArgumentException] {
+        ApiJsonSource.fetch(s"http://localhost:$port/gone", "a", "b", p)
+      }
+      assert(sleeps.isEmpty, "404 must not be retried")
+      val e = intercept[IllegalArgumentException] {
+        ApiJsonSource.fetch(s"http://localhost:$port/down", "a", "b", p)
+      }
+      assert(e.getMessage.contains("after 3 attempts"), e.getMessage)
+      assert(sleeps.length == 2) // attempts-1 sleeps, then give up
+    } finally server.stop(0)
+  }
+
+  test("ApiJsonSource paging: pages until empty array, one schema inference pass") {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/paged", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val page = q.split("&").collectFirst {
+        case kv if kv.startsWith("page=") => kv.drop(5).toInt
+      }.getOrElse(-1)
+      val body = page match {
+        case 1 => """[{"milestone_id":1,"description":"a\nb"}]"""
+        case 2 => """[{"milestone_id":2,"description":"c"}]"""
+        case _ => "[]"
+      }
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val df = ApiJsonSource.readPaged(spark, s"http://localhost:$port/paged",
+        "2020-01-01", "2020-01-02")
+      val rows = df.orderBy("milestone_id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[String]("description") == "a b") // scrubbed
+      assert(rows(1).getAs[String]("description") == "c")
+      // a server that never ends must hit the maxPages guard, not spin
+      val e = intercept[IllegalStateException] {
+        ApiJsonSource.fetchPaged(s"http://localhost:$port/paged", "a", "b",
+          maxPages = 2, isLastPage = _ => false)
+      }
+      assert(e.getMessage.contains("maxPages"), e.getMessage)
+    } finally server.stop(0)
+  }
+
   test("upsert statement shape (pangres ON CONFLICT parity)") {
     val schema = StructType.fromDDL("milestone_id INT, description STRING, updated_at TIMESTAMP")
     val sql = JdbcUpsert.upsertStatement("staging.milestones", schema, Seq("milestone_id"))
