@@ -42,6 +42,21 @@ object ScaleGen {
   /** Key-domain stride between copies; far above any source-scale key. */
   val Stride = 10000000L
 
+  /** Zipf-mode hot texts (deliberately NOT caesar'd per copy, so they
+    * are identical across every copy): `HotParagraph` lands appended on
+    * ~10 % of all docs (one paragraph with 10 % of the corpus's
+    * paragraph occurrences — the x9 boilerplate hot key), and
+    * `HotDocText` REPLACES ~10 % of all docs wholesale (one exact-dup
+    * cluster holding 10 % of the nodes — the x10/x6 mega-cluster).
+    * Both skews are the shapes the map-side-combinable-aggregate
+    * scaladocs argue about; tools/SkewProbe measures them. */
+  val HotParagraph: String =
+    "all rights reserved terms of service privacy policy cookie notice " +
+      "contact us subscribe to our newsletter for updates"
+  val HotDocText: String =
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+      "eiusmod tempor incididunt ut labore et dolore magna aliqua"
+
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
 
   /** Per-copy alphabet permutation: copies 0-25 are caesar rotations
@@ -95,6 +110,10 @@ object ScaleGen {
     // for a docs-only sf10 probe corpus) — default: everything
     val tables: String => Boolean =
       if (args.length > 3) args(3).split(",").toSet else _ => true
+    // optional 5th arg "zipf": documents get the hot-key skews (10 % of
+    // docs share HotParagraph; a different 10 % become HotDocText
+    // exact dups) — the straggler-stress corpus for tools/SkewProbe
+    val zipf = args.length > 4 && args(4) == "zipf"
     requireDistinctCiphers(factor)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -132,7 +151,17 @@ object ScaleGen {
       "events", 16)
 
     out(copies(in("documents"), factor) { (df, k) =>
-      offsetKeys(df, k, "doc_id").withColumn("text", caesar(col("text"), k))
+      val base = offsetKeys(df, k, "doc_id")
+        .withColumn("text", caesar(col("text"), k))
+      // hot texts applied AFTER the cipher, so they are identical in
+      // every copy; Stride % 10 == 0, so doc_id % 10 picks the same
+      // source rows in each copy
+      if (!zipf) base
+      else base.withColumn("text",
+        when(col("doc_id") % 10 === 7, lit(HotDocText))
+          .when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit("\n" + HotParagraph)))
+          .otherwise(col("text")))
     }, "documents", 8)
 
     out(copies(in("embeddings"), factor) { (df, k) =>
