@@ -212,9 +212,32 @@ object Dedup {
     * wrong declaration costs time (or a loud maxIters failure), never
     * correctness. */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
-               deep: Boolean = false): DataFrame =
+               deep: Boolean = false,
+               minLabelBudget: Int = MinLabelFallbackIters): DataFrame =
     if (deep) componentsAlternating(pairs, aCol, bCol)
-    else components(pairs, aCol, bCol)
+    else
+      try components(pairs, aCol, bCol, maxIters = minLabelBudget)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("not converge") =>
+          // the caller's shallow assumption was wrong — rescue with the
+          // O(log n)-round star path instead of failing the job. The
+          // wasted budget is bounded: `minLabelBudget` min-label rounds
+          // (~budget × the per-round cost) plus one upstream re-derivation.
+          componentsAlternating(pairs, aCol, bCol)
+      }
+
+  /** Min-label iteration budget before [[clusters]] (deep = false)
+    * falls back to the star path. Pinned from tools/ChainProbe (10⁶
+    * edges, quiet box): min-label wins at diameter ≤ 7 (4.4–7.6 s vs
+    * star's 6.6–10.5 s — star pays ~13–15 s of fixed O(log n)-round
+    * cost at this scale regardless of diameter), star wins from
+    * diameter ~31 (13.2 s vs 22.4 s) and is 5× ahead by 127 (15.2 s vs
+    * 78.3 s). Min-label costs ~0.6 s/round here, so a budget of 8
+    * wastes at most ~5 s before the rescue — less than one star run —
+    * while clique-ish near-dup graphs (diameter 1–2, every committed
+    * gate) converge in 2–3 rounds and never see the fallback. */
+  val MinLabelFallbackIters = 8
 
   /** Connected components by ALTERNATING large-star/small-star (Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC '14) —

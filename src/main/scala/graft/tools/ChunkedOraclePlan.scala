@@ -1,0 +1,112 @@
+package graft.tools
+
+/** Chunked-DuckDB oracle plan for the disk-limited big-SF pins (verdict
+  * r13 #5): at sf10 the monolithic x3-family oracle SQL spills past the
+  * box's disk inside the band self-join, so x10/x11/v4 fell back to
+  * independent-comparator pins. This generalizes the fix: shard the
+  * quadratic middle (candidate generation + verification) by
+  * `hash(bucket) % K`, materializing each linear stage and each chunk
+  * to parquet, then run the final roster SQL over the unioned verified
+  * pairs — peak DuckDB state drops to ~1/K of the monolith while the
+  * RESULT is the oracle derivation, not a second engine implementation.
+  *
+  * Correctness of the shard: a candidate pair is discovered through
+  * (band, bucket) collisions; sharding by bucket routes every collision
+  * of a bucket to exactly one chunk, so the union of chunk outputs is
+  * the full candidate set (a pair colliding in several buckets appears
+  * in several chunks — the cross-chunk DISTINCT in the union step is
+  * exactly the monolith's DISTINCT). Verification (jaccard from the
+  * full gram sets) is per-pair and chunk-local.
+  *
+  * This main WRITES the plan (a JSON list of DuckDB statements +
+  * the final comparison query) — `tools/chunked_oracle.py` executes it
+  * (duckdb-python is oracle-side tooling, same as tools/check.py).
+  * The hash family constants come from [[graft.operators.Dedup]]
+  * directly, so the plan can never drift from the engine's parameters.
+  *
+  * Usage: runMain graft.tools.ChunkedOraclePlan <auxDir> <workDir> <K> <outJson>
+  */
+object ChunkedOraclePlan {
+
+  def x11Plan(auxDir: String, work: String, chunks: Int): (Seq[String], String) = {
+    val params = graft.operators.Dedup.hashParams(128)
+    val prime = graft.operators.Dedup.MinhashPrime
+    val lanes = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $prime) AS m$i"
+    }.mkString(", ")
+    val bandsSql = (0 until 16).map { b =>
+      val cols = (0 until 8).map(r => s"m${b * 8 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM read_parquet('$work/sigs.parquet')"
+    }.mkString(" UNION ALL ")
+    val steps = Seq(
+      // linear stages, one materialization each
+      s"""COPY (WITH h32 AS (SELECT doc_id, h FROM read_parquet('$auxDir/x3_gram_h32/*.parquet'))
+         |SELECT doc_id, $lanes FROM h32 GROUP BY doc_id)
+         |TO '$work/sigs.parquet' (FORMAT PARQUET)""".stripMargin,
+      s"""COPY ($bandsSql) TO '$work/banded.parquet' (FORMAT PARQUET)""",
+      s"""COPY (SELECT DISTINCT doc_id, g FROM read_parquet('$auxDir/x3_gram_h64/*.parquet'))
+         |TO '$work/g64.parquet' (FORMAT PARQUET)""".stripMargin,
+      s"""COPY (SELECT doc_id, count(*) AS n FROM read_parquet('$work/g64.parquet') GROUP BY doc_id)
+         |TO '$work/sizes.parquet' (FORMAT PARQUET)""".stripMargin) ++
+      // the quadratic middle, sharded by bucket hash
+      (0 until chunks).map { k =>
+        s"""COPY (
+           |WITH banded AS (
+           |  SELECT * FROM read_parquet('$work/banded.parquet')
+           |  WHERE hash(bucket) % $chunks = $k),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           |g64 AS (SELECT doc_id, g FROM read_parquet('$work/g64.parquet')),
+           |sizes AS (SELECT doc_id, n FROM read_parquet('$work/sizes.parquet')),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS i
+           |  FROM cand c
+           |  JOIN g64 ga ON ga.doc_id = c.id_a
+           |  JOIN g64 gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+           |  GROUP BY c.id_a, c.id_b)
+           |SELECT i.id_a, i.id_b,
+           |  CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard_sim
+           |FROM inter i
+           |JOIN sizes sa ON sa.doc_id = i.id_a
+           |JOIN sizes sb ON sb.doc_id = i.id_b
+           |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.6
+           |) TO '$work/pairs_chunk_$k.parquet' (FORMAT PARQUET)""".stripMargin
+      } ++ Seq(
+      // cross-chunk DISTINCT == the monolith's DISTINCT
+      s"""COPY (SELECT DISTINCT id_a, id_b, jaccard_sim
+         |FROM read_parquet('$work/pairs_chunk_*.parquet'))
+         |TO '$work/pairs.parquet' (FORMAT PARQUET)""".stripMargin)
+    // the x11/x12 roster over the assembled pairs — byte-for-byte the
+    // gate oracle's final SELECT, with `pairs` now a parquet scan
+    val finalSql =
+      s"""WITH pairs AS (SELECT * FROM read_parquet('$work/pairs.parquet')),
+         |cross_pairs AS (
+         |  SELECT id_a AS a_id, id_b AS b_id, jaccard_sim FROM pairs
+         |  WHERE id_a IN (SELECT doc_id FROM documents)
+         |    AND id_b IN (SELECT doc_id + 1000000 FROM documents)
+         |  UNION ALL
+         |  SELECT id_b AS a_id, id_a AS b_id, jaccard_sim FROM pairs
+         |  WHERE id_b IN (SELECT doc_id FROM documents)
+         |    AND id_a IN (SELECT doc_id + 1000000 FROM documents)),
+         |roster AS (
+         |  SELECT b_id AS doc_id, a_id, jaccard_sim,
+         |    row_number() OVER (PARTITION BY b_id
+         |      ORDER BY jaccard_sim DESC, a_id ASC) AS rn
+         |  FROM cross_pairs)
+         |SELECT doc_id, a_id AS matched_doc_id, jaccard_sim
+         |FROM roster WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    (steps, finalSql)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(auxDir, workDir, kStr, outJson) = args.take(4)
+    val (steps, finalSql) = x11Plan(auxDir, workDir, kStr.toInt)
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n") + "\""
+    val json = s"""{"steps": [${steps.map(q).mkString(", ")}], "final": ${q(finalSql)}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    println(s"[chunkedoracle] wrote ${steps.size}-step plan to $outJson")
+  }
+}

@@ -69,6 +69,22 @@ object X11Pin {
       reference.exceptAll(engine).count()
     println(s"[x11pin] engine rows=$eCnt reference rows=$rCnt " +
       s"symmetric-diff rows=$diff => ${if (diff == 0 && eCnt == rCnt) "MATCH" else "MISMATCH"}")
+    // third path (x12): split A's signatures via a PERSISTED parquet
+    // store, delta deduped against it — the incremental pipeline must be
+    // roster-identical to the recompute at every pinned scale
+    val storeDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_x11pin_store").toString
+    graft.operators.Dedup.signatureStore(left, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 8)
+      .write.mode("overwrite").parquet(storeDir)
+    val incremental = graft.operators.Dedup.incrementalDedupRoster(
+      right, spark.read.parquet(storeDir), "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+    val iCnt = incremental.count()
+    val iDiff = incremental.exceptAll(engine).count() +
+      engine.exceptAll(incremental).count()
+    println(s"[x11pin] incremental(store) rows=$iCnt symmetric-diff vs " +
+      s"engine=$iDiff => ${if (iDiff == 0 && iCnt == eCnt) "MATCH" else "MISMATCH"}")
     spark.stop()
   }
 }

@@ -235,17 +235,23 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(shallow == viaDeep && shallow ==
       Set(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L), shallow)
-    // deep-chain input (diameter 59 > min-label's default 20-hop
-    // budget): the default regime fails LOUDLY — never a silently
-    // split cluster — and deep=true converges in O(log n) rounds
+    // deep-chain input (diameter 59, far past the min-label budget): the
+    // default regime exhausts its budget and the facade RESCUES via the
+    // star path — correct clusters, never a silent split, no user
+    // foresight required. deep=true goes straight to the star path.
     val chain = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val e = intercept[IllegalStateException] {
-      Dedup.clusters(chain, "id_a", "id_b")
-    }
-    assert(e.getMessage.contains("did not converge"), e.getMessage)
+    val rescued = Dedup.clusters(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 59L).forall(rescued(_) == 0L), rescued.filter(_._2 != 0L).take(5))
     val deep = Dedup.clusters(chain, "id_a", "id_b", deep = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 59L).forall(deep(_) == 0L), deep.filter(_._2 != 0L).take(5))
+    // the raw operator keeps its loud-failure contract for callers that
+    // want the diameter assumption ENFORCED rather than rescued
+    val e = intercept[IllegalStateException] {
+      Dedup.components(chain, "id_a", "id_b", maxIters = 8)
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
 
   test("componentsAlternating == components on a random pair graph") {
