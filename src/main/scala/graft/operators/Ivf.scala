@@ -245,10 +245,33 @@ object Ivf {
     val cents =
       if (lloydIters > 0) lloydRefine(emb, idCol, vecCol, seeds, lloydIters)
       else seeds
-    val assigned = assign(emb, idCol, vecCol, cents)
-    val probes = emb.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"),
-        Similarity.toDouble(col(vecCol)).as("q"))
+    ivfTopKFromStore(assign(emb, idCol, vecCol, cents), cents,
+      emb.filter(col(idCol).isin(queryIds: _*)), idCol, vecCol, k, nprobe)
+  }
+
+  /** IVF top-k for a query frame against a PREPARED assignment frame
+    * (the [[assign]] shape: (id, v, cluster_id, nv)) — the incremental
+    * ANN serving path: the corpus assignment is computed (and persisted
+    * to parquet, partitioned by cluster range) ONCE, and each new query
+    * batch probes it without re-assigning a single stored vector —
+    * at 10⁹ vectors re-running the quantizer per batch is the cost the
+    * store exists to delete, exactly the [[graft.operators.Dedup.signatureStore]]
+    * contract on the vector side. `cents` must be the quantizer the
+    * store was assigned with ([[centroidsAsDf]]/[[centroidsFromDf]]
+    * persist it losslessly alongside); a different quantizer routes
+    * probes to the wrong lists — recall silently collapses — so
+    * production stores keep them together.
+    *
+    * Plan shape is [[ivfTopK]]'s tail unchanged: store scan →
+    * broadcast-hash join against exploded probe lists → score → the
+    * only wide exchange carries scored candidates into the top-k
+    * window. Spec + gate pin store-roundtrip ≡ direct recompute. */
+  def ivfTopKFromStore(assigned: DataFrame, cents: Seq[Centroid],
+                       queries: DataFrame, qIdCol: String, qVecCol: String,
+                       k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val probes = queries
+      .select(col(qIdCol).as("query_id"),
+        Similarity.toDouble(col(qVecCol)).as("q"))
       .withColumn("nq", Similarity.norm(col("q")))
       .withColumn("cluster_id",
         explode(nearestCids(col("q"), cents, math.min(nprobe, cents.size))))
@@ -267,4 +290,21 @@ object Ivf {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine_sim")
   }
+
+  /** Quantizer as a 3-column frame (cid, v, norm) — persist it next to
+    * the assignment store; parquet round-trips doubles bit-exactly, so
+    * [[centroidsFromDf]] reconstructs the identical quantizer. */
+  def centroidsAsDf(spark: org.apache.spark.sql.SparkSession,
+                    cents: Seq[Centroid]): DataFrame = {
+    import spark.implicits._
+    cents.map(c => (c.cid, c.v, c.norm)).toDF("cid", "v", "norm")
+  }
+
+  /** Reconstruct the quantizer from a [[centroidsAsDf]] frame. The
+    * norm is the STORED one (never recomputed — bit-exactness of the
+    * tie-break must not hinge on a re-derivation). */
+  def centroidsFromDf(df: DataFrame): Seq[Centroid] =
+    df.select(col("cid"), col("v"), col("norm")).collect()
+      .map(r => Centroid(r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_.cid).toSeq
 }

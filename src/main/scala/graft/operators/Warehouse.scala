@@ -88,10 +88,21 @@ object Warehouse {
     val n = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
     val cols = orderCols.map(col)
+    // The ranked frame MUST materialize exactly once: both consumers
+    // (the per-bucket counts and the join leg) depend on the range
+    // partitioner's SAMPLED boundaries, and Spark seeds that sampling
+    // from the RDD id — if the two legs plan separate exchanges (e.g.
+    // column pruning makes the subtrees differ, defeating
+    // ReuseExchange; observed at sf1 in ds4), they sample DIFFERENT
+    // boundaries and the offsets no longer describe the partitions the
+    // join leg ranked, silently corrupting every key past the first
+    // divergent bucket. The lazy checkpoint pins one materialization —
+    // correctness, not (only) perf.
     val local = df.repartitionByRange(n, cols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__pid")).orderBy(cols: _*)))
+      .localCheckpoint(false)
     val offW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid"))

@@ -87,6 +87,31 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // y7: the incremental ANN serving path — corpus assignment AND the
+    // quantizer round-trip through a persisted parquet store (write +
+    // read-back inside the gate, store IO included), then the query
+    // batch probes the store without re-assigning a single vector.
+    // Result contract == y4, oracle == y4's SQL: the gate pins
+    // store-roundtrip ≡ recompute (the x12 pattern on the vector side).
+    "y7_ann_ivf_store" -> { (s, d) =>
+      import graft.operators.Ivf
+      val emb = embeddings(s, d)
+      val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 16, 7L)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_y7_store_${Integer.toHexString(d.hashCode)}").toString
+      Ivf.assign(emb, "vec_id", "embedding", cents)
+        .write.mode("overwrite").parquet(dir + "/assigned")
+      Ivf.centroidsAsDf(s, cents)
+        .write.mode("overwrite").parquet(dir + "/centroids")
+      Ivf.ivfTopKFromStore(
+        s.read.parquet(dir + "/assigned"),
+        Ivf.centroidsFromDf(s.read.parquet(dir + "/centroids")),
+        emb.filter(col("vec_id").isin(QueryIds: _*)), "vec_id", "embedding",
+        k = 10, nprobe = 4)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // PQ/ADC ANN: seeded product codebooks, map-side encode, per-query
     // lookup tables, compressed-domain scoring (codes only in the scan).
     "y5_ann_pq" -> { (s, d) =>
@@ -358,46 +383,11 @@ object SimilarityQueries {
     // (vec_id % 7 == 0, smallest 16), cosine-equivalent centroid score
     // dot(v,c)/|c|, argmax assignment, nprobe probe lists, exact-cosine
     // ranking — no aux tables, full hash-match.
-    "y4_ann_ivf" -> {
-      // zero-norm guard mirrors Ivf.centScore (Ivf.scala): an all-zero
-      // seed vector scores 0.0, never NULL/NaN — engine/oracle parity
-      // must not hinge on the data containing no zero vectors
-      val centScore = s"""CASE WHEN ${sqlNorm("s.cv")} > 0
-         | THEN ${sqlDot("b.v", "s.cv")} / ${sqlNorm("s.cv")} ELSE 0.0 END""".stripMargin
-      s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
-         |cents AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-         |    v AS cv
-         |  FROM (SELECT vec_id, v FROM base WHERE vec_id % 7 = 0
-         |        ORDER BY vec_id LIMIT 16)),
-         |cscored AS (
-         |  SELECT b.vec_id, s.cid, $centScore AS score
-         |  FROM base b CROSS JOIN cents s),
-         |cranked AS (
-         |  SELECT vec_id, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
-         |  FROM cscored),
-         |assigned AS (
-         |  SELECT b.vec_id, b.v, r.cid AS cluster_id
-         |  FROM base b JOIN cranked r ON r.vec_id = b.vec_id AND r.rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cid AS cluster_id FROM cranked
-         |  WHERE vec_id IN (${QueryIds.mkString(", ")}) AND rn <= 4),
-         |scored AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    ${sqlCosine("q.v", "a.v")} AS cs
-         |  FROM probes p
-         |  JOIN assigned a ON a.cluster_id = p.cluster_id
-         |  JOIN base q ON q.vec_id = p.query_id
-         |  WHERE a.vec_id <> p.query_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cs,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
-         |  FROM scored)
-         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
-         |  round(cs, 6) AS cosine_sim
-         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    },
+    "y4_ann_ivf" -> ivfOracleSql,
+    // y7 routes the same computation through a persisted assignment
+    // store — the roster must be indistinguishable from the recompute,
+    // so the oracle IS y4's derivation (the x12 pinning pattern).
+    "y7_ann_ivf_store" -> ivfOracleSql,
 
     // y5: the whole PQ path in SQL — seed slicing into per-subspace
     // codebooks, argmin encoding (ties to smaller code), ADC as an
@@ -677,4 +667,49 @@ object SimilarityQueries {
          |  CAST(list_sum(samp) AS DOUBLE) / 64 AS mean_amp
          |FROM s ORDER BY media_id""".stripMargin
   )
+
+  // y4/y7 shared oracle: the ENTIRE IVF path mirrored in SQL — seed
+  // selection (vec_id % 7 == 0, smallest 16), cosine-equivalent centroid
+  // score dot(v,c)/|c| (zero-norm guard mirroring Ivf.centScore), argmax
+  // assignment, nprobe probe lists, exact-cosine ranking.
+  private lazy val ivfOracleSql: String = {
+      // zero-norm guard mirrors Ivf.centScore (Ivf.scala): an all-zero
+      // seed vector scores 0.0, never NULL/NaN — engine/oracle parity
+      // must not hinge on the data containing no zero vectors
+      val centScore = s"""CASE WHEN ${sqlNorm("s.cv")} > 0
+         | THEN ${sqlDot("b.v", "s.cv")} / ${sqlNorm("s.cv")} ELSE 0.0 END""".stripMargin
+      s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+         |cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |    v AS cv
+         |  FROM (SELECT vec_id, v FROM base WHERE vec_id % 7 = 0
+         |        ORDER BY vec_id LIMIT 16)),
+         |cscored AS (
+         |  SELECT b.vec_id, s.cid, $centScore AS score
+         |  FROM base b CROSS JOIN cents s),
+         |cranked AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+         |  FROM cscored),
+         |assigned AS (
+         |  SELECT b.vec_id, b.v, r.cid AS cluster_id
+         |  FROM base b JOIN cranked r ON r.vec_id = b.vec_id AND r.rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cluster_id FROM cranked
+         |  WHERE vec_id IN (${QueryIds.mkString(", ")}) AND rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${sqlCosine("q.v", "a.v")} AS cs
+         |  FROM probes p
+         |  JOIN assigned a ON a.cluster_id = p.cluster_id
+         |  JOIN base q ON q.vec_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cs,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |  round(cs, 6) AS cosine_sim
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 }

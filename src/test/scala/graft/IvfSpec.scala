@@ -87,6 +87,26 @@ class IvfSpec extends SparkSpec {
     assert(ivf.sorted == bf.sorted, "nprobe=c must equal brute force")
   }
 
+  test("ivfTopKFromStore over a parquet-roundtripped assignment == direct ivfTopK") {
+    val qs = Seq(0L, 1L, 2L, 3L)
+    val direct = Ivf.ivfTopK(emb, "vec_id", "embedding", qs, k = 10, c = 8,
+        nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_store").toString
+    Ivf.assign(emb, "vec_id", "embedding", cents)
+      .write.mode("overwrite").parquet(dir + "/assigned")
+    Ivf.centroidsAsDf(spark, cents)
+      .write.mode("overwrite").parquet(dir + "/centroids")
+    val rt = Ivf.centroidsFromDf(spark.read.parquet(dir + "/centroids"))
+    assert(rt == cents, "centroid parquet round-trip must be bit-exact")
+    val stored = Ivf.ivfTopKFromStore(spark.read.parquet(dir + "/assigned"),
+        rt, emb.filter($"vec_id".isin(qs: _*)), "vec_id", "embedding",
+        k = 10, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(stored.nonEmpty && stored.sorted == direct.sorted)
+  }
+
   test("ivfTopK finds the planted twin at rank 1 with nprobe<c") {
     // a positively-scaled twin has cosine 1 to its query, hence the same
     // argmax centroid — the query's own list is always its first probe,

@@ -128,10 +128,19 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!small.contains("rangepartitioning"),
       s"small dim took the range-bucket path:\n$small")
-    // forced-large -> ranged: range exchange present, and outputs identical
+    // forced-large -> ranged. The range exchange lives INSIDE the
+    // checkpointed rank frame (one materialization — the boundary
+    // sampling is RDD-id-seeded, so a second execution of the same
+    // subtree can sample different bucket boundaries; both consumers
+    // must read the same one), so the outer plan shows the checkpoint
+    // scan, not the rangepartitioning node.
     val ranged = graft.operators.Warehouse.withDenseKey(
       dim, "sk", "c_custkey", smallThresholdBytes = 0L)
-    assert(ranged.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+    val rplan = ranged.queryExecution.executedPlan.toString
+    assert(rplan.contains("Scan ExistingRDD"),
+      s"ranged arm did not materialize the rank frame once:\n$rplan")
+    assert(!rplan.contains("rangepartitioning"), // it's inside the checkpoint
+      s"range exchange leaked outside the single materialization:\n$rplan")
     val a = graft.operators.Warehouse.withDenseKeyWindowed(dim, "sk", "c_custkey")
       .orderBy("sk").collect().toSeq
     val b = ranged.orderBy("sk").collect().toSeq

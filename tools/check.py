@@ -36,14 +36,30 @@ def values_equal(a, b) -> bool:
                 if str(xv) != str(yv): return False
     return True
 
-def main(sf_dir, out_dir):
+def fresh_con(sf_dir):
+    """One DuckDB connection per ORACLE QUERY — the big-SF x-family
+    oracles each need tens of GB; running the whole surface through one
+    connection accumulates buffer-pool state until mid-query mallocs
+    fail, while a fresh process-wide pool per query behaves exactly like
+    the (historically green) one-query-at-a-time pin runs. Memory cap +
+    spill dir because DuckDB's default limit (80% of RAM) is above what
+    this box's kernel will actually hand one process."""
     con = duckdb.connect()
+    mem = os.environ.get("GRAFT_DUCKDB_MEM", "40GB")
+    tmp = os.environ.get("GRAFT_DUCKDB_TMP", "/tmp/duckcheck")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table dir (e.g. the sf1 refresh)
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     fails = []
@@ -54,7 +70,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output"); n_fail += 1; fails.append(name); continue
         try:
             spark_df = norm(pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{pq_dir}/*.parquet"))]))
-            duck_df = norm(con.execute(sql).fetchdf())
+            con = fresh_con(sf_dir)
+            try:
+                duck_df = norm(con.execute(sql).fetchdf())
+            finally:
+                con.close()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; fails.append(name); continue
         if list(spark_df.columns) != list(duck_df.columns):
