@@ -291,6 +291,30 @@ object Ivf {
       .select("query_id", "rank", "neighbor_id", "cosine_sim")
   }
 
+  /** Fold a DELTA batch's [[assign]] frame into an existing assignment
+    * store — store MAINTENANCE without re-assigning old vectors. The
+    * id sets must be disjoint (assign the delta, merge, done); a
+    * duplicate id fails the job loudly rather than corrupting the
+    * store silently ([[graft.operators.Dedup.mergeSignatureStore]]
+    * convention). Quantizer identity is the CALLER's contract — both
+    * sides must have been assigned with the same centroids (persist
+    * them next to the store via [[centroidsAsDf]]); the frame itself
+    * carries no quantizer fingerprint, so merging stores from
+    * different quantizers is undetectable here and meaningless
+    * downstream. One exchange on id. */
+  def mergeAssignmentStore(store: DataFrame, delta: DataFrame): DataFrame =
+    store.unionByName(delta)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__dup"), first(col("v")).as("v"),
+        first(col("cluster_id")).as("cluster_id"), first(col("nv")).as("nv"))
+      .select(
+        when(col("__dup") === 1, col("id"))
+          .otherwise(raise_error(concat(
+            lit("mergeAssignmentStore: id "), col("id").cast("string"),
+            lit(" exists in both inputs — the delta must be new vectors only"))))
+          .as("id"),
+        col("v"), col("cluster_id"), col("nv"))
+
   /** Quantizer as a 3-column frame (cid, v, norm) — persist it next to
     * the assignment store; parquet round-trips doubles bit-exactly, so
     * [[centroidsFromDf]] reconstructs the identical quantizer. */

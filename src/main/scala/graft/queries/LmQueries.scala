@@ -17,7 +17,7 @@ object LmQueries {
   private val VocabK = 100
   private val PairK = 100
   private val IndexBlock = 100L
-  private val BpeRounds = 3
+  private[graft] val BpeRounds = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc mean negative log-probability under the corpus's own

@@ -325,7 +325,7 @@ object TextQueries {
     }
   )
 
-  private[queries] val toksSql = "string_split_regex(trim(text), '\\s+')"
+  private[graft] val toksSql = "string_split_regex(trim(text), '\\s+')"
   private val punctSql =
     """(length(text) - length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g')))"""
 

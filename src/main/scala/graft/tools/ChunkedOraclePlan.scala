@@ -100,9 +100,100 @@ object ChunkedOraclePlan {
     (steps, finalSql)
   }
 
+  /** Chunked v4 (BPE encode) / v3 (BPE merges) oracle: training is
+    * corpus-global but ADDITIVE (per-shard pair counts sum to the
+    * corpus counts; the top-1 pick with its (n DESC, pair ASC)
+    * tie-break runs over the summed counts), and the apply step is
+    * per-doc — so each round materializes per-shard counts, one global
+    * 1-row winner, and per-shard rewritten token lists. Peak DuckDB
+    * state is one shard's token lists instead of the whole corpus's,
+    * which is what OOM'd the monolithic SQL at sf1. The CTE chain per
+    * round is the gate oracle's own (LmQueries.bpeSql) with `w$r` read
+    * from the materialized winner. */
+  def bpePlan(workDir: String, chunks: Int,
+              query: String): (Seq[String], String) = {
+    val toks = graft.queries.TextQueries.toksSql
+    val rounds = graft.queries.LmQueries.BpeRounds
+    val t0 = (0 until chunks).map { k =>
+      s"""COPY (SELECT doc_id, list_filter($toks, x -> len(x) > 0) AS tk
+         |FROM documents WHERE hash(doc_id) % $chunks = $k)
+         |TO '$workDir/bpe_t0_$k.parquet' (FORMAT PARQUET)""".stripMargin
+    }
+    val roundSteps = (1 to rounds).flatMap { r =>
+      val p = r - 1
+      val cnt = (0 until chunks).map { k =>
+        s"""COPY (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+           |  SELECT unnest(list_transform(
+           |    generate_series(1, greatest(len(tk) - 1, 0)),
+           |    i -> tk[i] || ' ' || tk[i + 1])) AS pair
+           |  FROM read_parquet('$workDir/bpe_t${p}_$k.parquet'))
+           |GROUP BY pair)
+           |TO '$workDir/bpe_cnt_${r}_$k.parquet' (FORMAT PARQUET)""".stripMargin
+      }
+      val pick =
+        s"""COPY (SELECT pair, CAST(sum(n) AS BIGINT) AS n,
+           |  split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+           |FROM read_parquet('$workDir/bpe_cnt_${r}_*.parquet')
+           |GROUP BY pair ORDER BY sum(n) DESC, pair ASC LIMIT 1)
+           |TO '$workDir/bpe_w_$r.parquet' (FORMAT PARQUET)""".stripMargin
+      val apply = (0 until chunks).map { k =>
+        s"""COPY (
+           |WITH w AS (SELECT * FROM read_parquet('$workDir/bpe_w_$r.parquet')),
+           |u AS (
+           |  SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, tk
+           |  FROM read_parquet('$workDir/bpe_t${p}_$k.parquet')),
+           |v AS (
+           |  SELECT doc_id, pos, tk[pos] AS tok, tk[pos + 1] AS nxt FROM u),
+           |c AS (
+           |  SELECT doc_id, pos,
+           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+           |  FROM v
+           |  WHERE tok = (SELECT a FROM w) AND nxt = (SELECT b FROM w)),
+           |kk AS (
+           |  SELECT doc_id, pos FROM (
+           |    SELECT doc_id, pos,
+           |      pos - min(pos) OVER (PARTITION BY doc_id, run) AS off
+           |    FROM c)
+           |  WHERE off % 2 = 0)
+           |SELECT doc_id, list(newtok ORDER BY pos) AS tk FROM (
+           |  SELECT v.doc_id, v.pos,
+           |    CASE WHEN ks.pos IS NOT NULL
+           |      THEN v.tok || '~' || v.nxt ELSE v.tok END AS newtok
+           |  FROM v
+           |  LEFT JOIN kk ks ON ks.doc_id = v.doc_id AND ks.pos = v.pos
+           |  LEFT JOIN kk kd ON kd.doc_id = v.doc_id AND kd.pos = v.pos - 1
+           |  WHERE kd.pos IS NULL)
+           |GROUP BY doc_id)
+           |TO '$workDir/bpe_t${r}_$k.parquet' (FORMAT PARQUET)""".stripMargin
+      }
+      cnt ++ Seq(pick) ++ apply
+    }
+    val finalSql = query match {
+      case "v3" =>
+        (1 to rounds).map(r =>
+          s"SELECT CAST($r AS INT) AS round, pair, n FROM read_parquet('$workDir/bpe_w_$r.parquet')")
+          .mkString("\nUNION ALL ") + "\nORDER BY round"
+      case _ =>
+        s"""WITH t0 AS (SELECT * FROM read_parquet('$workDir/bpe_t0_*.parquet')),
+           |tR AS (SELECT * FROM read_parquet('$workDir/bpe_t${rounds}_*.parquet'))
+           |SELECT t0.doc_id,
+           |  CAST(len(t0.tk) AS INT) AS n_tokens_raw,
+           |  CAST(COALESCE(len(tR.tk), len(t0.tk)) AS INT) AS n_tokens_bpe,
+           |  COALESCE(array_to_string(tR.tk, ' '), array_to_string(t0.tk, ' '))
+           |    AS encoded_text
+           |FROM t0 LEFT JOIN tR USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+    }
+    (t0 ++ roundSteps, finalSql)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(auxDir, workDir, kStr, outJson) = args.take(4)
-    val (steps, finalSql) = x11Plan(auxDir, workDir, kStr.toInt)
+    val query = args.lift(4).getOrElse("x11")
+    val (steps, finalSql) = query match {
+      case "v3" | "v4" => bpePlan(workDir, kStr.toInt, query)
+      case _           => x11Plan(auxDir, workDir, kStr.toInt)
+    }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n") + "\""
     val json = s"""{"steps": [${steps.map(q).mkString(", ")}], "final": ${q(finalSql)}}"""

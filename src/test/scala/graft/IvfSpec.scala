@@ -107,6 +107,27 @@ class IvfSpec extends SparkSpec {
     assert(stored.nonEmpty && stored.sorted == direct.sorted)
   }
 
+  test("mergeAssignmentStore == full re-assign on disjoint halves; overlap raises") {
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 8)
+    val (evens, odds) = (emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1))
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Double](1),
+        r.getInt(2), r.getDouble(3))).sortBy(_._1)
+    val merged = Ivf.mergeAssignmentStore(
+      Ivf.assign(evens, "vec_id", "embedding", cents),
+      Ivf.assign(odds, "vec_id", "embedding", cents))
+    val rebuilt = Ivf.assign(emb, "vec_id", "embedding", cents)
+    assert(normalize(merged).nonEmpty)
+    assert(normalize(merged).toSeq == normalize(rebuilt).toSeq)
+    val e = intercept[Exception] {
+      Ivf.mergeAssignmentStore(
+        Ivf.assign(evens, "vec_id", "embedding", cents),
+        Ivf.assign(evens, "vec_id", "embedding", cents)).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("exists in both"), msg)
+  }
+
   test("ivfTopK finds the planted twin at rank 1 with nprobe<c") {
     // a positively-scaled twin has cosine 1 to its query, hence the same
     // argmax centroid — the query's own list is always its first probe,
