@@ -352,7 +352,7 @@ object TextQueries {
 
   /** quality-score SQL matching TextAnalysis.qualityScore (same text as
     * in the t1 oracle). */
-  private val qualitySql =
+  private[graft] val qualitySql =
     s"""least(CAST(len($toksSql) AS DOUBLE) / 50.0, 1.0) * 0.4
        | + (1.0 - least(CASE WHEN length(text) > 0
        |     THEN CAST($punctSql AS DOUBLE) / length(text) ELSE 0.0 END * 5.0, 1.0)) * 0.3

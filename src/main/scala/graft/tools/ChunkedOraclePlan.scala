@@ -100,6 +100,47 @@ object ChunkedOraclePlan {
     (steps, finalSql)
   }
 
+  /** Chunked x10 (cluster keep-best) oracle: the expensive middle is
+    * the SAME sharded pair derivation as x11 — the recursive min-label
+    * closure, per-doc quality, and keep-best window then run over the
+    * materialized 1-in-a-million-of-the-volume pair list (dup clusters
+    * are small by ScaleGen construction, so the closure's Σ|cluster|²
+    * reach set stays linear). This was the last big-SF pin still on an
+    * independent comparator (X10Pin). */
+  def x10Plan(auxDir: String, work: String, chunks: Int): (Seq[String], String) = {
+    val (steps, _) = x11Plan(auxDir, work, chunks)
+    val toksSql = graft.queries.TextQueries.toksSql
+    val qualitySql = graft.queries.TextQueries.qualitySql
+    val finalSql =
+      s"""WITH RECURSIVE pairs AS (SELECT * FROM read_parquet('$work/pairs.parquet')),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    array_to_string(list_slice($toksSql, 1, len($toksSql) - 1), ' ') || ' graftdup' AS text
+         |  FROM documents),
+         |quality AS (SELECT doc_id, $qualitySql AS q FROM corpus),
+         |ranked AS (
+         |  SELECT c.cluster_id, c.doc_id, q.q,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY q.q DESC, c.doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |  FROM clusters c JOIN quality q USING (doc_id))
+         |SELECT cluster_id, doc_id AS keep_id, q AS quality_score,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+    (steps, finalSql)
+  }
+
   /** Chunked v4 (BPE encode) / v3 (BPE merges) oracle: training is
     * corpus-global but ADDITIVE (per-shard pair counts sum to the
     * corpus counts; the top-1 pick with its (n DESC, pair ASC)
@@ -192,6 +233,7 @@ object ChunkedOraclePlan {
     val query = args.lift(4).getOrElse("x11")
     val (steps, finalSql) = query match {
       case "v3" | "v4" => bpePlan(workDir, kStr.toInt, query)
+      case "x10"       => x10Plan(auxDir, workDir, kStr.toInt)
       case _           => x11Plan(auxDir, workDir, kStr.toInt)
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
