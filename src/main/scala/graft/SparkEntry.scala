@@ -54,7 +54,8 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.DatasetQueries.queries ++
       graft.queries.LmQueries.queries ++
-      graft.queries.QuantQueries.queries
+      graft.queries.QuantQueries.queries ++
+      graft.queries.ClassifierQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -73,5 +74,6 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.oracle ++
       graft.queries.DatasetQueries.oracle ++
       graft.queries.LmQueries.oracle ++
-      graft.queries.QuantQueries.oracle
+      graft.queries.QuantQueries.oracle ++
+      graft.queries.ClassifierQueries.oracle
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Multinomial Naive-Bayes text classifier — the "train a linear
+  * classifier on a labeled seed, score the whole corpus" step every
+  * large-scale curation pipeline runs (the CCNet / GPT-3 quality-
+  * classifier and fastText language-ID shape: Wenzek et al. 2020 §4.4,
+  * Brown et al. 2020 App. A). Reference analog: the pipeline's
+  * quality-grading pass (profiling/data_quality decision rules) —
+  * re-expressed as a LEARNED scorer rather than fixed thresholds.
+  *
+  * Model: add-alpha multinomial NB over whitespace tokens.
+  *   score(d, c) = ln(nd_c / n_seed)
+  *              + Σ_{t ∈ d ∩ V} tf(t,d) · ln(cnt(t,c) + α)
+  *              − n_scored(d) · ln(T_c + α·|V|)
+  * with V the seed vocabulary, cnt(t,c) the per-class token counts,
+  * T_c = Σ_t cnt(t,c), nd_c the per-class seed doc counts. Tokens
+  * outside V are IGNORED at scoring time (the standard closed-vocabulary
+  * convention) and a document with zero in-vocabulary tokens has no
+  * distribution and is absent from the output (the termFreqs contract).
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - training is ONE exploded aggregate over the seed — per-class
+  *    counts as conditional sums pivoted WIDE by class, so the model
+  *    frame is (|V| rows × C columns), map-side combinable, and the
+  *    seed text is never shuffled;
+  *  - the class totals (T_c, |V|) and priors (nd_c, n_seed) are 1-row
+  *    aggregates broadcast into the scoring projection (O(C) driver-free
+  *    scalars, the Lm totals pattern);
+  *  - scoring is termFreqs(corpus) ⋈ model on `term` — the model side is
+  *    vocabulary-sized, so AQE broadcasts it when it fits and falls back
+  *    to a term-keyed shuffle join when it doesn't (a 10⁷-term vocab is
+  *    still tiny next to the corpus); the corpus text itself never
+  *    shuffles — only (doc_id, term, tf) rows do — then ONE combinable
+  *    per-doc aggregate folds C running sums at once;
+  *  - classes ride as COLUMNS end-to-end (C conditional sums per row),
+  *    never as an explode factor — no C× row blow-up anywhere.
+  *
+  * Float parity (DuckDB oracle): scores use ln(), whose last ulp is
+  * library-dependent, so per-doc scores are ROUNDED (6 dp) and the
+  * predicted class is the argmax of the ROUNDED scores with
+  * alphabetical tie-break (the t2 langId CASE-chain pattern) — both
+  * engines argmax identical numbers.
+  */
+object Classifier {
+
+  private def cnt(c: String)  = s"cnt_$c"
+  private def tot(c: String)  = s"t_$c"
+  private def nd(c: String)   = s"nd_$c"
+  private def sl(c: String)   = s"sl_$c"
+  private def score(c: String) = s"score_$c"
+
+  /** Per-term per-class training counts from the labeled seed:
+    * (term, cnt_<c>...) — the persistable NB model frame (the
+    * signatureStore convention: write it as parquet, score later
+    * batches from the read-back without re-reading the seed). One
+    * exploded aggregate; counts pivot wide by class so no row carries a
+    * class factor. */
+  def nbTermStats(seed: DataFrame, textCol: String, labelCol: String,
+                  classes: Seq[String]): DataFrame = {
+    val tok = seed.select(col(labelCol).as("label"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val aggs = classes.map(c =>
+      sum(when(col("label") === c, 1L).otherwise(0L)).as(cnt(c)))
+    tok.groupBy(col("term")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-class seed doc counts + total: ONE 1-row aggregate over the
+    * seed's label column (a pruned single-column scan). */
+  def nbPriors(seed: DataFrame, labelCol: String,
+               classes: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_seed") +:
+      classes.map(c => sum(when(col(labelCol) === c, 1L).otherwise(0L)).as(nd(c)))
+    seed.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Score every document of `corpus` under an NB model trained on
+    * `seed` (rows carrying `labelCol`). Output:
+    * (doc_id, n_scored, score_<c>... rounded 6 dp, predicted).
+    * Loud in-plan failure if any class has zero seed documents (its
+    * prior would be ln 0 — a silently-null score otherwise). */
+  def nbScore(corpus: DataFrame, seed: DataFrame, idCol: String,
+              textCol: String, labelCol: String, classes: Seq[String],
+              alpha: Double = 1.0): DataFrame = {
+    require(classes.nonEmpty && classes == classes.distinct,
+      "nbScore: classes must be a non-empty distinct list")
+    require(alpha > 0.0, "nbScore: alpha must be positive")
+    // stats feeds TWO consumers (the totals aggregate and the scoring
+    // join) whose subtrees diverge before any exchange — the lazy
+    // checkpoint pins one materialization so the seed tokenizes exactly
+    // once (the bm25 shared-tf pattern; PlanSpec-asserted).
+    val stats = nbTermStats(seed, textCol, labelCol, classes)
+      .localCheckpoint(false)
+    nbScoreFromStats(corpus, stats, nbPriors(seed, labelCol, classes),
+      idCol, textCol, classes, alpha)
+  }
+
+  /** Scoring arm over an already-trained model — `stats` is an
+    * [[nbTermStats]] frame (fresh or read back from a parquet model
+    * store), `priors` an [[nbPriors]] frame. This is the nightly-crawl
+    * path: the seed is never re-read, only the (|V| × C) model joins. */
+  def nbScoreFromStats(corpus: DataFrame, stats: DataFrame, priors: DataFrame,
+                       idCol: String, textCol: String, classes: Seq[String],
+                       alpha: Double = 1.0): DataFrame = {
+    val totAggs = count(lit(1)).as("n_vocab") +:
+      classes.map(c => sum(col(cnt(c))).as(tot(c)))
+    val totals = stats.agg(totAggs.head, totAggs.tail: _*)
+      .crossJoin(priors)
+      // evaluated once on the 1-row frame; assert_true -> null when ok
+      .filter(coalesce(assert_true(
+        classes.map(c => col(nd(c)) > 0L).reduce(_ && _),
+        lit(s"nbScore: every class needs at least one seed document " +
+          s"(classes: ${classes.mkString(", ")})")), lit(true)))
+
+    val tf = Ranking.termFreqs(corpus, idCol, textCol)
+    val slAggs = sum(col("tf")).as("n_scored") +:
+      classes.map(c => sum(col("tf") * log(col(cnt(c)) + lit(alpha))).as(sl(c)))
+    val perDoc = tf.join(stats, "term")
+      .groupBy(col("doc_id"))
+      .agg(slAggs.head, slAggs.tail: _*)
+
+    val scoreCols = classes.map { c =>
+      round(log(col(nd(c)).cast("double") / col("n_seed")) + col(sl(c))
+        - col("n_scored") * log(col(tot(c)) + lit(alpha) * col("n_vocab")), 6)
+        .as(score(c))
+    }
+    val scored = perDoc.crossJoin(broadcast(totals))
+      .select(col("doc_id") +: col("n_scored") +: scoreCols: _*)
+
+    val ordered = classes.sorted
+    val predicted = ordered.foldLeft(when(lit(false), lit(""))) { (acc, c) =>
+      val isMax = ordered.filterNot(_ == c)
+        .map(o => col(score(c)) >= col(score(o))).reduce(_ && _)
+      acc.when(isMax, lit(c))
+    }.otherwise(lit(ordered.head))
+    scored.withColumn("predicted", predicted)
+  }
+}

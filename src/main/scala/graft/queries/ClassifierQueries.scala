@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.Classifier
+
+/** Learned-classifier coverage: multinomial NB trained on a labeled
+  * seed split, scoring the full corpus (the CCNet/fastText curation
+  * step). The seed is the even-doc_id half of `documents` labeled by
+  * its `lang` column; the gate pins every document's per-class score
+  * (6 dp) AND the argmax prediction, so a wrong count, prior, smoothing
+  * denominator, or tie-break all hash-fail. `nb2` re-scores from a
+  * parquet model store written and read back INSIDE the gate against
+  * the SAME oracle — pinning store-roundtrip ≡ retrain (the x12/y7
+  * store convention). */
+object ClassifierQueries {
+
+  private val Langs = Seq("de", "en", "es", "fr", "zh")
+
+  private def seedDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("doc_id") % 2 === 0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nb1_nb_classifier" -> { (s, d) =>
+      Classifier.nbScore(documents(s, d), seedDocs(s, d),
+        "doc_id", "text", "lang", Langs)
+        .orderBy(col("doc_id"))
+    },
+
+    "nb2_nb_from_store" -> { (s, d) =>
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_nb_store_${Integer.toHexString(d.hashCode)}").toString
+      Classifier.nbTermStats(seedDocs(s, d), "text", "lang", Langs)
+        .write.mode("overwrite").parquet(s"$dir/stats")
+      Classifier.nbPriors(seedDocs(s, d), "lang", Langs)
+        .write.mode("overwrite").parquet(s"$dir/priors")
+      Classifier.nbScoreFromStats(documents(s, d),
+        s.read.parquet(s"$dir/stats"), s.read.parquet(s"$dir/priors"),
+        "doc_id", "text", Langs)
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** The full NB derivation in SQL: seed token counts pivoted wide by
+    * class, 1-row totals/priors, per-doc ln-sums, rounded scores, and
+    * the same alphabetical-tie-break argmax CASE chain. */
+  private val nbSql: String = {
+    val toks = TextQueries.toksSql
+    val cntCols = Langs.map(c =>
+      s"sum(CASE WHEN lang = '$c' THEN 1 ELSE 0 END) AS cnt_$c").mkString(", ")
+    val totCols = Langs.map(c => s"sum(cnt_$c) AS t_$c").mkString(", ")
+    val ndCols = Langs.map(c =>
+      s"sum(CASE WHEN lang = '$c' THEN 1 ELSE 0 END) AS nd_$c").mkString(", ")
+    val slCols = Langs.map(c =>
+      s"sum(tf * ln(cnt_$c + 1.0)) AS sl_$c").mkString(", ")
+    val scoreCols = Langs.map(c =>
+      s"round(ln(CAST(nd_$c AS DOUBLE) / n_seed) + sl_$c" +
+        s" - n_scored * ln(t_$c + 1.0 * n_vocab), 6) AS score_$c").mkString(",\n|    ")
+    val predCases = Langs.map { c =>
+      val cond = Langs.filterNot(_ == c)
+        .map(o => s"score_$c >= score_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$c'"
+    }.mkString(" ")
+    s"""WITH seed AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |stok AS (
+       |  SELECT lang, unnest(list_filter($toks, t -> len(t) > 0)) AS term
+       |  FROM seed),
+       |stats AS (SELECT term, $cntCols FROM stok GROUP BY 1),
+       |totals AS (SELECT count(*) AS n_vocab, $totCols FROM stats),
+       |priors AS (SELECT count(*) AS n_seed, $ndCols FROM seed),
+       |ctok AS (
+       |  SELECT doc_id, unnest(list_filter($toks, t -> len(t) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM ctok GROUP BY 1, 2),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_scored, $slCols
+       |  FROM tf JOIN stats USING (term) GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id, n_scored,
+       |    $scoreCols
+       |  FROM perdoc, totals, priors)
+       |SELECT doc_id, n_scored, ${Langs.map(c => s"score_$c").mkString(", ")},
+       |  CASE $predCases ELSE '${Langs.min}' END AS predicted
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "nb1_nb_classifier" -> nbSql,
+    // the store gate must equal a from-scratch retrain — same SQL.
+    "nb2_nb_from_store" -> nbSql
+  )
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Classifier
+
+/** NB classifier specs: hand-computed scores on a tiny seed/corpus,
+  * the closed-vocabulary (OOV-ignored) contract, alphabetical argmax
+  * tie-break, the zero-seed-class loud guard, and model-store
+  * roundtrip ≡ retrain. */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // seed: class a = "x x y" (T_a=3), class b = "y z" (T_b=2);
+  // V = {x,y,z}, nd_a=nd_b=1, n_seed=2, alpha=1.
+  private def seed = Seq(
+    (1L, "x x y", "a"),
+    (2L, "y z", "b")).toDF("doc_id", "text", "lang")
+
+  private def nb(corpus: org.apache.spark.sql.DataFrame) =
+    Classifier.nbScore(corpus, seed, "doc_id", "text", "lang", Seq("a", "b"))
+
+  test("scores match the hand-computed NB formula") {
+    val got = nb(Seq((10L, "x y")).toDF("doc_id", "text")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    val expA = math.log(0.5) + math.log(3.0) + math.log(2.0) - 2 * math.log(6.0)
+    val expB = math.log(0.5) + math.log(1.0) + math.log(2.0) - 2 * math.log(5.0)
+    assert(r.getAs[Long]("n_scored") == 2L)
+    assert(math.abs(r.getAs[Double]("score_a") - expA) < 1e-6)
+    assert(math.abs(r.getAs[Double]("score_b") - expB) < 1e-6)
+    assert(r.getAs[String]("predicted") == (if (expA >= expB) "a" else "b"))
+  }
+
+  test("out-of-vocabulary tokens are ignored; all-OOV docs are absent") {
+    val got = nb(Seq((10L, "x q"), (11L, "q q")).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.contains(10L) && !got.contains(11L))
+    assert(got(10L).getAs[Long]("n_scored") == 1L, "q is OOV and must not count")
+    val expA = math.log(0.5) + math.log(3.0) - math.log(6.0)
+    assert(math.abs(got(10L).getAs[Double]("score_a") - expA) < 1e-6)
+  }
+
+  test("exact score tie predicts the alphabetically-first class") {
+    // symmetric seed: swapping a<->b and x<->y maps the model onto
+    // itself, so "x y" scores identically for both classes.
+    val sym = Seq((1L, "x", "a"), (2L, "y", "b")).toDF("doc_id", "text", "lang")
+    val r = Classifier.nbScore(Seq((10L, "x y")).toDF("doc_id", "text"),
+      sym, "doc_id", "text", "lang", Seq("b", "a")).collect().head
+    assert(r.getAs[Double]("score_a") == r.getAs[Double]("score_b"))
+    assert(r.getAs[String]("predicted") == "a")
+  }
+
+  test("a class with zero seed documents fails loudly") {
+    val ex = intercept[Exception] {
+      Classifier.nbScore(Seq((10L, "x")).toDF("doc_id", "text"),
+        seed, "doc_id", "text", "lang", Seq("a", "b", "c")).collect()
+    }
+    assert(ex.getMessage.contains("seed document") ||
+      Option(ex.getCause).exists(_.getMessage.contains("seed document")))
+  }
+
+  test("scoring from a parquet model store equals a fresh retrain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nb_spec").toString
+    Classifier.nbTermStats(seed, "text", "lang", Seq("a", "b"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    Classifier.nbPriors(seed, "lang", Seq("a", "b"))
+      .write.mode("overwrite").parquet(s"$dir/priors")
+    val corpus = Seq((10L, "x y"), (11L, "z z y"), (12L, "x")).toDF("doc_id", "text")
+    val fresh = nb(corpus).orderBy($"doc_id").collect().toSeq
+    val stored = Classifier.nbScoreFromStats(corpus,
+      spark.read.parquet(s"$dir/stats"), spark.read.parquet(s"$dir/priors"),
+      "doc_id", "text", Seq("a", "b")).orderBy($"doc_id").collect().toSeq
+    assert(fresh == stored)
+  }
+
+  test("training counts pivot wide and sum to the class token totals") {
+    val stats = Classifier.nbTermStats(seed, "text", "lang", Seq("a", "b"))
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"))).toMap
+    assert(stats == Map("x" -> (2L, 0L), "y" -> (1L, 1L), "z" -> (0L, 1L)))
+  }
+}

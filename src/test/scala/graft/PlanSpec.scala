@@ -229,4 +229,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapPartitions") || p.contains("mapPartitions"),
       s"expected the kernel form above ExpressionAssignMaxC:\n$p")
   }
+
+  test("nb classifier: seed tokenizes once (checkpointed model), totals broadcast") {
+    val df = SparkEntry.queries("nb1_nb_classifier")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the (term, cnt_<c>) model frame is behind ONE lazy localCheckpoint,
+    // so the only explode left in the visible plan is the corpus tokenize
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed nb model scan:\n$p")
+    assert("Generate explode".r.findAllIn(p).length == 1,
+      s"seed tokenize pipeline leaked out of the checkpoint:\n$p")
+    // the 1-row totals×priors frame enters the scoring projection as a
+    // broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast of the 1-row totals frame:\n$p")
+  }
 }
