@@ -138,4 +138,43 @@ object Classifier {
     }.otherwise(lit(ordered.head))
     scored.withColumn("predicted", predicted)
   }
+
+  /** Classifier-driven importance resampling (the DSIR / GPT-3 App. A
+    * data-selection step: keep in-distribution documents with high
+    * probability, out-of-distribution ones with exponentially decaying
+    * probability instead of a hard cut). Over an [[nbScore]] output:
+    *   margin(d) = (score_target − max_{o≠target} score_o) / n_scored
+    * (length-normalized log-odds per token — a 400-token document and a
+    * 40-token one with the same per-token evidence get the same keep
+    * probability), then
+    *   p_keep(d) = min(1, exp((margin − tau) / temperature))
+    * and the lottery is the deterministic per-doc hash bucket
+    * ([[Sampling.hashBucket]] — reproducible, partition-independent, a
+    * pure scan-side filter: no shuffle, no RNG state, rerunnable at any
+    * parallelism). Output: the kept roster with margin/p_keep (6 dp).
+    *
+    * Float parity: margin is arithmetic over the ROUNDED score columns
+    * (IEEE ops on identical doubles — deterministic across engines);
+    * exp() is library-dependent so p_keep is rounded 6 dp BEFORE the
+    * bucket comparison, which both engines then evaluate on identical
+    * numbers. */
+  def importanceResample(scored: DataFrame, targetClass: String,
+                         classes: Seq[String], seed: Long,
+                         tau: Double = 0.0,
+                         temperature: Double = 1.0): DataFrame = {
+    val others = classes.filterNot(_ == targetClass)
+    require(others.nonEmpty, "importanceResample: need at least one non-target class")
+    require(temperature > 0.0, "importanceResample: temperature must be positive")
+    val best = others.map(o => col(score(o))) match {
+      case Seq(only) => only
+      case cols      => greatest(cols: _*)
+    }
+    val margin = (col(score(targetClass)) - best) / col("n_scored")
+    val pKeep = round(least(exp((margin - lit(tau)) / lit(temperature)), lit(1.0)), 6)
+    scored
+      .withColumn("margin", round(margin, 6))
+      .withColumn("p_keep", pKeep)
+      .filter(Sampling.hashBucket(col("doc_id"), seed) <
+        col("p_keep") * Sampling.Buckets)
+  }
 }

@@ -18,6 +18,11 @@ object ClassifierQueries {
 
   private val Langs = Seq("de", "en", "es", "fr", "zh")
 
+  /** Hash-lottery seed for the nb3 resampling gate (aux `b_resample`). */
+  val ResampleSeed = 3001L
+  private val ResampleTau = 0.02
+  private val ResampleTemp = 0.02
+
   private def seedDocs(s: SparkSession, d: String): DataFrame =
     documents(s, d).filter(col("doc_id") % 2 === 0)
 
@@ -39,13 +44,27 @@ object ClassifierQueries {
         s.read.parquet(s"$dir/stats"), s.read.parquet(s"$dir/priors"),
         "doc_id", "text", Langs)
         .orderBy(col("doc_id"))
+    },
+
+    // DSIR/GPT-3-style data selection: keep by hash lottery against
+    // exp((per-token en-vs-rest margin - tau) / T). Pins every kept
+    // doc's margin, keep probability, and the lottery decision itself.
+    "nb3_importance_resample" -> { (s, d) =>
+      val scored = Classifier.nbScore(documents(s, d), seedDocs(s, d),
+        "doc_id", "text", "lang", Langs)
+      Classifier.importanceResample(scored, "en", Langs, ResampleSeed,
+        tau = ResampleTau, temperature = ResampleTemp)
+        .select(col("doc_id"), col("n_scored"), col("margin"),
+          col("p_keep"), col("predicted"))
+        .orderBy(col("doc_id"))
     }
   )
 
   /** The full NB derivation in SQL: seed token counts pivoted wide by
     * class, 1-row totals/priors, per-doc ln-sums, rounded scores, and
-    * the same alphabetical-tie-break argmax CASE chain. */
-  private val nbSql: String = {
+    * the same alphabetical-tie-break argmax CASE chain. Split into the
+    * CTE chain + the argmax CASE so nb3 can extend the derivation. */
+  private val (nbCtes, predCase) = {
     val toks = TextQueries.toksSql
     val cntCols = Langs.map(c =>
       s"sum(CASE WHEN lang = '$c' THEN 1 ELSE 0 END) AS cnt_$c").mkString(", ")
@@ -62,32 +81,62 @@ object ClassifierQueries {
         .map(o => s"score_$c >= score_$o").mkString(" AND ")
       s"WHEN $cond THEN '$c'"
     }.mkString(" ")
-    s"""WITH seed AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-       |stok AS (
-       |  SELECT lang, unnest(list_filter($toks, t -> len(t) > 0)) AS term
-       |  FROM seed),
-       |stats AS (SELECT term, $cntCols FROM stok GROUP BY 1),
-       |totals AS (SELECT count(*) AS n_vocab, $totCols FROM stats),
-       |priors AS (SELECT count(*) AS n_seed, $ndCols FROM seed),
-       |ctok AS (
-       |  SELECT doc_id, unnest(list_filter($toks, t -> len(t) > 0)) AS term
-       |  FROM documents),
-       |tf AS (SELECT doc_id, term, count(*) AS tf FROM ctok GROUP BY 1, 2),
-       |perdoc AS (
-       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_scored, $slCols
-       |  FROM tf JOIN stats USING (term) GROUP BY doc_id),
-       |scored AS (
-       |  SELECT doc_id, n_scored,
-       |    $scoreCols
-       |  FROM perdoc, totals, priors)
+    val ctes =
+      s"""WITH seed AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |stok AS (
+         |  SELECT lang, unnest(list_filter($toks, t -> len(t) > 0)) AS term
+         |  FROM seed),
+         |stats AS (SELECT term, $cntCols FROM stok GROUP BY 1),
+         |totals AS (SELECT count(*) AS n_vocab, $totCols FROM stats),
+         |priors AS (SELECT count(*) AS n_seed, $ndCols FROM seed),
+         |ctok AS (
+         |  SELECT doc_id, unnest(list_filter($toks, t -> len(t) > 0)) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM ctok GROUP BY 1, 2),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_scored, $slCols
+         |  FROM tf JOIN stats USING (term) GROUP BY doc_id),
+         |scored AS (
+         |  SELECT doc_id, n_scored,
+         |    $scoreCols
+         |  FROM perdoc, totals, priors)""".stripMargin
+    (ctes, s"CASE $predCases ELSE '${Langs.min}' END")
+  }
+
+  private val nbSql =
+    s"""$nbCtes
        |SELECT doc_id, n_scored, ${Langs.map(c => s"score_$c").mkString(", ")},
-       |  CASE $predCases ELSE '${Langs.min}' END AS predicted
+       |  $predCase AS predicted
        |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** nb3: the nb1 derivation extended by the length-normalized margin,
+    * exp keep probability (rounded 6 dp BEFORE the lottery, the engine
+    * contract), and the aux hash-bucket lottery. */
+  private val nb3Sql = {
+    val otherMax = s"greatest(${Langs.filterNot(_ == "en")
+      .map(c => s"score_$c").mkString(", ")})"
+    s"""$nbCtes,
+       |marg AS (
+       |  SELECT doc_id, n_scored,
+       |    (score_en - $otherMax) / n_scored AS m_raw,
+       |    $predCase AS predicted
+       |  FROM scored),
+       |kept AS (
+       |  SELECT m.doc_id, m.n_scored, round(m.m_raw, 6) AS margin,
+       |    round(least(exp((m.m_raw - $ResampleTau) / $ResampleTemp), 1.0), 6) AS p_keep,
+       |    m.predicted
+       |  FROM marg m
+       |  JOIN read_parquet('__AUX__/ds_doc_hash/*.parquet') a USING (doc_id)
+       |  WHERE a.b_resample <
+       |    round(least(exp((m.m_raw - $ResampleTau) / $ResampleTemp), 1.0), 6) * 1000000)
+       |SELECT doc_id, n_scored, margin, p_keep, predicted
+       |FROM kept ORDER BY doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
     "nb1_nb_classifier" -> nbSql,
     // the store gate must equal a from-scratch retrain — same SQL.
-    "nb2_nb_from_store" -> nbSql
+    "nb2_nb_from_store" -> nbSql,
+    "nb3_importance_resample" -> nb3Sql
   )
 }

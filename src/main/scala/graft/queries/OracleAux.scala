@@ -71,7 +71,8 @@ object OracleAux {
         hashBucket(col("doc_id"), DatasetQueries.TempSeed).as("b_temp"),
         hashBucket(col("doc_id"), DatasetQueries.SplitSeed).as("b_split"),
         xxhash64(col("doc_id"), lit(777L)).as("h_shuffle"),
-        xxhash64(col("doc_id"), lit(DatasetQueries.QuotaSeed)).as("h_quota"))
+        xxhash64(col("doc_id"), lit(DatasetQueries.QuotaSeed)).as("h_quota"),
+        hashBucket(col("doc_id"), ClassifierQueries.ResampleSeed).as("b_resample"))
     }
   )
 }

@@ -73,6 +73,39 @@ class ClassifierSpec extends SparkSpec {
     assert(fresh == stored)
   }
 
+  test("importance resampling: lottery matches a driver-side recompute") {
+    import graft.operators.{Classifier, Sampling}
+    val corpus = Seq(10L -> "x y", 11L -> "z z y", 12L -> "x", 13L -> "y z z",
+      14L -> "x x y z").map { case (i, t) => (i, t) }.toDF("doc_id", "text")
+    val scored = nb(corpus)
+    val kept = Classifier.importanceResample(scored, "a", Seq("a", "b"),
+      seed = 42L, tau = 0.0, temperature = 0.05)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("p_keep"), r.getAs[Double]("margin"))).toMap
+    // independent recompute: collected scores -> math.exp -> bucket rule
+    val buckets = corpus.select($"doc_id",
+      Sampling.hashBucket($"doc_id", 42L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = scored.collect().flatMap { r =>
+      val id = r.getAs[Long]("doc_id")
+      val m = (r.getAs[Double]("score_a") - r.getAs[Double]("score_b")) /
+        r.getAs[Long]("n_scored")
+      val p = BigDecimal(math.min(math.exp(m / 0.05), 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (buckets(id) < p * Sampling.Buckets) Some(id -> p) else None
+    }.toMap
+    assert(kept.keySet == expected.keySet)
+    kept.foreach { case (id, (p, _)) => assert(p == expected(id)) }
+  }
+
+  test("importance resampling: margin at or above tau keeps unconditionally") {
+    import graft.operators.Classifier
+    val corpus = Seq((10L, "x x x x")).toDF("doc_id", "text") // pure class-a evidence
+    val r = Classifier.importanceResample(nb(corpus), "a", Seq("a", "b"),
+      seed = 7L, tau = -10.0, temperature = 1.0).collect()
+    assert(r.length == 1 && r.head.getAs[Double]("p_keep") == 1.0)
+  }
+
   test("training counts pivot wide and sum to the class token totals") {
     val stats = Classifier.nbTermStats(seed, "text", "lang", Seq("a", "b"))
       .collect().map(r => r.getAs[String]("term") ->
