@@ -30,12 +30,16 @@ import graft.functions.TextAnalysis
   *  - the class totals (T_c, |V|) and priors (nd_c, n_seed) are 1-row
   *    aggregates broadcast into the scoring projection (O(C) driver-free
   *    scalars, the Lm totals pattern);
-  *  - scoring is termFreqs(corpus) ⋈ model on `term` — the model side is
-  *    vocabulary-sized, so AQE broadcasts it when it fits and falls back
-  *    to a term-keyed shuffle join when it doesn't (a 10⁷-term vocab is
-  *    still tiny next to the corpus); the corpus text itself never
-  *    shuffles — only (doc_id, term, tf) rows do — then ONE combinable
-  *    per-doc aggregate folds C running sums at once;
+  *  - scoring is explode ⋈ broadcast(model) on `term`, then ONE
+  *    combinable per-doc aggregate folding C running sums at once. The
+  *    model side is EXPLICITLY broadcast — it is the bounded side by
+  *    construction (|V|×C; measured 0.4 GB/7×10⁶ terms, and
+  *    [[nbTopVocab]] caps it for larger V the fastText way), and
+  *    broadcasting it means the corpus NEVER shuffles for the join:
+  *    token rows stay in their scan partition, the partial aggregate
+  *    collapses them to ~1 row per doc map-side, and the only
+  *    corpus-sized exchange carries C+1 numbers per document
+  *    (tools/NbVocabProbe measures this shape to 7.3M-term vocabs);
   *  - classes ride as COLUMNS end-to-end (C conditional sums per row),
   *    never as an explode factor — no C× row blow-up anywhere.
   *
@@ -66,6 +70,21 @@ object Classifier {
     val aggs = classes.map(c =>
       sum(when(col("label") === c, 1L).otherwise(0L)).as(cnt(c)))
     tok.groupBy(col("term")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Cap an [[nbTermStats]] model to its `k` highest-evidence terms
+    * (total count across classes, ties to the lexicographically first
+    * term — deterministic). The fastText-style vocabulary cap: keeps
+    * the broadcast model O(k) by construction for corpora whose raw
+    * vocabulary would not fit an executor. Plans as
+    * TakeOrderedAndProject (per-partition top-k, then a k-row merge —
+    * never a global sort of the vocabulary). Totals/|V| downstream are
+    * computed FROM the capped frame, so the smoothing denominators
+    * match the model actually applied. */
+  def nbTopVocab(stats: DataFrame, classes: Seq[String], k: Int): DataFrame = {
+    require(k > 0, "nbTopVocab: k must be positive")
+    stats.orderBy(classes.map(c => col(cnt(c))).reduce(_ + _).desc,
+      col("term").asc).limit(k)
   }
 
   /** Per-class seed doc counts + total: ONE 1-row aggregate over the
@@ -115,10 +134,21 @@ object Classifier {
         lit(s"nbScore: every class needs at least one seed document " +
           s"(classes: ${classes.mkString(", ")})")), lit(true)))
 
-    val tf = Ranking.termFreqs(corpus, idCol, textCol)
-    val slAggs = sum(col("tf")).as("n_scored") +:
-      classes.map(c => sum(col("tf") * log(col(cnt(c)) + lit(alpha))).as(sl(c)))
-    val perDoc = tf.join(stats, "term")
+    // scan → explode → broadcast-join the model → ONE doc-keyed
+    // aggregate. The model side is EXPLICITLY broadcast: it is bounded
+    // by construction (|V|×C — cap it with nbTopVocab for huge V) while
+    // the corpus side is O(data), and leaving the choice to size
+    // estimates was observed (tools/NbVocabProbe) to flip the build to
+    // the CORPUS side on stats-starved inputs. Token instances of one
+    // doc stay in their parent row's partition, so the partial
+    // aggregate collapses to ~1 row per doc map-side and the only
+    // corpus-sized exchange carries C+1 numbers per document — no
+    // (doc, term) tf exchange at all.
+    val toks = corpus.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val slAggs = count(lit(1)).as("n_scored") +:
+      classes.map(c => sum(log(col(cnt(c)) + lit(alpha))).as(sl(c)))
+    val perDoc = toks.join(broadcast(stats), "term")
       .groupBy(col("doc_id"))
       .agg(slAggs.head, slAggs.tail: _*)
 

@@ -106,6 +106,25 @@ class ClassifierSpec extends SparkSpec {
     assert(r.length == 1 && r.head.getAs[Double]("p_keep") == 1.0)
   }
 
+  test("nbTopVocab caps by total evidence with lexicographic tie-break") {
+    import graft.operators.Classifier
+    val stats = Classifier.nbTermStats(seed, "text", "lang", Seq("a", "b"))
+    // totals: x=2, y=2, z=1 -> k=1 keeps the tie's first term "x"
+    val top1 = Classifier.nbTopVocab(stats, Seq("a", "b"), 1)
+      .collect().map(_.getAs[String]("term")).toSeq
+    assert(top1 == Seq("x"))
+    // k=2 drops z; scoring then treats z as OOV and |V|/totals come
+    // from the capped frame (T_a=3, T_b=1, V=2)
+    val capped = Classifier.nbTopVocab(stats, Seq("a", "b"), 2)
+    val r = Classifier.nbScoreFromStats(
+      Seq((10L, "x y z")).toDF("doc_id", "text"), capped,
+      Classifier.nbPriors(seed, "lang", Seq("a", "b")),
+      "doc_id", "text", Seq("a", "b")).collect().head
+    assert(r.getAs[Long]("n_scored") == 2L)
+    val expA = math.log(0.5) + math.log(3.0) + math.log(2.0) - 2 * math.log(3.0 + 2.0)
+    assert(math.abs(r.getAs[Double]("score_a") - expA) < 1e-6)
+  }
+
   test("training counts pivot wide and sum to the class token totals") {
     val stats = Classifier.nbTermStats(seed, "text", "lang", Seq("a", "b"))
       .collect().map(r => r.getAs[String]("term") ->

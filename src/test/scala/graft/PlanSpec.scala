@@ -244,5 +244,12 @@ class PlanSpec extends SparkSpec {
     // broadcast, never a shuffle
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast of the 1-row totals frame:\n$p")
+    // the model side is the explicit build of the scoring join, and the
+    // only corpus-sized exchange is the per-doc aggregate — no
+    // (doc_id, term) tf exchange anywhere
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the broadcast model join:\n$p")
+    assert("hashpartitioning\\(doc_id#\\d+L?, term".r.findFirstIn(p).isEmpty,
+      s"scoring must not exchange (doc_id, term) tf rows:\n$p")
   }
 }
