@@ -57,6 +57,30 @@ object ClassifierQueries {
         .select(col("doc_id"), col("n_scored"), col("margin"),
           col("p_keep"), col("predicted"))
         .orderBy(col("doc_id"))
+    },
+
+    // classifier-in-the-loop curation: NB score -> importance resample
+    // -> exact dedup of the survivors -> per-predicted-class stats.
+    // Text for the dedup stage is joined BACK by doc_id rather than
+    // carried through scoring (the roster exchange stays C+1 numbers
+    // per doc; re-attaching text is one doc-keyed join against the
+    // original scan — the x10 pattern).
+    "cur4_curation_classifier" -> { (s, d) =>
+      val scored = Classifier.nbScore(documents(s, d), seedDocs(s, d),
+        "doc_id", "text", "lang", Langs)
+      val kept = Classifier.importanceResample(scored, "en", Langs,
+        ResampleSeed, tau = ResampleTau, temperature = ResampleTemp)
+      val withText = kept.select(col("doc_id"), col("n_scored"), col("predicted"))
+        .join(documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+      withText.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          min_by(col("predicted"), col("doc_id")).as("predicted"),
+          min_by(col("n_scored"), col("doc_id")).as("n_scored"))
+        .groupBy(col("predicted"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_scored")).as("total_tokens"),
+          min(col("keep_id")).as("min_keep_id"))
+        .orderBy(col("predicted"))
     }
   )
 
@@ -109,10 +133,10 @@ object ClassifierQueries {
        |  $predCase AS predicted
        |FROM scored ORDER BY doc_id""".stripMargin
 
-  /** nb3: the nb1 derivation extended by the length-normalized margin,
-    * exp keep probability (rounded 6 dp BEFORE the lottery, the engine
-    * contract), and the aux hash-bucket lottery. */
-  private val nb3Sql = {
+  /** nb1 extended by the length-normalized margin, exp keep probability
+    * (rounded 6 dp BEFORE the lottery, the engine contract), and the aux
+    * hash-bucket lottery — the shared CTE chain for nb3 and cur4. */
+  private val keptCtes = {
     val otherMax = s"greatest(${Langs.filterNot(_ == "en")
       .map(c => s"score_$c").mkString(", ")})"
     s"""$nbCtes,
@@ -128,15 +152,34 @@ object ClassifierQueries {
        |  FROM marg m
        |  JOIN read_parquet('__AUX__/ds_doc_hash/*.parquet') a USING (doc_id)
        |  WHERE a.b_resample <
-       |    round(least(exp((m.m_raw - $ResampleTau) / $ResampleTemp), 1.0), 6) * 1000000)
+       |    round(least(exp((m.m_raw - $ResampleTau) / $ResampleTemp), 1.0), 6) * 1000000)""".stripMargin
+  }
+
+  private val nb3Sql =
+    s"""$keptCtes
        |SELECT doc_id, n_scored, margin, p_keep, predicted
        |FROM kept ORDER BY doc_id""".stripMargin
-  }
+
+  private val cur4Sql =
+    s"""$keptCtes,
+       |wtext AS (
+       |  SELECT k.doc_id, k.n_scored, k.predicted, d.text
+       |  FROM kept k JOIN documents d USING (doc_id)),
+       |dedup AS (
+       |  SELECT text, min(doc_id) AS keep_id,
+       |    arg_min(predicted, doc_id) AS predicted,
+       |    arg_min(n_scored, doc_id) AS n_scored
+       |  FROM wtext GROUP BY text)
+       |SELECT predicted, count(*) AS n_docs,
+       |  CAST(sum(n_scored) AS BIGINT) AS total_tokens,
+       |  min(keep_id) AS min_keep_id
+       |FROM dedup GROUP BY predicted ORDER BY predicted""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "nb1_nb_classifier" -> nbSql,
     // the store gate must equal a from-scratch retrain — same SQL.
     "nb2_nb_from_store" -> nbSql,
-    "nb3_importance_resample" -> nb3Sql
+    "nb3_importance_resample" -> nb3Sql,
+    "cur4_curation_classifier" -> cur4Sql
   )
 }

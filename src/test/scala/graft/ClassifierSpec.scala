@@ -125,6 +125,51 @@ class ClassifierSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("score_a") - expA) < 1e-6)
   }
 
+  test("scoring an AvailableNow doc stream against the model store == batch") {
+    // the crawl-scoring production shape as a stream: new documents
+    // arrive as files, each micro-batch scores + resamples against the
+    // PERSISTED model via foreachBatch. Per-doc outputs depend only on
+    // the doc and the (fixed) model, so batching must not change the
+    // union — pinned against the one-shot batch run.
+    import graft.operators.Classifier
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val seedHalf = graft.Tables.documents(spark, d)
+      .filter(col("doc_id") % 2 === 0)
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val store = java.nio.file.Files.createTempDirectory("nb_store_s").toString
+    Classifier.nbTermStats(seedHalf, "text", "lang", langs)
+      .write.mode("overwrite").parquet(s"$store/stats")
+    Classifier.nbPriors(seedHalf, "lang", langs)
+      .write.mode("overwrite").parquet(s"$store/priors")
+    def scoreResample(batch: org.apache.spark.sql.DataFrame) =
+      Classifier.importanceResample(
+        Classifier.nbScoreFromStats(batch,
+          spark.read.parquet(s"$store/stats"),
+          spark.read.parquet(s"$store/priors"), "doc_id", "text", langs),
+        "en", langs, seed = 3001L, tau = 0.02, temperature = 0.02)
+        .select("doc_id", "p_keep", "predicted")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val deltaDir = java.nio.file.Files.createTempDirectory("nb_delta_s").toString
+    docs.repartition(5).write.mode("overwrite").parquet(deltaDir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, String)]
+    val q = spark.readStream
+      .schema(spark.read.parquet(deltaDir).schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(deltaDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= scoreResample(batch); ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_nb").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batchRun = scoreResample(docs)
+    assert(got.nonEmpty && got.sorted.toSeq == batchRun.sorted.toSeq)
+  }
+
   test("training counts pivot wide and sum to the class token totals") {
     val stats = Classifier.nbTermStats(seed, "text", "lang", Seq("a", "b"))
       .collect().map(r => r.getAs[String]("term") ->
