@@ -764,6 +764,63 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_sim")
   }
 
+  /** Character-level near-duplicate pairs: the [[minhashLshPairsShared]]
+    * band machinery for candidate generation, but verified by
+    * Levenshtein EDIT DISTANCE over the raw text instead of shingle
+    * Jaccard — the modality that ranks small in-place edits (typo
+    * fixes, template slot changes) by exact character cost, where
+    * n-gram Jaccard only sees "most shingles shared". Reference for
+    * the pattern: fuzzy URL/title matching stages in web-corpus
+    * pipelines.
+    *
+    * Output: (id_a, id_b, edit_dist), id_a < id_b, only pairs with
+    * edit_dist ≤ `maxDist` whose MinHash bands collide.
+    *
+    * Scale shape: candidates come from the banded sort-merge self-join
+    * (never all-pairs; signatures are sig-ONLY — no gram sets, the
+    * expensive half of the x3 frame, because verification reads text).
+    * Verification uses the THRESHOLD form of levenshtein — the banded
+    * O(maxDist·(|a|+|b|)) DP with early exit, not the full quadratic
+    * table — and texts are capped at `maxLen` chars first, so the
+    * per-pair cost is bounded by construction (the cap is part of the
+    * contract: two documents identical in their first `maxLen` chars
+    * compare equal — pick maxLen at the P99 doc length for exactness).
+    * Text attaches to candidates by two id-keyed joins (ids-only band
+    * join stays narrow — the x10 re-attach pattern). */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, n: Int = 3, bands: Int = 16,
+                        rowsPerBand: Int = 8, maxLen: Int = 2000): DataFrame = {
+    require(maxDist >= 0 && maxLen > 0, "editDistancePairs: bad bounds")
+    val numHashes = bands * rowsPerBand
+    val rows = tokenized(df, idCol, textCol).select(col("id"),
+      explode(shinglesFromTokens(col("__toks"), n)).as("g"))
+      .select(col("id"), TextAnalysis.tokenHash32(col("g")).as("h32"))
+    val agg = udaf(new MinhashArrayAgg(numHashes, hashParams(numHashes).toArray))
+    val sigs = rows.groupBy(col("id")).agg(agg(col("h32")).as("sig"))
+      .localCheckpoint(false)
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumn("bucket", xxhash64(col("band"), col("col").cast("string")))
+      .select("id", "band", "bucket")
+    val candidates = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .hint("merge")
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val texts = df.select(col(idCol).as("id"),
+      substring(col(textCol), 1, maxLen).as("t"))
+    candidates
+      .join(texts.select(col("id").as("id_a"), col("t").as("t_a")).hint("merge"), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("t").as("t_b")).hint("merge"), Seq("id_b"))
+      // threshold form: banded DP, returns -1 past maxDist
+      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("edit_dist") >= 0)
+      .select("id_a", "id_b", "edit_dist")
+  }
+
   /** Cross-corpus near-dup roster — "dedup split B against split A":
     * every `right` document whose MinHash bands collide with a `left`
     * document AND whose verified Jaccard clears `threshold` is reported

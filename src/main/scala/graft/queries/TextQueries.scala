@@ -214,6 +214,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // character-level near-dup: the x3 banding for candidates, verified
+    // by Levenshtein edit distance (threshold-form banded DP) over
+    // capped text — ranks small in-place edits by exact character cost.
+    "x13_edit_distance" -> { (s, d) =>
+      Dedup.editDistancePairs(nearDupCorpus(s, d), "doc_id", "text",
+        maxDist = 24, n = 3, bands = 16, rowsPerBand = 8, maxLen = 2000)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // SimHash near-dup pairs — 64-bit signatures, 7 bands so recall at
     // hamming <= 6 is pigeonhole-EXACT (no LSH luck in the gate result).
     "x4_simhash" -> { (s, d) =>
@@ -381,16 +390,24 @@ object TextQueries {
 
   /** Full x3 pair derivation in DuckDB (no final ORDER BY — reusable as
     * a CTE body by x6's component closure). */
-  private lazy val minhashPairsSql: String = {
+  /** Shared minhash lane + banding SQL (the x3 hash family) — used by
+    * the jaccard-verified pair mirror AND the edit-distance x13 gate. */
+  private lazy val minhashLanesSql: String = {
     val params = graft.operators.Dedup.hashParams(128)
     val prime = graft.operators.Dedup.MinhashPrime
-    val lanes = params.zipWithIndex.map { case ((a, b), i) =>
+    params.zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % $prime) AS m$i"
     }.mkString(", ")
-    val bandsSql = (0 until 16).map { b =>
+  }
+  private lazy val minhashBandedSql: String =
+    (0 until 16).map { b =>
       val cols = (0 until 8).map(r => s"m${b * 8 + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM sigs"
     }.mkString(" UNION ALL ")
+
+  private lazy val minhashPairsSql: String = {
+    val lanes = minhashLanesSql
+    val bandsSql = minhashBandedSql
     s"""WITH h32 AS (
        |  SELECT doc_id, h FROM read_parquet('__AUX__/x3_gram_h32/*.parquet')),
        |g64 AS (
@@ -656,6 +673,27 @@ object TextQueries {
     // DuckDB over Spark-dumped shingle hashes — the 128-lane family,
     // 16×8 banding, candidate join, and threshold all cross-checked.
     "x3_minhash_lsh" -> s"$minhashPairsSql\nORDER BY id_a, id_b",
+
+    // x13: same banded candidates (aux gram hashes -> lanes -> bands),
+    // verified by DuckDB's own levenshtein over the same capped text.
+    "x13_edit_distance" ->
+      s"""WITH $corpusSql,
+         |h32 AS (
+         |  SELECT doc_id, h FROM read_parquet('__AUX__/x3_gram_h32/*.parquet')),
+         |sigs AS (SELECT doc_id, $minhashLanesSql FROM h32 GROUP BY doc_id),
+         |banded AS ($minhashBandedSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |t AS (SELECT doc_id, substr(text, 1, 2000) AS t FROM corpus)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(levenshtein(ta.t, tb.t) AS INT) AS edit_dist
+         |FROM cand c
+         |JOIN t ta ON ta.doc_id = c.id_a
+         |JOIN t tb ON tb.doc_id = c.id_b
+         |WHERE levenshtein(ta.t, tb.t) <= 24
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // x6: connected components over the x3 pair list — the oracle closes
     // the SAME pairs transitively (recursive CTE; labels = min reachable

@@ -460,4 +460,44 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert("Exchange".r.findAllIn(plan).size == 2, plan)
   }
+
+  test("edit-distance pairs: distances exact, threshold enforced, dups at 0") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val docs = Seq(
+      1L -> base,
+      2L -> base,                                  // exact dup -> dist 0
+      3L -> (base.dropRight(1) + "X"),             // one substitution -> dist 1
+      4L -> (base + "tail change of many many many many many chars here"),
+      5L -> "completely different text with no shared shingles at all")
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 2L)) == 0, "exact duplicates must report distance 0")
+    assert(got((1L, 3L)) == 1 && got((2L, 3L)) == 1)
+    // doc 4 band-collides with 1/2/3 (90% shared shingles) but its
+    // 50+-char tail puts it past maxDist; doc 5 shares no bands at all
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+    assert(!got.keys.exists { case (a, b) => a == 5L || b == 5L })
+    // distances match an independent plain-JVM recompute
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    got.foreach { case ((a, b), dist) => assert(dist == lev(texts(a), texts(b))) }
+  }
+
+  test("edit-distance pairs: the maxLen cap is the comparison window") {
+    val shared = "one two three four five six seven eight nine ten " * 3
+    val docs = Seq(1L -> (shared + "ending A"), 2L -> (shared + "different Z"))
+      .toDF("doc_id", "text")
+    // cap INSIDE the shared prefix -> the differing tails are invisible
+    val capped = Dedup.editDistancePairs(docs, "doc_id", "text",
+      maxDist = 5, maxLen = 100).collect()
+    assert(capped.length == 1 && capped.head.getInt(2) == 0)
+  }
 }
