@@ -123,6 +123,60 @@ object TextAnalysis {
   def distinctStopwordCount(c: Column): Column =
     size(filter(array_distinct(tokens(c)), t => t.isin(Stopwords.map(lit): _*)))
 
+  /** Common mojibake repairs (UTF-8 bytes decoded as cp1252/latin-1 —
+    * the ftfy top table). Literal, ordered replacements: each key is a
+    * distinct 2–3 char sequence, none a prefix of another, so chain
+    * order is immaterial within the table ("à" mojibakes to Ã + NBSP —
+    * the NBSP is the encoded byte, not punctuation, which is why the
+    * entry repairs it here, before [[PunctNormalizations]] ever sees
+    * it). Shared verbatim with the DuckDB oracle (the SQL is GENERATED
+    * from this table). */
+  val MojibakeFixes: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“",
+    "â€“" -> "–", "â€”" -> "—", "â€¦" -> "…",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó",
+    "Ã±" -> "ñ", "Ã¼" -> "ü", "Ã¶" -> "ö", "Ã¤" -> "ä", "Ã " -> "à")
+
+  /** Unicode punctuation → ASCII normalizations (curly quotes, dashes,
+    * ellipsis, NBSP). Applied AFTER [[MojibakeFixes]], so a repaired
+    * curly quote normalizes straight in the same pass. */
+  val PunctNormalizations: Seq[(String, String)] = Seq(
+    "’" -> "'", "‘" -> "'", "“" -> "\"", "”" -> "\"",
+    "–" -> "-", "—" -> "-", "…" -> "...", " " -> " ")
+
+  /** Literal (non-regex) replacement as a Column op — quoted pattern +
+    * quoted replacement ≡ SQL replace(). */
+  def replaceLit(c: Column, from: String, to: String): Column =
+    regexp_replace(c, java.util.regex.Pattern.quote(from),
+      java.util.regex.Matcher.quoteReplacement(to))
+
+  /** C0/C1-ish control characters (keeps \t \n \r — whitespace handles
+    * them) — written as an explicit class identical in Java regex/RE2. */
+  val ControlCharClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  def fixMojibake(c: Column): Column =
+    MojibakeFixes.foldLeft(c) { case (acc, (from, to)) => replaceLit(acc, from, to) }
+
+  def normalizePunct(c: Column): Column =
+    PunctNormalizations.foldLeft(c) { case (acc, (from, to)) => replaceLit(acc, from, to) }
+
+  def stripControlChars(c: Column): Column =
+    regexp_replace(c, ControlCharClass, "")
+
+  /** Collapse whitespace runs to single spaces and trim. */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** The full cleanup pass a web corpus gets before anything else reads
+    * it (the ftfy + C4 hygiene stage): mojibake repair → punctuation
+    * normalization → control-char strip → whitespace collapse. Pure
+    * Column expression chain — one projection, zero shuffle, codegen'd;
+    * the ORDER is the contract (repair before normalize, so repaired
+    * curly quotes straighten; control-strip before whitespace, so a
+    * control char flanked by spaces collapses to one space). */
+  def cleanText(c: Column): Column =
+    normalizeWhitespace(stripControlChars(normalizePunct(fixMojibake(c))))
+
   private val FpPrime = 1000000007L
 
   /** 32-bit-domain token hash (xxhash64 truncated) — keeps the rolling

@@ -214,6 +214,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ftfy-style text hygiene: mojibake repair -> punctuation
+    // normalization -> control strip -> whitespace collapse, pinned
+    // char-for-char over a deterministically-dirtied corpus (both
+    // engines build the SAME dirty text, so the repair itself is what
+    // hashes).
+    "t11_text_clean" -> { (s, d) =>
+      import TextAnalysis.replaceLit
+      val dirty = concat(
+        replaceLit(replaceLit(replaceLit(col("text"),
+          "table", "tÃ¡ble"), "query", "â€œquery"), "the", "thÃ©"),
+        lit(DirtyTail))
+      documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.cleanText(dirty).as("cleaned"),
+        length(dirty).as("n_before"),
+        length(TextAnalysis.cleanText(dirty)).as("n_after"))
+        .orderBy(col("doc_id"))
+    },
+
     // character-level near-dup: the x3 banding for candidates, verified
     // by Levenshtein edit distance (threshold-form banded DP) over
     // capped text — ranks small in-place edits by exact character cost.
@@ -337,6 +356,25 @@ object TextQueries {
   private[graft] val toksSql = "string_split_regex(trim(text), '\\s+')"
   private val punctSql =
     """(length(text) - length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g')))"""
+
+  /** Deterministic dirt appended to every doc for the t11 gate: a bell
+    * control char, an NBSP-spaced run, and a mojibake ellipsis. */
+  private[graft] val DirtyTail = " spaced out   tail â€¦"
+
+  /** t11 oracle fragments GENERATED from the TextAnalysis fix tables —
+    * single source of truth, the tables cannot diverge from the SQL. */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+  private lazy val cleanTextSql: String = {
+    val moji = TextAnalysis.MojibakeFixes.foldLeft("dirty") {
+      case (acc, (f, t)) => s"replace($acc, ${sqlLit(f)}, ${sqlLit(t)})"
+    }
+    val punct = TextAnalysis.PunctNormalizations.foldLeft(moji) {
+      case (acc, (f, t)) => s"replace($acc, ${sqlLit(f)}, ${sqlLit(t)})"
+    }
+    val ctrl = s"regexp_replace($punct, '${TextAnalysis.ControlCharClass}', '', 'g')"
+    s"trim(regexp_replace($ctrl, '\\s+', ' ', 'g'))"
+  }
 
   /** DuckDB mirror of Dedup.shingles(text, 3) + blocking key. */
   private val corpusSql =
@@ -673,6 +711,18 @@ object TextQueries {
     // DuckDB over Spark-dumped shingle hashes — the 128-lane family,
     // 16×8 banding, candidate join, and threshold all cross-checked.
     "x3_minhash_lsh" -> s"$minhashPairsSql\nORDER BY id_a, id_b",
+
+    // t11: the same dirty construction, the same fix tables (SQL
+    // generated from them), DuckDB's own replace/regexp/trim chain.
+    "t11_text_clean" -> {
+      val dirtySql = "replace(replace(replace(text, 'table', 'tÃ¡ble'), " +
+        "'query', 'â€œquery'), 'the', 'thÃ©') || " + sqlLit(DirtyTail)
+      s"""WITH d AS (SELECT doc_id, $dirtySql AS dirty FROM documents)
+         |SELECT doc_id, $cleanTextSql AS cleaned,
+         |  CAST(length(dirty) AS INT) AS n_before,
+         |  CAST(length($cleanTextSql) AS INT) AS n_after
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
 
     // x13: same banded candidates (aux gram hashes -> lanes -> bands),
     // verified by DuckDB's own levenshtein over the same capped text.

@@ -461,6 +461,29 @@ class TextDedupSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 2, plan)
   }
 
+  test("cleanText truth table: mojibake, punct, controls, whitespace, order") {
+    def clean(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.cleanText($"t")).collect().head.getString(0)
+    // mojibake repairs land the intended char, then normalize to ASCII
+    assert(clean("donâ€™t") == "don't")
+    assert(clean("caffÃ©") == "caffé")
+    assert(clean("Ã  bientÃ´t".replace("Ã´", "Ã³")) == "à bientót")
+    // wait-free ellipsis chain: mojibake … then punct -> "..."
+    assert(clean("endâ€¦") == "end...")
+    // already-clean curly quotes straighten (punct table on its own)
+    assert(clean("“quoted”") == "\"quoted\"")
+    assert(clean("em—dash en–dash") == "em-dash en-dash")
+    // control chars vanish; flanking spaces collapse to one
+    assert(clean("a \u0007 b\u0000c") == "a bc")
+    // NBSP is whitespace-normalized via the punct table
+    assert(clean("a\u00a0b") == "a b")
+    // whitespace runs collapse, ends trim
+    assert(clean("  a \t\n b  ") == "a b")
+    // clean text is a fixpoint
+    val s = "plain ascii text, nothing to fix."
+    assert(clean(s) == s && clean(clean("donâ€™t")) == clean("donâ€™t"))
+  }
+
   test("edit-distance pairs: distances exact, threshold enforced, dups at 0") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     val docs = Seq(
