@@ -786,11 +786,24 @@ object Dedup {
     * contract: two documents identical in their first `maxLen` chars
     * compare equal — pick maxLen at the P99 doc length for exactness).
     * Text attaches to candidates by two id-keyed joins (ids-only band
-    * join stays narrow — the x10 re-attach pattern). */
+    * join stays narrow — the x10 re-attach pattern).
+    *
+    * Skew guard: like every banded self-join (the x2/x3 data term), a
+    * bucket holding B ids emits B²/2 candidates — on zipf-shaped
+    * corpora a 10⁶-copy boilerplate doc would put its whole cluster in
+    * ONE bucket per band. `maxBucketSize` DROPS buckets larger than
+    * the bound before the self-join (deterministic — a bucket is in or
+    * out wholesale, never sampled): oversized buckets are exact-dup
+    * mega-clusters by construction, which the pipeline's x1 pass
+    * already handles at O(B); run exact dedup first, then near-dup
+    * with the guard on. Default unbounded (the gate arm — exact over
+    * the gate corpora). */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int, n: Int = 3, bands: Int = 16,
-                        rowsPerBand: Int = 8, maxLen: Int = 2000): DataFrame = {
-    require(maxDist >= 0 && maxLen > 0, "editDistancePairs: bad bounds")
+                        rowsPerBand: Int = 8, maxLen: Int = 2000,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0 && maxLen > 0 && maxBucketSize > 1,
+      "editDistancePairs: bad bounds")
     val numHashes = bands * rowsPerBand
     val rows = tokenized(df, idCol, textCol).select(col("id"),
       explode(shinglesFromTokens(col("__toks"), n)).as("g"))
@@ -798,12 +811,21 @@ object Dedup {
     val agg = udaf(new MinhashArrayAgg(numHashes, hashParams(numHashes).toArray))
     val sigs = rows.groupBy(col("id")).agg(agg(col("h32")).as("sig"))
       .localCheckpoint(false)
-    val banded = sigs.select(col("id"),
+    val bandedRaw = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumn("bucket", xxhash64(col("band"), col("col").cast("string")))
       .select("id", "band", "bucket")
+    // bucket-size guard: a count window over the (band, bucket)
+    // exchange the self-join needs anyway — no extra corpus shuffle
+    val banded =
+      if (maxBucketSize == Int.MaxValue) bandedRaw
+      else bandedRaw.withColumn("__bs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bucket"))))
+        .filter(col("__bs") <= maxBucketSize)
+        .drop("__bs")
     val candidates = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
       .hint("merge")
       .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")),

@@ -230,6 +230,21 @@ class PlanSpec extends SparkSpec {
       s"expected the kernel form above ExpressionAssignMaxC:\n$p")
   }
 
+  test("x13: checkpointed signatures, band self-join reuses its exchange") {
+    val df = SparkEntry.queries("x13_edit_distance")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the (id, sig) frame is behind ONE lazy localCheckpoint: the
+    // tokenize+shingle explode never appears in the visible plan, and
+    // both band-join legs read the same exchange
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed signature scan:\n$p")
+    assert("ReusedExchange".r.findAllIn(p).nonEmpty,
+      s"band self-join must reuse its exchange:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"never broadcast a corpus-sized side:\n$p")
+  }
+
   test("nb classifier: seed tokenizes once (checkpointed model), totals broadcast") {
     val df = SparkEntry.queries("nb1_nb_classifier")(spark, d)
     df.collect()

@@ -514,6 +514,22 @@ class TextDedupSpec extends SparkSpec {
     got.foreach { case ((a, b), dist) => assert(dist == lev(texts(a), texts(b))) }
   }
 
+  test("edit-distance pairs: maxBucketSize drops mega-buckets wholesale") {
+    val boiler = "copy paste boiler plate text repeated verbatim everywhere " * 3
+    val near = "one two three four five six seven eight nine ten " * 3
+    val docs = (Seq.tabulate(5)(i => (i.toLong, boiler)) ++
+      Seq(10L -> near, 11L -> (near.dropRight(1) + "X"))).toDF("doc_id", "text")
+    // unbounded: the 5-clique (10 pairs at dist 0) plus the near pair
+    val all = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.size == 11 && all.contains((10L, 11L)))
+    // guard at 4: every band bucket of the 5-clique holds 5 ids -> the
+    // whole clique drops; the near pair (buckets of 2) survives intact
+    val guarded = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 5,
+      maxBucketSize = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == Set((10L, 11L)))
+  }
+
   test("edit-distance pairs: the maxLen cap is the comparison window") {
     val shared = "one two three four five six seven eight nine ten " * 3
     val docs = Seq(1L -> (shared + "ending A"), 2L -> (shared + "different Z"))
