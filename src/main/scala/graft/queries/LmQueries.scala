@@ -92,6 +92,30 @@ object LmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // TOKENIZER EVALUATION: per-language compression of the learned
+    // BPE (raw-token / bpe-token ratio) — the metric a tokenizer
+    // training run reports per corpus slice (fertility's inverse).
+    // Exact integer sums; the ratio is one IEEE division of exact
+    // longs, rounded 6 dp (the t4/t5 contract).
+    "v5_bpe_compression" -> { (s, d) =>
+      val merges = Lm.bpeMerges(documents(s, d), "doc_id", "text",
+          rounds = BpeRounds)
+        .orderBy(col("round")).collect().toSeq
+        .map { r =>
+          val Array(a, b) = r.getString(1).split(" ", 2)
+          (a, b)
+        }
+      Lm.bpeEncode(documents(s, d), "doc_id", "text", merges)
+        .join(documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens_raw")).as("raw_tokens"),
+          sum(col("n_tokens_bpe")).as("bpe_tokens"),
+          round(sum(col("n_tokens_raw")).cast("double") /
+            sum(col("n_tokens_bpe")), 6).as("compression"))
+        .orderBy(col("lang"))
+    },
+
     // blocked inverted index: term -> per-100-doc-id posting segments.
     "ii1_inverted_index" -> { (s, d) =>
       Lm.invertedIndex(documents(s, d), "doc_id", "text", blockSize = IndexBlock)
@@ -227,6 +251,19 @@ object LmQueries {
 
     "v3_bpe_merges" -> bpeMergesSql,
     "v4_bpe_encode" -> bpeEncodeSql,
+
+    // v5: the SAME training+encode chain, rolled up per language.
+    "v5_bpe_compression" ->
+      s"""WITH enc AS ($bpeEncodeSql),
+         |j AS (
+         |  SELECT e.doc_id, e.n_tokens_raw, e.n_tokens_bpe, d.lang
+         |  FROM enc e JOIN documents d USING (doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens_raw) AS BIGINT) AS raw_tokens,
+         |  CAST(sum(n_tokens_bpe) AS BIGINT) AS bpe_tokens,
+         |  round(CAST(sum(n_tokens_raw) AS DOUBLE) / sum(n_tokens_bpe), 6)
+         |    AS compression
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     // ii1: `//` truncates toward zero = Spark's `div` on the
     // non-negative doc-id domain; postings re-joined in doc-id order on

@@ -214,6 +214,23 @@ object ChunkedOraclePlan {
         (1 to rounds).map(r =>
           s"SELECT CAST($r AS INT) AS round, pair, n FROM read_parquet('$workDir/bpe_w_$r.parquet')")
           .mkString("\nUNION ALL ") + "\nORDER BY round"
+      case "v5" =>
+        s"""WITH t0 AS (SELECT * FROM read_parquet('$workDir/bpe_t0_*.parquet')),
+           |tR AS (SELECT * FROM read_parquet('$workDir/bpe_t${rounds}_*.parquet')),
+           |enc AS (
+           |  SELECT t0.doc_id,
+           |    CAST(len(t0.tk) AS INT) AS n_tokens_raw,
+           |    CAST(COALESCE(len(tR.tk), len(t0.tk)) AS INT) AS n_tokens_bpe
+           |  FROM t0 LEFT JOIN tR USING (doc_id)),
+           |j AS (
+           |  SELECT e.doc_id, e.n_tokens_raw, e.n_tokens_bpe, d.lang
+           |  FROM enc e JOIN documents d USING (doc_id))
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_tokens_raw) AS BIGINT) AS raw_tokens,
+           |  CAST(sum(n_tokens_bpe) AS BIGINT) AS bpe_tokens,
+           |  round(CAST(sum(n_tokens_raw) AS DOUBLE) / sum(n_tokens_bpe), 6)
+           |    AS compression
+           |FROM j GROUP BY lang ORDER BY lang""".stripMargin
       case _ =>
         s"""WITH t0 AS (SELECT * FROM read_parquet('$workDir/bpe_t0_*.parquet')),
            |tR AS (SELECT * FROM read_parquet('$workDir/bpe_t${rounds}_*.parquet'))
@@ -232,7 +249,7 @@ object ChunkedOraclePlan {
     val Array(auxDir, workDir, kStr, outJson) = args.take(4)
     val query = args.lift(4).getOrElse("x11")
     val (steps, finalSql) = query match {
-      case "v3" | "v4" => bpePlan(workDir, kStr.toInt, query)
+      case "v3" | "v4" | "v5" => bpePlan(workDir, kStr.toInt, query)
       case "x10"       => x10Plan(auxDir, workDir, kStr.toInt)
       case _           => x11Plan(auxDir, workDir, kStr.toInt)
     }
