@@ -87,6 +87,26 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // y8: FILTERED vector search — the defining production vector-store
+    // feature: top-k restricted to corpus rows satisfying a metadata
+    // predicate, served from ONE index built over the full corpus
+    // (centroids and query probing are filter-independent; the predicate
+    // lands on the candidate scan, so assignment is never recomputed per
+    // filter). Composition of the existing pieces: assign the filtered
+    // corpus against the full-corpus centroids, probe as usual.
+    "y8_ann_filtered" -> { (s, d) =>
+      import graft.operators.Ivf
+      val emb = embeddings(s, d)
+      val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", c = 16, stride = 7L)
+      val candidates = Ivf.assign(emb.filter(col("label").isin(1, 3)),
+        "vec_id", "embedding", cents)
+      Ivf.ivfTopKFromStore(candidates, cents,
+        emb.filter(col("vec_id").isin(QueryIds: _*)),
+        "vec_id", "embedding", k = 10, nprobe = 4)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // y7: the incremental ANN serving path — corpus assignment AND the
     // quantizer round-trip through a persisted parquet store (write +
     // read-back inside the gate, store IO included), then the query
@@ -389,6 +409,10 @@ object SimilarityQueries {
     // so the oracle IS y4's derivation (the x12 pinning pattern).
     "y7_ann_ivf_store" -> ivfOracleSql,
 
+    // y8: the SAME derivation with the metadata predicate on the
+    // candidate set only — centroids/probes identical to y4's.
+    "y8_ann_filtered" -> ivfOracle("b.label IN (1, 3)"),
+
     // y5: the whole PQ path in SQL — seed slicing into per-subspace
     // codebooks, argmin encoding (ties to smaller code), ADC as an
     // ORDERED fold over subspaces (list_reduce over list(dist ORDER BY
@@ -672,13 +696,18 @@ object SimilarityQueries {
   // selection (vec_id % 7 == 0, smallest 16), cosine-equivalent centroid
   // score dot(v,c)/|c| (zero-norm guard mirroring Ivf.centScore), argmax
   // assignment, nprobe probe lists, exact-cosine ranking.
-  private lazy val ivfOracleSql: String = {
+  private lazy val ivfOracleSql: String = ivfOracle("TRUE")
+
+  /** The IVF derivation with a corpus-side metadata predicate applied to
+    * the candidate set only (centroids and query probing stay
+    * filter-independent — the y8 one-index-many-filters contract). */
+  private def ivfOracle(corpusFilter: String): String = {
       // zero-norm guard mirrors Ivf.centScore (Ivf.scala): an all-zero
       // seed vector scores 0.0, never NULL/NaN — engine/oracle parity
       // must not hinge on the data containing no zero vectors
       val centScore = s"""CASE WHEN ${sqlNorm("s.cv")} > 0
          | THEN ${sqlDot("b.v", "s.cv")} / ${sqlNorm("s.cv")} ELSE 0.0 END""".stripMargin
-      s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+      s"""WITH base AS (SELECT vec_id, label, $dblEmb AS v FROM embeddings),
          |cents AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          |    v AS cv
@@ -693,7 +722,8 @@ object SimilarityQueries {
          |  FROM cscored),
          |assigned AS (
          |  SELECT b.vec_id, b.v, r.cid AS cluster_id
-         |  FROM base b JOIN cranked r ON r.vec_id = b.vec_id AND r.rn = 1),
+         |  FROM base b JOIN cranked r ON r.vec_id = b.vec_id AND r.rn = 1
+         |  WHERE $corpusFilter),
          |probes AS (
          |  SELECT vec_id AS query_id, cid AS cluster_id FROM cranked
          |  WHERE vec_id IN (${QueryIds.mkString(", ")}) AND rn <= 4),

@@ -200,4 +200,33 @@ class IvfSpec extends SparkSpec {
           e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
     }
   }
+
+  test("filtered search: neighbors satisfy the predicate; TRUE filter == y4 path") {
+    val qs = Seq(0L, 1L, 2L, 3L)
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", c = 8, stride = 7L)
+    val queries = emb.filter($"vec_id".isin(qs: _*))
+    def run(corpus: org.apache.spark.sql.DataFrame) =
+      Ivf.ivfTopKFromStore(Ivf.assign(corpus, "vec_id", "embedding", cents),
+        cents, queries, "vec_id", "embedding", k = 10, nprobe = 3)
+    // predicate holds on every returned neighbor
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val filtered = run(emb.filter($"label".isin(1, 3))).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(filtered.nonEmpty)
+    assert(filtered.forall { case (_, _, n) => Set(1, 3)(labels(n)) })
+    // a TRUE filter reproduces the unfiltered path exactly
+    val all = run(emb).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val viaIvfTopK = Ivf.ivfTopK(emb, "vec_id", "embedding", qs, k = 10,
+      c = 8, nprobe = 3).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(all.sorted == viaIvfTopK.sorted)
+    // filtering can only remove candidates: per (query, neighbor) hit
+    // in the filtered result, the neighbor also appears unfiltered only
+    // if it survived there — but every filtered neighbor's similarity
+    // can never exceed the unfiltered rank-1 of the same query
+    val bestAll = run(emb).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    run(emb.filter($"label".isin(1, 3))).collect()
+      .foreach(r => assert(r.getDouble(3) <= bestAll(r.getLong(0)) + 1e-12))
+  }
 }
