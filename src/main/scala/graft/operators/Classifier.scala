@@ -9,8 +9,10 @@ import graft.functions.TextAnalysis
   * large-scale curation pipeline runs (the CCNet / GPT-3 quality-
   * classifier and fastText language-ID shape: Wenzek et al. 2020 §4.4,
   * Brown et al. 2020 App. A). Reference analog: the pipeline's
-  * quality-grading pass (profiling/data_quality decision rules) —
-  * re-expressed as a LEARNED scorer rather than fixed thresholds.
+  * quality-grading pass (`dags/data_profiling/query/
+  * data_profiling_function.sql:23-26` — completeness percentage →
+  * GOOD/BAD grade) — re-expressed as a LEARNED scorer rather than
+  * fixed thresholds.
   *
   * Model: add-alpha multinomial NB over whitespace tokens.
   *   score(d, c) = ln(nd_c / n_seed)
