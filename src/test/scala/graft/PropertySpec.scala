@@ -198,4 +198,32 @@ class PropertySpec extends SparkSpec {
       assert(got == reference(docs), s"trial $trial diverged on $docs")
     }
   }
+
+  test("cleanText is idempotent and never widens on generated dirty strings") {
+    // strings seeded with the exact artifacts the pass repairs: mojibake
+    // digraphs, curly punctuation, control chars, NBSP, whitespace runs
+    val dirt = Gen.oneOf(
+      TextAnalysis.MojibakeFixes.map(_._1) ++
+        TextAnalysis.PunctNormalizations.map(_._1) ++
+        Seq("", " ", "  ", "\t", "\n", " word ", "a", "."))
+    val dirty: Gen[String] =
+      Gen.listOfN(12, dirt).map(_.mkString)
+    val inputs = Gen.listOfN(80, Gen.oneOf(dirty, weirdString))
+      .sample.getOrElse(Seq.fill(80)("x"))
+    val once = evalClean(TextAnalysis.cleanText, inputs)
+    val twice = evalClean(TextAnalysis.cleanText, once.map(_.orNull))
+    assert(once == twice, "cleanText must be a fixpoint after one pass")
+    inputs.zip(once).foreach { case (in, out) =>
+      // the only growing rule is ellipsis -> "..." (1 char -> 3)
+      assert(out.forall(_.length <= 3 * in.length.max(1)),
+        s"cleanup must not grow text past the ellipsis bound: '$in' -> '$out'")
+      // none of the repaired artifacts survive
+      out.foreach { o =>
+        TextAnalysis.MojibakeFixes.foreach { case (from, _) =>
+          assert(!o.contains(from), s"unrepaired mojibake '$from' in '$o'") }
+        assert(!o.exists(c => c < ' '), s"control char survived in '$o'")
+        assert(!o.contains("  "), s"whitespace run survived in '$o'")
+      }
+    }
+  }
 }
