@@ -94,7 +94,16 @@ final class BpeMergeKernel(mergeA: Array[String], mergeB: Array[String],
     val n = arr.numElements()
     val toks = new Array[String](n)
     var i = 0
-    while (i < n) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    while (i < n) {
+      // the SQL-registered form admits array<string> with nullable
+      // elements — fail with the diagnosis, not an NPE (round-14 advice)
+      val u = arr.getUTF8String(i)
+      require(u != null,
+        s"graft_bpe_encode: tokens array contains a null element at index $i" +
+          " — tokens must be non-null strings")
+      toks(i) = u.toString
+      i += 1
+    }
     UTF8String.fromString(encode(toks))
   }
 }
@@ -145,8 +154,13 @@ case class BpeEncode(tokens: Expression, merges: Expression, joiner: Expression)
       val pair = m.getArray(i)
       require(pair != null && pair.numElements() == 2,
         s"graft_bpe_encode: merge $i is not an [a, b] pair")
-      as(i) = pair.getUTF8String(0).toString
-      bs(i) = pair.getUTF8String(1).toString
+      val pa = pair.getUTF8String(0)
+      val pb = pair.getUTF8String(1)
+      require(pa != null && pb != null,
+        s"graft_bpe_encode: merge $i has a null side — both members of an" +
+          " [a, b] pair must be non-null strings")
+      as(i) = pa.toString
+      bs(i) = pb.toString
       i += 1
     }
     new BpeMergeKernel(as, bs,

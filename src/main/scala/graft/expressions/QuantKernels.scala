@@ -205,9 +205,16 @@ case class NearestCentroids(vec: Expression, cents: Expression, n: Expression)
     val norms = new Array[Double](c)
     var i = 0
     while (i < c) {
+      // SQL-callable form admits nullable elements — diagnose, don't NPE
+      // (the graft_bpe_encode convention; round-14 advice)
       val row = arr.getStruct(i, 3)
+      require(row != null, s"centroid $i is null — centroids must be " +
+        "non-null (cid, vector, norm) structs")
+      val vecArr = row.getArray(1)
+      require(!row.isNullAt(0) && vecArr != null && !row.isNullAt(2),
+        s"centroid $i has a null field — (cid, vector, norm) must all be set")
       ids(i) = row.getInt(0)
-      vecs(i) = row.getArray(1).toDoubleArray()
+      vecs(i) = vecArr.toDoubleArray()
       norms(i) = row.getDouble(2)
       i += 1
     }
@@ -290,11 +297,21 @@ object PqCodes {
     val arr = new Array[Array[Array[Double]]](m)
     var s = 0
     while (s < m) {
+      // SQL-callable form admits nullable elements — diagnose, don't NPE
+      // (the graft_bpe_encode convention; round-14 advice)
       val mid = outer.getArray(s)
+      require(mid != null, s"codebook subspace $s is null — codebooks " +
+        "must be non-null array<array<double>> per subspace")
       val ks = mid.numElements()
       val row = new Array[Array[Double]](ks)
       var c = 0
-      while (c < ks) { row(c) = mid.getArray(c).toDoubleArray(); c += 1 }
+      while (c < ks) {
+        val cent = mid.getArray(c)
+        require(cent != null, s"codebook centroid ($s, $c) is null — " +
+          "every centroid must be a non-null array<double>")
+        row(c) = cent.toDoubleArray()
+        c += 1
+      }
       arr(s) = row
       s += 1
     }

@@ -133,6 +133,12 @@ object TextAnalysis {
     * from this table). */
   val MojibakeFixes: Seq[(String, String)] = Seq(
     "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“",
+    // ” (U+201D) mojibakes to â€ + U+009D — the third byte (0x9D) is
+    // unmapped in cp1252 and survives as the raw C1 control, which is
+    // why this entry repairs it here, before [[stripControlChars]] eats
+    // the 9D and strands a bare "â€" residue (round-14 advice). The
+    // escape keeps the source file free of raw control bytes.
+    "â€\u009d" -> "”",
     "â€“" -> "–", "â€”" -> "—", "â€¦" -> "…",
     "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó",
     "Ã±" -> "ñ", "Ã¼" -> "ü", "Ã¶" -> "ö", "Ã¤" -> "ä", "Ã " -> "à")
@@ -150,9 +156,14 @@ object TextAnalysis {
     regexp_replace(c, java.util.regex.Pattern.quote(from),
       java.util.regex.Matcher.quoteReplacement(to))
 
-  /** C0/C1-ish control characters (keeps \t \n \r — whitespace handles
-    * them) — written as an explicit class identical in Java regex/RE2. */
-  val ControlCharClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  /** C0 (keeps \t \n \r — whitespace handles them) + DEL + the full C1
+    * block \x80-\x9F (round-14 advice: the earlier class stopped at DEL,
+    * so mojibake-borne C1 controls like the U+009D of a broken ” slipped
+    * through invisibly) — written as an explicit class identical in Java
+    * regex/RE2 (\xhh is a code point in both). Runs AFTER
+    * [[MojibakeFixes]], so repairs that consume a C1 byte (the â€+9D
+    * entry) see it intact. */
+  val ControlCharClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]"
 
   def fixMojibake(c: Column): Column =
     MojibakeFixes.foldLeft(c) { case (acc, (from, to)) => replaceLit(acc, from, to) }

@@ -49,7 +49,13 @@ import graft.functions.TextAnalysis
   * library-dependent, so per-doc scores are ROUNDED (6 dp) and the
   * predicted class is the argmax of the ROUNDED scores with
   * alphabetical tie-break (the t2 langId CASE-chain pattern) — both
-  * engines argmax identical numbers.
+  * engines argmax identical numbers. The per-doc ln-sum folds one
+  * ln(cnt+α) summand PER TOKEN INSTANCE on both sides (the oracle SQL
+  * unnests instances rather than weighting distinct terms by tf —
+  * round-14 advice), so the two engines sum the IDENTICAL multiset of
+  * doubles; only summation ORDER differs (Spark partial-agg order vs
+  * DuckDB scan order), which is the same few-ulp class as the ln note
+  * above and is absorbed by the 6-dp rounding.
   */
 object Classifier {
 

@@ -17,6 +17,15 @@ import graft.functions.TextAnalysis
   */
 object Dedup {
 
+  /** Raised when a components pass exhausts its iteration budget without
+    * reaching the verified fixpoint. A dedicated type (round-14 advice):
+    * [[clusters]]' shallow→star rescue dispatches on it, and matching by
+    * exception TYPE means rewording the message can never silently
+    * disable the fallback. Extends IllegalStateException so existing
+    * callers catching the broader type keep working. */
+  final class ComponentsDidNotConverge(msg: String)
+      extends IllegalStateException(msg)
+
   // ---- exact -------------------------------------------------------------
 
   /** Exact dedup on a (optionally normalized) text column: one row per
@@ -94,7 +103,7 @@ object Dedup {
     * labels, and the loop EXITS as soon as an iteration changes no label
     * — so the result is a verified fixpoint, never a silently split
     * cluster. A graph whose diameter exceeds `maxIters` raises
-    * `IllegalStateException` instead of returning wrong cluster ids
+    * [[ComponentsDidNotConverge]] instead of returning wrong cluster ids
     * (near-dup clusters are clique-ish, diameter 1-2, so the default
     * bound is generous; raise it for chain-shaped graphs — spec covers
     * both a converging path and a too-long chain that must throw).
@@ -183,7 +192,7 @@ object Dedup {
       labels = next.drop("__prev")
       it += 1
     }
-    if (!converged) throw new IllegalStateException(
+    if (!converged) throw new ComponentsDidNotConverge(
       s"components: min-label propagation did not converge in $maxIters " +
         "iterations — the pair graph has a component with diameter > " +
         s"$maxIters; raise maxIters (labels are monotone, extra iterations " +
@@ -218,12 +227,13 @@ object Dedup {
     else
       try components(pairs, aCol, bCol, maxIters = minLabelBudget)
       catch {
-        case e: IllegalStateException
-            if e.getMessage != null && e.getMessage.contains("not converge") =>
+        case _: ComponentsDidNotConverge =>
           // the caller's shallow assumption was wrong — rescue with the
           // O(log n)-round star path instead of failing the job. The
           // wasted budget is bounded: `minLabelBudget` min-label rounds
           // (~budget × the per-round cost) plus one upstream re-derivation.
+          // Dispatch is on the dedicated exception TYPE (round-14 advice) —
+          // a reworded message cannot silently disable the rescue.
           componentsAlternating(pairs, aCol, bCol)
       }
 
@@ -323,7 +333,7 @@ object Dedup {
       edges = next
       round += 1
     }
-    if (!converged) throw new IllegalStateException(
+    if (!converged) throw new ComponentsDidNotConverge(
       s"componentsAlternating: star alternation did not converge in " +
         s"$maxRounds rounds — rounds are O(log n), so this indicates a " +
         "pathological input (or raise maxRounds; star ops are idempotent " +

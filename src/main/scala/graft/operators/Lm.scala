@@ -241,14 +241,50 @@ object Lm {
     * consumer). For multi-hour production runs prefer `checkpoint()`
     * to reliable storage (executor loss invalidates local checkpoints).
     * `onRound` is a probe hook (round, phase, nanos) — a no-op by
-    * default, used by tools/BpeProbe to publish per-phase cost. */
+    * default, used by tools/BpeProbe to publish per-phase cost.
+    *
+    * TWO ARMS dispatched on round count (the bpeEncode literal/kernel
+    * pattern applied to training): delta maintenance made each
+    * distributed round CHEAP, but it is still one sequential Spark job
+    * per round — at a production 30k-50k-merge vocabulary that is hours
+    * of driver round-trips regardless of corpus size. Above
+    * [[DistributedTrainMaxRounds]] the public entry dispatches to
+    * [[bpeMergesSampled]] (driver-local merge loop over a bounded
+    * deterministic sample — the SentencePiece/HF industry shape);
+    * at or below it, the exact corpus-wide trainer below runs. The two
+    * arms are spec-pinned identical whenever the sample covers the
+    * corpus (LmSpec), which is true for every oracle-mirrored gate. */
   def bpeMerges(df: DataFrame, idCol: String, textCol: String,
                 rounds: Int = 3, joiner: String = "~"): DataFrame =
-    bpeMerges(df, idCol, textCol, rounds, joiner, (_, _, _) => ())
+    if (rounds <= DistributedTrainMaxRounds)
+      bpeMergesDistributed(df, idCol, textCol, rounds, joiner, (_, _, _) => ())
+    else
+      bpeMergesSampled(df, idCol, textCol, rounds, joiner)
 
-  private[graft] def bpeMerges(df: DataFrame, idCol: String, textCol: String,
-                               rounds: Int, joiner: String,
-                               onRound: (Int, String, Long) => Unit): DataFrame = {
+  /** Above this round count [[bpeMerges]] dispatches from the
+    * exact distributed trainer to [[bpeMergesSampled]]. The distributed
+    * arm is O(rounds) SEQUENTIAL Spark jobs (one top-1 collect per
+    * round — flat ~0.3-0.4 s/round at any corpus size, tools/BpeProbe),
+    * so a production 30k-50k-merge vocabulary would be hours of driver
+    * round-trips; the sampled arm distributes only the tokenize+sample
+    * and runs the merge loop driver-local (tools/BpeTrainProbe: the
+    * crossover is round-count-driven, not data-driven). 64 keeps every
+    * oracle-mirrored gate (3-12 rounds) on the exact SQL-expressible
+    * arm with wide margin. */
+  val DistributedTrainMaxRounds = 64
+
+  /** Bounded sample for [[bpeMergesSampled]] — the SentencePiece
+    * `input_sentence_size` convention. 200k docs × ~10² tokens ≈ 2×10⁷
+    * symbols of driver state: comfortably driver-resident, and merge
+    * statistics at this sample size are stable for vocabularies far
+    * beyond 50k merges (HF/SentencePiece train on samples of this
+    * order against TB-scale corpora). */
+  val DefaultTrainSampleDocs = 200000
+
+  private[graft] def bpeMergesDistributed(
+      df: DataFrame, idCol: String, textCol: String,
+      rounds: Int, joiner: String,
+      onRound: (Int, String, Long) => Unit): DataFrame = {
     require(rounds > 0, s"bpeMerges: rounds must be positive, got $rounds")
     val spark = df.sparkSession
     val sc = spark.sparkContext
@@ -323,6 +359,195 @@ object Lm {
     }
     drop(countIds); drop(curIds)
     picks.toSeq.toDF("round", "pair", "n")
+  }
+
+  /** BPE merge selection trained DRIVER-LOCAL on a bounded deterministic
+    * document sample — the arm that makes production round counts
+    * (30k-50k merges) feasible: the distributed trainer's per-round cost
+    * is one full Spark job round-trip (top-1 collect), so its wall time
+    * is O(rounds × job-latency) REGARDLESS of corpus size, while real
+    * tokenizer training (SentencePiece, HF tokenizers) runs the merge
+    * loop in-process over a bounded sample of the corpus. Shape:
+    *
+    *  1. ONE distributed pass tokenizes and samples: the `sampleDocs`
+    *     docs with the smallest (xxhash64(id), id) — deterministic,
+    *     reproducible at any parallelism, spread uniformly over the
+    *     corpus (hash order ≈ uniform sample, no id-locality bias), and
+    *     planned as TakeOrderedAndProject (per-partition top-k, then a
+    *     k-row merge — the corpus itself never moves);
+    *  2. the merge loop runs driver-local with delta-maintained pair
+    *     counts, a pair→docs occurrence index, and a lazy-deletion
+    *     max-heap — per round O(affected docs × doc length), no Spark
+    *     job at all (tools/BpeTrainProbe: ~10³-10⁴ rounds/s vs the
+    *     distributed arm's ~3 rounds/s).
+    *
+    * Semantics per round are EXACTLY the distributed arm's: count every
+    * adjacent pair occurrence (overlapping included), adopt the single
+    * most frequent (ties: pair ascending in UTF8-binary order — the
+    * heap comparator replicates Spark's unsigned-byte UTF8String
+    * ordering, which `String.compareTo` does NOT for supplementary
+    * characters), apply it greedy leftmost non-overlapping, repeat;
+    * stop early when no pairs remain. When `sampleDocs` covers the
+    * whole corpus the output is spec-pinned IDENTICAL to
+    * [[bpeMergesDistributed]] (LmSpec); on larger corpora `n` is the
+    * count within the sample — the standard statistical-training
+    * contract, which is why the oracle-mirrored gates all run the exact
+    * arm. Driver memory is O(sample tokens + distinct pairs), bounded
+    * by construction. */
+  def bpeMergesSampled(df: DataFrame, idCol: String, textCol: String,
+                       rounds: Int, joiner: String = "~",
+                       sampleDocs: Int = DefaultTrainSampleDocs): DataFrame = {
+    require(rounds > 0, s"bpeMergesSampled: rounds must be positive, got $rounds")
+    require(sampleDocs > 0,
+      s"bpeMergesSampled: sampleDocs must be positive, got $sampleDocs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs: Array[Array[String]] = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("t"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleDocs)
+      .select(col("t")).as[Seq[String]]
+      .collect().map(_.toArray)
+    trainLocal(docs, rounds, joiner).toDF("round", "pair", "n")
+  }
+
+  /** The driver-local merge loop behind [[bpeMergesSampled]] — exposed
+    * package-private so specs and tools/BpeTrainProbe can drive it on
+    * in-memory corpora. */
+  private[graft] def trainLocal(docs: Array[Array[String]], rounds: Int,
+                                joiner: String): Seq[(Int, String, Long)] = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    // pair key = "a b" — the distributed arm's exact key domain (tokens
+    // are whitespace-split, so the space delimiter is unambiguous)
+    val counts = new java.util.HashMap[String, Long]()
+    // occurrence index: pair -> doc indices that (may) contain it. A
+    // compact growable int array, NOT a BitSet — a BitSet allocates up
+    // to its highest set bit, so rare pairs landing in high-indexed
+    // docs would cost O(sampleDocs) bytes EACH (gigabytes across a
+    // web-scale pair vocabulary); the list costs O(incidences) total,
+    // bounded by the sample's token count. Entries may go stale (the
+    // doc no longer contains the pair) or duplicate — consumers verify
+    // against the live doc before applying.
+    final class IntList {
+      private[this] var a = new Array[Int](4)
+      private[this] var n = 0
+      def add(x: Int): Unit = {
+        if (n > 0 && a(n - 1) == x) return // consecutive-dup guard
+        if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+        a(n) = x; n += 1
+      }
+      def size: Int = n
+      def apply(i: Int): Int = a(i)
+    }
+    val occ = new java.util.HashMap[String, IntList]()
+    // lazy-deletion max-heap: every (count, pair) state is pushed when
+    // set; stale entries (count no longer current) are discarded on
+    // pop, so the first CURRENT entry popped is the true maximum under
+    // (n desc, pair asc). Pair order is unsigned UTF-8 byte comparison
+    // = Spark's UTF8String binary ordering.
+    final case class Entry(n: Long, bytes: Array[Byte], pair: String)
+    val cmp = new java.util.Comparator[Entry] {
+      override def compare(x: Entry, y: Entry): Int = {
+        if (x.n != y.n) return java.lang.Long.compare(y.n, x.n) // n desc
+        val a = x.bytes; val b = y.bytes
+        val lim = math.min(a.length, b.length)
+        var i = 0
+        while (i < lim) {
+          val d = (a(i) & 0xff) - (b(i) & 0xff)
+          if (d != 0) return d // pair asc
+          i += 1
+        }
+        a.length - b.length
+      }
+    }
+    val heap = new java.util.PriorityQueue[Entry](64, cmp)
+    def applyDelta(pair: String, delta: Long, docIdx: Int): Unit = {
+      val next = counts.getOrDefault(pair, 0L) + delta
+      if (next > 0L) {
+        counts.put(pair, next)
+        heap.add(Entry(next, pair.getBytes(UTF_8), pair))
+        if (docIdx >= 0)
+          occ.computeIfAbsent(pair, _ => new IntList).add(docIdx)
+      } else counts.remove(pair) // the distributed arm's filter(n > 0)
+    }
+    var di = 0
+    while (di < docs.length) {
+      val t = docs(di)
+      var i = 0
+      while (i < t.length - 1) { applyDelta(t(i) + " " + t(i + 1), 1L, di); i += 1 }
+      di += 1
+    }
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // pop stale entries until the head is current — or the corpus has
+      // no adjacent pairs left (the distributed arm's exhaustion exit)
+      var top: Entry = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.peek()
+        if (counts.getOrDefault(e.pair, 0L) == e.n) top = e
+        else heap.poll()
+      }
+      if (top == null) exhausted = true
+      else {
+        picks += ((r, top.pair, top.n))
+        if (r < rounds) {
+          val Array(a, b) = top.pair.split(" ", 2)
+          val merged = a + joiner + b
+          val hits = occ.remove(top.pair)
+          counts.remove(top.pair)
+          heap.poll() // drop the chosen head; its count is now gone
+          var hi = 0
+          while (hits != null && hi < hits.size) {
+            val idx = hits(hi)
+            locally {
+              val old = docs(idx)
+              // greedy leftmost non-overlapping — applyMergeStr's regex
+              // semantics (scan resumes after each match end)
+              var contains = false
+              var i = 0
+              while (!contains && i < old.length - 1) {
+                if (old(i) == a && old(i + 1) == b) contains = true
+                i += 1
+              }
+              if (contains) { // occ entries can be stale — verify first
+                val next = new Array[String](old.length)
+                var rpos = 0; var w = 0
+                while (rpos < old.length) {
+                  if (rpos + 1 < old.length && old(rpos) == a && old(rpos + 1) == b) {
+                    next(w) = merged; rpos += 2
+                  } else { next(w) = old(rpos); rpos += 1 }
+                  w += 1
+                }
+                val doc = new Array[String](w)
+                System.arraycopy(next, 0, doc, 0, w)
+                // per-doc pair delta: -old pairs, +new pairs, net zero
+                // entries skipped (no heap churn for untouched pairs)
+                val d = new java.util.HashMap[String, Long]()
+                i = 0
+                while (i < old.length - 1) {
+                  d.merge(old(i) + " " + old(i + 1), -1L, (x, y) => x + y); i += 1
+                }
+                i = 0
+                while (i < doc.length - 1) {
+                  d.merge(doc(i) + " " + doc(i + 1), 1L, (x, y) => x + y); i += 1
+                }
+                val it = d.entrySet().iterator()
+                while (it.hasNext) {
+                  val e = it.next()
+                  if (e.getValue != 0L) applyDelta(e.getKey, e.getValue, idx)
+                }
+                docs(idx) = doc
+              }
+            }
+            hi += 1
+          }
+        }
+      }
+      r += 1
+    }
+    picks.toSeq
   }
 
   /** Apply a LEARNED merge table to the corpus — the tokenizer

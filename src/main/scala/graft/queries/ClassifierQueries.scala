@@ -34,8 +34,7 @@ object ClassifierQueries {
     },
 
     "nb2_nb_from_store" -> { (s, d) =>
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_nb_store_${Integer.toHexString(d.hashCode)}").toString
+      val dir = StoreDirs.fresh("nb_store", d)
       Classifier.nbTermStats(seedDocs(s, d), "text", "lang", Langs)
         .write.mode("overwrite").parquet(s"$dir/stats")
       Classifier.nbPriors(seedDocs(s, d), "lang", Langs)
@@ -95,8 +94,13 @@ object ClassifierQueries {
     val totCols = Langs.map(c => s"sum(cnt_$c) AS t_$c").mkString(", ")
     val ndCols = Langs.map(c =>
       s"sum(CASE WHEN lang = '$c' THEN 1 ELSE 0 END) AS nd_$c").mkString(", ")
+    // per token INSTANCE, not tf·ln per distinct term: the engine sums
+    // ln(cnt+α) once per instance, so the oracle must fold the SAME
+    // multiset of doubles — only summation ORDER then differs between
+    // engines (few-ulp class, absorbed by the 6-dp rounding like the
+    // documented ln-ulp divergence; round-14 advice)
     val slCols = Langs.map(c =>
-      s"sum(tf * ln(cnt_$c + 1.0)) AS sl_$c").mkString(", ")
+      s"sum(ln(cnt_$c + 1.0)) AS sl_$c").mkString(", ")
     val scoreCols = Langs.map(c =>
       s"round(ln(CAST(nd_$c AS DOUBLE) / n_seed) + sl_$c" +
         s" - n_scored * ln(t_$c + 1.0 * n_vocab), 6) AS score_$c").mkString(",\n|    ")
@@ -116,10 +120,9 @@ object ClassifierQueries {
          |ctok AS (
          |  SELECT doc_id, unnest(list_filter($toks, t -> len(t) > 0)) AS term
          |  FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM ctok GROUP BY 1, 2),
          |perdoc AS (
-         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_scored, $slCols
-         |  FROM tf JOIN stats USING (term) GROUP BY doc_id),
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored, $slCols
+         |  FROM ctok JOIN stats USING (term) GROUP BY doc_id),
          |scored AS (
          |  SELECT doc_id, n_scored,
          |    $scoreCols

@@ -77,6 +77,20 @@ object LmQueries {
         .orderBy(col("round"))
     },
 
+    // SAMPLED-ARM training (the production path for 30k-50k-merge
+    // vocabularies: one distributed tokenize+sample, then a
+    // driver-local merge loop). sampleDocs covers the corpus at every
+    // oracle SF (1M > sf1's 100k docs), so the result must be
+    // IDENTICAL to v3's exact distributed derivation — the oracle IS
+    // v3's SQL, pinning the whole sampled arm (hash-ordered sample,
+    // local delta counts, UTF8-binary tie-break, greedy rewrite)
+    // against the same independent derivation.
+    "v6_bpe_merges_sampled" -> { (s, d) =>
+      Lm.bpeMergesSampled(documents(s, d), "doc_id", "text",
+          rounds = BpeRounds, sampleDocs = 1 << 20)
+        .orderBy(col("round"))
+    },
+
     // BPE APPLICATION: train the 3-round merge table, then encode the
     // whole corpus with it — one literal-folded projection, no shuffle.
     // The gate pins every document's full encoded token sequence.
@@ -250,6 +264,10 @@ object LmQueries {
          |FROM ranked WHERE rank <= $PairK ORDER BY rank""".stripMargin,
 
     "v3_bpe_merges" -> bpeMergesSql,
+    // the sampled arm must be indistinguishable from the exact
+    // distributed derivation when the sample covers the corpus — same
+    // SQL (the y7/nb2 store-gate pinning pattern applied to training).
+    "v6_bpe_merges_sampled" -> bpeMergesSql,
     "v4_bpe_encode" -> bpeEncodeSql,
 
     // v5: the SAME training+encode chain, rolled up per language.

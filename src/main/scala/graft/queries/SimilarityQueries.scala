@@ -117,8 +117,7 @@ object SimilarityQueries {
       import graft.operators.Ivf
       val emb = embeddings(s, d)
       val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 16, 7L)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_y7_store_${Integer.toHexString(d.hashCode)}").toString
+      val dir = StoreDirs.fresh("y7_store", d)
       Ivf.assign(emb, "vec_id", "embedding", cents)
         .write.mode("overwrite").parquet(dir + "/assigned")
       Ivf.centroidsAsDf(s, cents)

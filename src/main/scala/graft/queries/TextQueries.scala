@@ -202,8 +202,7 @@ object TextQueries {
     // the gate pins store-roundtrip ≡ recompute through an independent
     // derivation.
     "x12_incremental_dedup" -> { (s, d) =>
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_x12_store_${Integer.toHexString(d.hashCode)}").toString
+      val dir = StoreDirs.fresh("x12_store", d)
       Dedup.signatureStore(
         documents(s, d).select(col("doc_id"), col("text")),
         "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8)
@@ -358,8 +357,11 @@ object TextQueries {
     """(length(text) - length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g')))"""
 
   /** Deterministic dirt appended to every doc for the t11 gate: a bell
-    * control char, an NBSP-spaced run, and a mojibake ellipsis. */
-  private[graft] val DirtyTail = " spaced out   tail â€¦"
+    * control char, an NBSP-spaced run, a mojibake ellipsis, a broken
+    * right-double-quote (the â€+U+009D repair) and a C1 NEL control —
+    * so the gate exercises the C1 strip and the 9D-bearing mojibake
+    * entry on every row, not just in the property spec. */
+  private[graft] val DirtyTail = "\u0007 spaced\u00a0out   tail â€¦ â€\u009d ok\u0085"
 
   /** t11 oracle fragments GENERATED from the TextAnalysis fix tables —
     * single source of truth, the tables cannot diverge from the SQL. */

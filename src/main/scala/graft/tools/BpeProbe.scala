@@ -38,7 +38,7 @@ object BpeProbe {
     val docs = graft.Tables.documents(spark, sfDir)
     // (round, phase) -> seconds, printed in arrival order
     val rows = scala.collection.mutable.ArrayBuffer[(Int, String, Double)]()
-    val got = graft.operators.Lm.bpeMerges(docs, "doc_id", "text",
+    val got = graft.operators.Lm.bpeMergesDistributed(docs, "doc_id", "text",
       rounds = rounds, joiner = "~",
       onRound = (r, phase, nanos) => rows += ((r, phase, nanos / 1e9)))
     val picks = got.collect()

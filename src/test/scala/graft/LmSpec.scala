@@ -154,6 +154,73 @@ class LmSpec extends SparkSpec {
     assert(got == refTrain(docs, 12), s"diverged: $got")
   }
 
+  test("bpeMergesSampled(sample covers corpus) == distributed arm, round for round") {
+    // the sampled arm's whole pipeline (hash-ordered sample, local
+    // delta counts, lazy-deletion heap, greedy rewrite) must be
+    // indistinguishable from the exact distributed trainer whenever the
+    // sample is the whole corpus — the dispatch-correctness contract
+    // (r14 verdict #1), pinned on the same churn-heavy seeded corpus as
+    // the delta-count test
+    val rnd = new scala.util.Random(29)
+    val docs = (1 to 150).map(_ =>
+      List.fill(1 + rnd.nextInt(30))(Seq("a", "b", "c", "d")(rnd.nextInt(4))))
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val dist = Lm.bpeMergesDistributed(df, "doc_id", "text", 12, "~", (_, _, _) => ())
+      .orderBy($"round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val samp = Lm.bpeMergesSampled(df, "doc_id", "text", rounds = 12,
+        sampleDocs = 10000)
+      .orderBy($"round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(samp == dist, s"sampled arm diverged:\n$samp\nvs\n$dist")
+    // and the >64-round dispatch path lands on the sampled arm and
+    // still matches (rounds exhaust long before 65 on this corpus)
+    val auto = Lm.bpeMerges(df, "doc_id", "text",
+        rounds = Lm.DistributedTrainMaxRounds + 1)
+      .orderBy($"round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val distLong = Lm.bpeMergesDistributed(df, "doc_id", "text",
+        Lm.DistributedTrainMaxRounds + 1, "~", (_, _, _) => ())
+      .orderBy($"round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(auto == distLong, "dispatched sampled arm diverged at high rounds")
+  }
+
+  test("trainLocal tie-breaks pairs in UTF8 binary order, not UTF-16") {
+    // U+10000 (UTF-16: surrogate pair starting D800; UTF-8: F0 90 80 80)
+    // vs U+FFFD (UTF-16: FFFD; UTF-8: EF BF BD): String.compareTo puts
+    // the supplementary char FIRST (D800 < FFFD), Spark's UTF8String
+    // binary order the OTHER way — with equal counts the two arms must
+    // still pick the same winner, so the local heap must compare UTF-8
+    // bytes (Lm.scala comparator contract)
+    val hi = new String(Character.toChars(0x10000))
+    val lo = "�"
+    val df = Seq((1L, s"q $hi"), (2L, s"q $lo")).toDF("doc_id", "text")
+    assert(s"q $hi".compareTo(s"q $lo") < 0, "UTF-16 premise broke")
+    val dist = Lm.bpeMergesDistributed(df, "doc_id", "text", 1, "~", (_, _, _) => ())
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val samp = Lm.bpeMergesSampled(df, "doc_id", "text", rounds = 1,
+        sampleDocs = 100)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(dist == Seq((1, s"q $lo", 1L)), s"distributed picked $dist")
+    assert(samp == dist, s"local tie-break diverged: $samp vs $dist")
+  }
+
+  test("bpeMergesSampled partial sample: deterministic and bounded") {
+    val docs = (0L until 40L).map(i => (i, s"tok$i x y tok$i x y"))
+    val df = docs.toDF("doc_id", "text")
+    def run() = Lm.bpeMergesSampled(df, "doc_id", "text", rounds = 3,
+        sampleDocs = 10)
+      .orderBy($"round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val first = run()
+    assert(first == run(), "partial sample must be reproducible")
+    // "x y" appears twice in every doc: a 10-doc sample must count
+    // exactly 20 — the n column reports SAMPLE counts by contract
+    assert(first.head._2 == "x y" && first.head._3 == 20L, first)
+  }
+
   test("bpeMerges stops when the corpus runs out of pairs") {
     val df = Seq((1L, "a a")).toDF("doc_id", "text")
     val got = Lm.bpeMerges(df, "doc_id", "text", rounds = 5)

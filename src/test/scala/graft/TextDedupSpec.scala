@@ -475,6 +475,13 @@ class TextDedupSpec extends SparkSpec {
     assert(clean("em—dash en–dash") == "em-dash en-dash")
     // control chars vanish; flanking spaces collapse to one
     assert(clean("a \u0007 b\u0000c") == "a bc")
+    // C1 controls (\x80-\x9F) vanish too (round-14 advice: the class
+    // used to stop at DEL, so a NEL or stranded 9D sailed through)
+    assert(clean("a\u0085b \u009fcd") == "ab cd")
+    // broken right-double-quote: â€ + U+009D repairs to ” BEFORE the
+    // control strip can eat the 9D and strand "â€" residue, then the
+    // punct table straightens it like its already-clean sibling
+    assert(clean("he said â€\u009dhi") == "he said \"hi")
     // NBSP is whitespace-normalized via the punct table
     assert(clean("a\u00a0b") == "a b")
     // whitespace runs collapse, ends trim
