@@ -16,12 +16,12 @@ import graft.operators.Classifier
   * store convention). */
 object ClassifierQueries {
 
-  private val Langs = Seq("de", "en", "es", "fr", "zh")
+  private[queries] val Langs = Seq("de", "en", "es", "fr", "zh")
 
   /** Hash-lottery seed for the nb3 resampling gate (aux `b_resample`). */
   val ResampleSeed = 3001L
-  private val ResampleTau = 0.02
-  private val ResampleTemp = 0.02
+  private[queries] val ResampleTau = 0.02
+  private[queries] val ResampleTemp = 0.02
 
   private def seedDocs(s: SparkSession, d: String): DataFrame =
     documents(s, d).filter(col("doc_id") % 2 === 0)
@@ -80,14 +80,69 @@ object ClassifierQueries {
           sum(col("n_scored")).as("total_tokens"),
           min(col("keep_id")).as("min_keep_id"))
         .orderBy(col("predicted"))
+    },
+
+    // cur5: the COMPOSED production curation chain end-to-end — the
+    // pipeline a real pretraining-data run executes, every stage one of
+    // the individually-gated operators (r14 verdict #5):
+    //   t11 hygiene (cleanText) -> nb1 learned quality/lang scoring ->
+    //   nb3 DSIR resample -> x3 minhash candidates -> x6 components ->
+    //   x10 keep-best survivor -> dc1 decontamination -> ds7 hash split
+    //   -> ds3 sequence packing.
+    // Output = the final packed-manifest roster (doc, split, token
+    // offsets), which pins every upstream decision jointly: a drifted
+    // clean, score, lottery, cluster, survivor, contamination or split
+    // decision moves some doc's membership or offset and hash-fails.
+    // Composition hygiene: the post-resample corpus and the survivor
+    // set each feed multiple downstream consumers whose subtrees
+    // diverge before any exchange — localCheckpoint pins ONE
+    // materialization of each (the bm25 shared-tf pattern), so the
+    // NB+resample subtree runs once, not four times.
+    "cur5_curation_chain" -> { (s, d) =>
+      import graft.operators.{Dedup, Sampling, Packing}
+      import graft.functions.TextAnalysis
+      val cleaned = documents(s, d).select(col("doc_id"),
+        TextAnalysis.cleanText(col("text")).as("text"), col("lang"))
+      val scored = Classifier.nbScore(cleaned,
+        cleaned.filter(col("doc_id") % 2 === 0), "doc_id", "text", "lang", Langs)
+      val kept = Classifier.importanceResample(scored, "en", Langs,
+        ResampleSeed, tau = ResampleTau, temperature = ResampleTemp)
+        .select("doc_id")
+      val corpus = kept.join(cleaned.select(col("doc_id"), col("text")), "doc_id")
+        .localCheckpoint(false)
+      val pairs = Dedup.minhashLshPairsShared(corpus, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+      val clusters = Dedup.clusters(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val reps = Dedup.clusterRepresentatives(clusters, "doc_id", "cluster_id",
+        corpus.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q")), "doc_id", "q")
+      val survivors = corpus.join(clusters, Seq("doc_id"), "left_anti")
+        .unionByName(reps.select(col("keep_id").as("doc_id"))
+          .join(corpus, "doc_id"))
+        .localCheckpoint(false)
+      val bench = cleaned.filter(col("doc_id") < 30).select(col("text"))
+      val uncontaminated = Dedup.contamination(survivors, "doc_id", "text",
+          bench, "text", n = 8)
+        .filter(col("n_hit") === 0).select("doc_id")
+      val finalDocs = uncontaminated.join(survivors, "doc_id")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val split = Sampling.hashSplit(finalDocs, "doc_id",
+        DatasetQueries.Splits, seed = DatasetQueries.SplitSeed)
+      Packing.packSequences(split, "n_tokens", "doc_id", budget = 2048L)
+        .select(col("doc_id"), col("split"), col("n_tokens"),
+          col("start_offset"), col("bin_id"), col("bin_offset"))
+        .orderBy(col("doc_id"))
     }
   )
 
   /** The full NB derivation in SQL: seed token counts pivoted wide by
     * class, 1-row totals/priors, per-doc ln-sums, rounded scores, and
     * the same alphabetical-tie-break argmax CASE chain. Split into the
-    * CTE chain + the argmax CASE so nb3 can extend the derivation. */
-  private val (nbCtes, predCase) = {
+    * CTE chain + the argmax CASE so nb3 can extend the derivation, and
+    * parameterized by the corpus relation NAME so cur5 can run the
+    * identical chain over its cleaned-corpus CTE. */
+  private[queries] def nbChainOver(corpus: String): (String, String) = {
     val toks = TextQueries.toksSql
     val cntCols = Langs.map(c =>
       s"sum(CASE WHEN lang = '$c' THEN 1 ELSE 0 END) AS cnt_$c").mkString(", ")
@@ -110,7 +165,7 @@ object ClassifierQueries {
       s"WHEN $cond THEN '$c'"
     }.mkString(" ")
     val ctes =
-      s"""WITH seed AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      s"""seed AS (SELECT * FROM $corpus WHERE doc_id % 2 = 0),
          |stok AS (
          |  SELECT lang, unnest(list_filter($toks, t -> len(t) > 0)) AS term
          |  FROM seed),
@@ -119,7 +174,7 @@ object ClassifierQueries {
          |priors AS (SELECT count(*) AS n_seed, $ndCols FROM seed),
          |ctok AS (
          |  SELECT doc_id, unnest(list_filter($toks, t -> len(t) > 0)) AS term
-         |  FROM documents),
+         |  FROM $corpus),
          |perdoc AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored, $slCols
          |  FROM ctok JOIN stats USING (term) GROUP BY doc_id),
@@ -128,6 +183,11 @@ object ClassifierQueries {
          |    $scoreCols
          |  FROM perdoc, totals, priors)""".stripMargin
     (ctes, s"CASE $predCases ELSE '${Langs.min}' END")
+  }
+
+  private val (nbCtes, predCase) = {
+    val (chain, pc) = nbChainOver("documents")
+    (s"WITH $chain", pc)
   }
 
   private val nbSql =
@@ -139,14 +199,15 @@ object ClassifierQueries {
   /** nb1 extended by the length-normalized margin, exp keep probability
     * (rounded 6 dp BEFORE the lottery, the engine contract), and the aux
     * hash-bucket lottery — the shared CTE chain for nb3 and cur4. */
-  private val keptCtes = {
+  private[queries] def keptChainOver(corpus: String): String = {
+    val (chain, pc) = nbChainOver(corpus)
     val otherMax = s"greatest(${Langs.filterNot(_ == "en")
       .map(c => s"score_$c").mkString(", ")})"
-    s"""$nbCtes,
+    s"""$chain,
        |marg AS (
        |  SELECT doc_id, n_scored,
        |    (score_en - $otherMax) / n_scored AS m_raw,
-       |    $predCase AS predicted
+       |    $pc AS predicted
        |  FROM scored),
        |kept AS (
        |  SELECT m.doc_id, m.n_scored, round(m.m_raw, 6) AS margin,
@@ -157,6 +218,8 @@ object ClassifierQueries {
        |  WHERE a.b_resample <
        |    round(least(exp((m.m_raw - $ResampleTau) / $ResampleTemp), 1.0), 6) * 1000000)""".stripMargin
   }
+
+  private val keptCtes = s"WITH ${keptChainOver("documents")}"
 
   private val nb3Sql =
     s"""$keptCtes
@@ -178,11 +241,103 @@ object ClassifierQueries {
        |  min(keep_id) AS min_keep_id
        |FROM dedup GROUP BY predicted ORDER BY predicted""".stripMargin
 
+  /** The composed cur5 chain in SQL — every fragment REUSED from the
+    * stage gates' own mirrors (cleanTextSqlOver, the nb/kept chain,
+    * the minhash lane/band fragments, the x6 recursive closure, the
+    * x10 keep-best window, dc1's 8-gram overlap, ds7's split CASE,
+    * ds3's cumulative packing), so the composition cannot drift from
+    * the individually-pinned derivations. Minhash hashes come from the
+    * cur5 aux dumps (cleaned-corpus shingles); restricting them to the
+    * post-resample kept set is sound because signatures are per-doc. */
+  private val cur5Sql = {
+    val toks = TextQueries.toksSql
+    val ntoks = s"len(list_filter($toks, t -> len(t) > 0))"
+    s"""WITH RECURSIVE clean AS (
+       |  SELECT doc_id, ${TextQueries.cleanTextSqlOver("text")} AS text, lang
+       |  FROM documents),
+       |${keptChainOver("clean")},
+       |h32 AS (
+       |  SELECT doc_id, h FROM read_parquet('__AUX__/cur5_gram_h32/*.parquet')
+       |  WHERE doc_id IN (SELECT doc_id FROM kept)),
+       |g64 AS (
+       |  SELECT DISTINCT doc_id, g FROM read_parquet('__AUX__/cur5_gram_h64/*.parquet')
+       |  WHERE doc_id IN (SELECT doc_id FROM kept)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM g64 GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, ${TextQueries.minhashLanesSql} FROM h32 GROUP BY doc_id),
+       |banded AS (${TextQueries.minhashBandedSql}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN g64 ga ON ga.doc_id = c.id_a
+       |  JOIN g64 gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+       |  GROUP BY c.id_a, c.id_b),
+       |pairs AS (
+       |  SELECT i.id_a, i.id_b FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.id_a
+       |  JOIN sizes sb ON sb.doc_id = i.id_b
+       |  WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.6),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |quality AS (SELECT doc_id, ${TextQueries.qualitySql} AS q FROM clean),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.doc_id,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.q DESC, c.doc_id ASC) AS rn
+       |  FROM clusters c JOIN quality q USING (doc_id)),
+       |survivors AS (
+       |  SELECT doc_id FROM kept
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM clusters)
+       |  UNION ALL
+       |  SELECT doc_id FROM ranked WHERE rn = 1),
+       |bench AS (
+       |  SELECT DISTINCT array_to_string(list_slice(toksb, i, i + 7), ' ') AS g
+       |  FROM (SELECT $toks AS toksb FROM clean WHERE doc_id < 30),
+       |    unnest(generate_series(1, greatest(len(toksb) - 7, 1))) AS t(i)),
+       |train AS (
+       |  SELECT s.doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len($toks) - 7, 1)),
+       |    i -> array_to_string(list_slice($toks, i, i + 7), ' ')))) AS g
+       |  FROM survivors s JOIN clean USING (doc_id)),
+       |conta AS (
+       |  SELECT t.doc_id, count(b.g) AS n_hit
+       |  FROM train t LEFT JOIN bench b ON t.g = b.g GROUP BY 1),
+       |fin AS (
+       |  SELECT doc_id, CAST($ntoks AS INT) AS n_tokens
+       |  FROM conta JOIN clean USING (doc_id)
+       |  WHERE n_hit = 0),
+       |cum AS (
+       |  SELECT f.doc_id, f.n_tokens,
+       |    CASE WHEN a.b_split < 800000 THEN 'train'
+       |         WHEN a.b_split < 900000 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    CAST(COALESCE(SUM(f.n_tokens) OVER (ORDER BY f.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_offset
+       |  FROM fin f
+       |  JOIN read_parquet('__AUX__/ds_doc_hash/*.parquet') a USING (doc_id))
+       |SELECT doc_id, split, n_tokens, start_offset,
+       |  CAST(start_offset // 2048 AS BIGINT) AS bin_id,
+       |  CAST(start_offset % 2048 AS BIGINT) AS bin_offset
+       |FROM cum ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "nb1_nb_classifier" -> nbSql,
     // the store gate must equal a from-scratch retrain — same SQL.
     "nb2_nb_from_store" -> nbSql,
     "nb3_importance_resample" -> nb3Sql,
-    "cur4_curation_classifier" -> cur4Sql
+    "cur4_curation_classifier" -> cur4Sql,
+    "cur5_curation_chain" -> cur5Sql
   )
 }

@@ -24,7 +24,7 @@ object DatasetQueries {
   private[queries] val TempSeed = 4004L
   private val TempBudget = 200L
   private[queries] val SplitSeed = 5005L
-  private val Splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private[queries] val Splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic stratified sample: per-language rates, one scan,

@@ -59,6 +59,25 @@ object OracleAux {
         "doc_id", "text", k = 8)
         .select(col("id").as("doc_id"), col("pos"), col("gh"))
     },
+    // cur5: shingle hashes of the CLEANED corpus (the composed chain
+    // dedups post-hygiene text, so its minhash mirror needs hashes of
+    // exactly that text). Dumped for ALL docs — the oracle restricts to
+    // its own derived post-resample survivor set, which is valid
+    // because signatures are per-doc and corpus-independent.
+    "cur5_gram_h32" -> { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextAnalysis.cleanText(col("text")).as("text"))
+        .select(col("doc_id"),
+          explode(transform(Dedup.shingles(col("text"), 3),
+            g => TextAnalysis.tokenHash32(g))).as("h"))
+    },
+    "cur5_gram_h64" -> { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextAnalysis.cleanText(col("text")).as("text"))
+        .select(col("doc_id"),
+          explode(transform(Dedup.shingles(col("text"), 3),
+            g => xxhash64(g))).as("g"))
+    },
     // ds*: per-doc hash buckets for every sampling/shuffle seed the
     // dataset-curation queries use — the DECISIONS (thresholds, epoch
     // composition, permutation order) are recomputed in SQL on top.

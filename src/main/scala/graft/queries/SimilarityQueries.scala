@@ -131,6 +131,35 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // y9: ANN store MAINTENANCE — build an assignment store from half
+    // the corpus, persist it, fold the other half in as a delta batch
+    // via mergeAssignmentStore (merge ≡ rebuild, the x12 pattern on the
+    // vector side), and query the merged store. The quantizer is seeded
+    // from the FULL corpus and shared by both halves (the store
+    // contract: one quantizer, many ingest batches), so the merged
+    // store must be indistinguishable from assigning the whole corpus
+    // at once — the oracle IS y4's SQL.
+    "y9_ann_store_merge" -> { (s, d) =>
+      import graft.operators.Ivf
+      val emb = embeddings(s, d)
+      val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 16, 7L)
+      val dir = StoreDirs.fresh("y9_store", d)
+      Ivf.assign(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", cents)
+        .write.mode("overwrite").parquet(dir + "/assigned")
+      Ivf.centroidsAsDf(s, cents)
+        .write.mode("overwrite").parquet(dir + "/centroids")
+      val storedCents = Ivf.centroidsFromDf(s.read.parquet(dir + "/centroids"))
+      val delta = Ivf.assign(emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", storedCents)
+      val merged = Ivf.mergeAssignmentStore(
+        s.read.parquet(dir + "/assigned"), delta)
+      Ivf.ivfTopKFromStore(merged, storedCents,
+        emb.filter(col("vec_id").isin(QueryIds: _*)), "vec_id", "embedding",
+        k = 10, nprobe = 4)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // PQ/ADC ANN: seeded product codebooks, map-side encode, per-query
     // lookup tables, compressed-domain scoring (codes only in the scan).
     "y5_ann_pq" -> { (s, d) =>
@@ -411,6 +440,10 @@ object SimilarityQueries {
     // y8: the SAME derivation with the metadata predicate on the
     // candidate set only — centroids/probes identical to y4's.
     "y8_ann_filtered" -> ivfOracle("b.label IN (1, 3)"),
+    // y9 folds a delta batch into a persisted half-corpus store; the
+    // merged store must equal assigning the whole corpus at once, so
+    // the oracle is again y4's full derivation (merge ≡ rebuild).
+    "y9_ann_store_merge" -> ivfOracleSql,
 
     // y5: the whole PQ path in SQL — seed slicing into per-subspace
     // codebooks, argmin encoding (ties to smaller code), ADC as an

@@ -367,8 +367,8 @@ object TextQueries {
     * single source of truth, the tables cannot diverge from the SQL. */
   private def sqlLit(s: String): String =
     "'" + s.replace("'", "''") + "'"
-  private lazy val cleanTextSql: String = {
-    val moji = TextAnalysis.MojibakeFixes.foldLeft("dirty") {
+  private[queries] def cleanTextSqlOver(base: String): String = {
+    val moji = TextAnalysis.MojibakeFixes.foldLeft(base) {
       case (acc, (f, t)) => s"replace($acc, ${sqlLit(f)}, ${sqlLit(t)})"
     }
     val punct = TextAnalysis.PunctNormalizations.foldLeft(moji) {
@@ -377,6 +377,7 @@ object TextQueries {
     val ctrl = s"regexp_replace($punct, '${TextAnalysis.ControlCharClass}', '', 'g')"
     s"trim(regexp_replace($ctrl, '\\s+', ' ', 'g'))"
   }
+  private lazy val cleanTextSql: String = cleanTextSqlOver("dirty")
 
   /** DuckDB mirror of Dedup.shingles(text, 3) + blocking key. */
   private val corpusSql =
@@ -432,14 +433,14 @@ object TextQueries {
     * a CTE body by x6's component closure). */
   /** Shared minhash lane + banding SQL (the x3 hash family) — used by
     * the jaccard-verified pair mirror AND the edit-distance x13 gate. */
-  private lazy val minhashLanesSql: String = {
+  private[queries] lazy val minhashLanesSql: String = {
     val params = graft.operators.Dedup.hashParams(128)
     val prime = graft.operators.Dedup.MinhashPrime
     params.zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % $prime) AS m$i"
     }.mkString(", ")
   }
-  private lazy val minhashBandedSql: String =
+  private[queries] lazy val minhashBandedSql: String =
     (0 until 16).map { b =>
       val cols = (0 until 8).map(r => s"m${b * 8 + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM sigs"

@@ -144,6 +144,29 @@ class IvfSpec extends SparkSpec {
       s"twin of $q must share its inverted list and rank first"))
   }
 
+  test("ivfTopK(lloydIters=2) == independent driver-local reference (LloydPin)") {
+    // the y4 oracle mirrors lloydIters=0 only (means are float-order
+    // sensitive); the refinement path pins against tools/LloydPin's
+    // driver-local re-derivation — different assignment loop, different
+    // mean fold order, same (query, rank, neighbor, cosine@6dp) roster
+    // expected (r14 verdict #6). LloydPin runs the same comparison at
+    // sf0.01/sf1; this is the in-suite gate-scale arm.
+    val qs = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    val engine = Ivf.ivfTopK(emb, "vec_id", "embedding", qs, k = 10, c = 8,
+        nprobe = 3, lloydIters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.math.BigDecimal.valueOf(r.getDouble(3))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+      .toSeq.sorted
+    val rows = emb.select($"vec_id", Similarity.toDouble($"embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val ref = graft.tools.LloydPin.reference(rows, c = 8, stride = 7L,
+      iters = 2, queryIds = qs, k = 10, nprobe = 3).sorted
+    assert(engine.nonEmpty && engine == ref,
+      s"lloyd path diverged from the independent reference:\n" +
+        s"${engine.toSet.diff(ref.toSet)} vs ${ref.toSet.diff(engine.toSet)}")
+  }
+
   test("lloydRefine moves centroids to cluster means and separates clusters") {
     // two tight blobs on orthogonal axes; two seeds, one per blob after
     // refinement — assignment must split the data exactly by blob
