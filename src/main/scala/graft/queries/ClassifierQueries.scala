@@ -117,9 +117,16 @@ object ClassifierQueries {
       val reps = Dedup.clusterRepresentatives(clusters, "doc_id", "cluster_id",
         corpus.select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("q")), "doc_id", "q")
+      // repartition at the stage boundary: AQE coalesces the broadcast
+      // anti-join's output toward its 64MB advisory size, leaving a few
+      // FAT partitions (measured at sf10: the downstream 8-gram explode
+      // ran 4 tasks of 8.3 s where 16 of ~0.8 s fit — tools/Cur5Probe /
+      // DecontStageProbe), so the post-dedup corpus is explicitly
+      // rebalanced before it fans into decontamination and packing
       val survivors = corpus.join(clusters, Seq("doc_id"), "left_anti")
         .unionByName(reps.select(col("keep_id").as("doc_id"))
           .join(corpus, "doc_id"))
+        .repartition(col("doc_id"))
         .localCheckpoint(false)
       val bench = cleaned.filter(col("doc_id") < 30).select(col("text"))
       val uncontaminated = Dedup.contamination(survivors, "doc_id", "text",

@@ -59,8 +59,11 @@ def fresh_con(sf_dir):
     return con
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # optional comma-list filter for resuming interrupted sweeps
+        names = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in names}
     n_pass = n_fail = 0
     fails = []
     for name in sorted(oracle):
@@ -106,4 +109,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
