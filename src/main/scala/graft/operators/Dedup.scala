@@ -743,7 +743,8 @@ object Dedup {
     * invalidates local checkpoints). */
   def minhashLshPairsShared(df: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
-                            threshold: Double = 0.5): DataFrame = {
+                            threshold: Double = 0.5,
+                            maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val numHashes = bands * rowsPerBand
     val rows = tokenized(df, idCol, textCol).select(col("id"),
       explode(shinglesFromTokens(col("__toks"), n)).as("g"))
@@ -753,12 +754,26 @@ object Dedup {
     val sigGrams = rows.groupBy(col("id"))
       .agg(agg(col("h32")).as("sig"), collect_set(col("h64")).as("grams"))
       .localCheckpoint(false)
-    val banded = sigGrams.select(col("id"),
+    val bandedRaw = sigGrams.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumn("bucket", xxhash64(col("band"), col("col").cast("string")))
       .select("id", "band", "bucket")
+    // bucket-size guard (the editDistancePairs rule, r15: measured on
+    // sf1zipf — a 2,500-copy exact-dup cluster put x10's unguarded gate
+    // at 137 s where the guarded form matches uniform-corpus cost): a
+    // bucket of B ids emits B²/2 candidates, and oversized buckets are
+    // exact-dup mega-clusters by construction, owned by the O(B) x1
+    // pass. Deterministic wholesale drop; one count window over the
+    // (band, bucket) exchange the self-join needs anyway.
+    val banded =
+      if (maxBucketSize == Int.MaxValue) bandedRaw
+      else bandedRaw.withColumn("__bs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bucket"))))
+        .filter(col("__bs") <= maxBucketSize)
+        .drop("__bs")
     val candidates = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
       .hint("merge")
       .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")),

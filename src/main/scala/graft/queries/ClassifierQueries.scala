@@ -111,7 +111,8 @@ object ClassifierQueries {
       val corpus = kept.join(cleaned.select(col("doc_id"), col("text")), "doc_id")
         .localCheckpoint(false)
       val pairs = Dedup.minhashLshPairsShared(corpus, "doc_id", "text",
-        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6,
+        maxBucketSize = TextQueries.MaxBucket)
       val clusters = Dedup.clusters(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
       val reps = Dedup.clusterRepresentatives(clusters, "doc_id", "cluster_id",

@@ -13,6 +13,16 @@ import graft.operators.Dedup
   * factor has true near-duplicates to find. */
 object TextQueries {
 
+  /** Band-bucket size guard shared by the x3-family gates AND their
+    * oracle mirrors (r15): buckets larger than this are dropped
+    * wholesale before the candidate self-join — oversized buckets are
+    * exact-dup mega-clusters owned by the O(B) x1 pass, and unguarded
+    * they emit B²/2 candidates (measured on sf1zipf: 137 s for x10,
+    * 258 s for x13 vs ~6 s guarded). A no-op on the uniform gate
+    * corpora (max dup family ≤ 4 ≪ 64), so every existing hash pin is
+    * unchanged — the SQL mirrors carry the identical filter anyway. */
+  private[queries] val MaxBucket = 64
+
   /** Perturbed copy of documents (doc_id+1000000, last token swapped) —
     * the synthetic near-dup half of [[nearDupCorpus]], and the "split B"
     * of the x11 cross-dedup gate. */
@@ -137,7 +147,8 @@ object TextQueries {
     // engine-hash-based — rows-only check + recall spec vs exact Jaccard).
     "x3_minhash_lsh" -> { (s, d) =>
       Dedup.minhashLshPairsShared(nearDupCorpus(s, d), "doc_id", "text",
-        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6,
+        maxBucketSize = MaxBucket)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -145,7 +156,8 @@ object TextQueries {
     // doc per dup group = min id (deterministic keep-one policy).
     "x6_dup_clusters" -> { (s, d) =>
       val pairs = Dedup.minhashLshPairsShared(nearDupCorpus(s, d), "doc_id", "text",
-        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6,
+        maxBucketSize = MaxBucket)
       // components (min-label), not componentsAlternating: near-dup
       // graphs are clique-ish (diameter 1-2), where min-label's folded
       // first hop converges in one confirming pass — measured 1.6x
@@ -162,7 +174,8 @@ object TextQueries {
     // implementations are hash-pinned to identical cluster assignments.
     "x8_dup_clusters_star" -> { (s, d) =>
       val pairs = Dedup.minhashLshPairsShared(nearDupCorpus(s, d), "doc_id", "text",
-        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6,
+        maxBucketSize = MaxBucket)
       Dedup.componentsAlternating(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))
@@ -174,7 +187,8 @@ object TextQueries {
     "x10_cluster_keep_best" -> { (s, d) =>
       val corpus = nearDupCorpus(s, d)
       val pairs = Dedup.minhashLshPairsShared(corpus, "doc_id", "text",
-        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6,
+        maxBucketSize = MaxBucket)
       val clusters = Dedup.components(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
       val scored = corpus.select(col("doc_id"),
@@ -237,7 +251,8 @@ object TextQueries {
     // capped text — ranks small in-place edits by exact character cost.
     "x13_edit_distance" -> { (s, d) =>
       Dedup.editDistancePairs(nearDupCorpus(s, d), "doc_id", "text",
-        maxDist = 24, n = 3, bands = 16, rowsPerBand = 8, maxLen = 2000)
+        maxDist = 24, n = 3, bands = 16, rowsPerBand = 8, maxLen = 2000,
+        maxBucketSize = MaxBucket)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -440,11 +455,18 @@ object TextQueries {
       s"min((h * $a + $b) % $prime) AS m$i"
     }.mkString(", ")
   }
-  private[queries] lazy val minhashBandedSql: String =
-    (0 until 16).map { b =>
+  private[queries] lazy val minhashBandedSql: String = {
+    val raw = (0 until 16).map { b =>
       val cols = (0 until 8).map(r => s"m${b * 8 + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM sigs"
     }.mkString(" UNION ALL ")
+    // the engine's MaxBucket guard, mirrored: drop oversized buckets
+    // wholesale before the candidate join (no-op on uniform corpora)
+    s"""SELECT doc_id, band, bucket FROM (
+       |  SELECT doc_id, band, bucket,
+       |    count(*) OVER (PARTITION BY band, bucket) AS __bs
+       |  FROM ($raw)) WHERE __bs <= $MaxBucket""".stripMargin
+  }
 
   private lazy val minhashPairsSql: String = {
     val lanes = minhashLanesSql
