@@ -893,13 +893,14 @@ object Dedup {
   def crossDedupRoster(left: DataFrame, right: DataFrame,
                        idCol: String, textCol: String,
                        n: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
-                       threshold: Double = 0.5): DataFrame =
+                       threshold: Double = 0.5,
+                       maxBucketSize: Int = Int.MaxValue): DataFrame =
     crossRosterOf(
       sigGramsFrame(left, idCol, textCol, n, bands * rowsPerBand)
         .localCheckpoint(false),
       sigGramsFrame(right, idCol, textCol, n, bands * rowsPerBand)
         .localCheckpoint(false),
-      bands, rowsPerBand, threshold)
+      bands, rowsPerBand, threshold, maxBucketSize)
 
   /** The (id, sig, grams) signature frame both near-dup families build
     * on — one tokenize+shingle pass, one map-side-combinable aggregate. */
@@ -918,16 +919,35 @@ object Dedup {
     * (id, sig, grams) frames — the tail both [[crossDedupRoster]] and
     * [[incrementalDedupRoster]] share. */
   private def crossRosterOf(sgL: DataFrame, sgR: DataFrame, bands: Int,
-                            rowsPerBand: Int, threshold: Double): DataFrame = {
-    def banded(sg: DataFrame) = sg.select(col("id"),
+                            rowsPerBand: Int, threshold: Double,
+                            maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    def banded(sg: DataFrame, side: String) = sg.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumn("bucket", xxhash64(col("band"), col("col").cast("string")))
-      .select("id", "band", "bucket")
-    val candidates = banded(sgL).select(col("id").as("id_a"), col("band"), col("bucket"))
+      .select(col("id"), col("band"), col("bucket"), lit(side).as("__side"))
+    // the x3-family bucket guard, CROSS form (r15): a (band, bucket)
+    // key holding a left ids and b right ids emits a·b candidates, so
+    // the size that matters is the COMBINED membership — counted over
+    // the unioned banded frame (matching the oracle's union-count
+    // semantics), then each join leg filters its side from the same
+    // guarded frame. Deterministic wholesale drop, same rationale as
+    // minhashLshPairsShared: oversized buckets are exact-dup
+    // mega-clusters the O(B) exact pass owns.
+    val all = banded(sgL, "a").unionByName(banded(sgR, "b"))
+    val guarded =
+      if (maxBucketSize == Int.MaxValue) all
+      else all.withColumn("__bs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bucket"))))
+        .filter(col("__bs") <= maxBucketSize)
+        .drop("__bs")
+    val candidates = guarded.filter(col("__side") === "a")
+      .select(col("id").as("id_a"), col("band"), col("bucket"))
       .hint("merge")
-      .join(banded(sgR).select(col("id").as("id_b"), col("band"), col("bucket")),
+      .join(guarded.filter(col("__side") === "b")
+        .select(col("id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select("id_a", "id_b").distinct()
     candidates
@@ -980,7 +1000,8 @@ object Dedup {
                              idCol: String, textCol: String,
                              n: Int = 3, bands: Int = 16,
                              rowsPerBand: Int = 8,
-                             threshold: Double = 0.5): DataFrame = {
+                             threshold: Double = 0.5,
+                             maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val checked = store.select(
       when(col("n") === n && col("bands") === bands &&
           col("rows_per_band") === rowsPerBand, col("id"))
@@ -995,7 +1016,7 @@ object Dedup {
     crossRosterOf(checked,
       sigGramsFrame(delta, idCol, textCol, n, bands * rowsPerBand)
         .localCheckpoint(false),
-      bands, rowsPerBand, threshold)
+      bands, rowsPerBand, threshold, maxBucketSize)
   }
 
   /** Fold a delta batch's [[signatureStore]] frame into an existing

@@ -21,7 +21,7 @@ object TextQueries {
     * 258 s for x13 vs ~6 s guarded). A no-op on the uniform gate
     * corpora (max dup family ≤ 4 ≪ 64), so every existing hash pin is
     * unchanged — the SQL mirrors carry the identical filter anyway. */
-  private[queries] val MaxBucket = 64
+  private[graft] val MaxBucket = 64
 
   /** Perturbed copy of documents (doc_id+1000000, last token swapped) —
     * the synthetic near-dup half of [[nearDupCorpus]], and the "split B"
@@ -205,7 +205,8 @@ object TextQueries {
       Dedup.crossDedupRoster(
         documents(s, d).select(col("doc_id"), col("text")),
         perturbedDocs(s, d), "doc_id", "text",
-        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6,
+        maxBucketSize = MaxBucket)
         .orderBy(col("doc_id"))
     },
 
@@ -223,7 +224,8 @@ object TextQueries {
         .write.mode("overwrite").parquet(dir)
       Dedup.incrementalDedupRoster(
         perturbedDocs(s, d), s.read.parquet(dir), "doc_id", "text",
-        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6,
+        maxBucketSize = MaxBucket)
         .orderBy(col("doc_id"))
     },
 

@@ -50,10 +50,19 @@ object ChunkedOraclePlan {
          |TO '$work/sizes.parquet' (FORMAT PARQUET)""".stripMargin) ++
       // the quadratic middle, sharded by bucket hash
       (0 until chunks).map { k =>
+        // the r15 gate bucket guard, mirrored: ALL members of a (band,
+        // bucket) land in one chunk (the shard key is hash(bucket)), so
+        // the within-chunk count IS the global bucket size — a no-op on
+        // uniform corpora (max dup family ~4), exact on zipf ones
         s"""COPY (
-           |WITH banded AS (
+           |WITH banded0 AS (
            |  SELECT * FROM read_parquet('$work/banded.parquet')
            |  WHERE hash(bucket) % $chunks = $k),
+           |banded AS (
+           |  SELECT doc_id, band, bucket FROM (
+           |    SELECT doc_id, band, bucket,
+           |      count(*) OVER (PARTITION BY band, bucket) AS __bs
+           |    FROM banded0) WHERE __bs <= ${graft.queries.TextQueries.MaxBucket}),
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM banded a JOIN banded b

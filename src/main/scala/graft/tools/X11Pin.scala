@@ -43,12 +43,18 @@ object X11Pin {
     require(overlap == 0,
       s"X11Pin: document and perturbed id sets overlap in $overlap ids — " +
         "the union-self-join reference is invalid for this id scheme")
+    // both paths carry the gate's bucket guard (r15): the cross form
+    // counts COMBINED (A ∪ B) bucket membership, which is exactly what
+    // the union self-join's per-bucket count sees — so the two stay
+    // roster-equivalent on guarded and unguarded corpora alike
     val engine = graft.operators.Dedup.crossDedupRoster(
       left, right, "doc_id", "text",
-      n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+      n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6,
+      maxBucketSize = graft.queries.TextQueries.MaxBucket)
     val union = left.unionByName(right)
     val pairs = graft.operators.Dedup.minhashLshPairsShared(
-      union, "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+      union, "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6,
+      maxBucketSize = graft.queries.TextQueries.MaxBucket)
     val aIds = left.select(col("doc_id").as("a_id"))
     val bIds = right.select(col("doc_id").as("b_id"))
     // both orientations: the self-join orders pairs by id, and at sf1+
