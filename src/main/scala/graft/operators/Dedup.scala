@@ -1158,10 +1158,38 @@ object Dedup {
     * configuration. Larger maxHamming with few bands is best-effort;
     * more bands guarantee recall but narrow the bands (band width is the
     * candidate-volume knob: w-bit bands collide ~n²/2^w+1 pairs — at
-    * corpus scale keep bands ≤ maxHamming+1 and widths ≥ 9 bits). */
+    * corpus scale keep bands ≤ maxHamming+1 and widths ≥ 9 bits).
+    *
+    * Skew guard — keyed on the FULL signature, NOT the band bucket: B
+    * identical documents produce B IDENTICAL 64-bit signatures, so
+    * every band puts the whole cluster in one bucket — B²/2 join rows
+    * per band that the hamming filter (xor = 0) then keeps, a quadratic
+    * term no band knob can cut because identical inputs collide under
+    * every hash. `maxSigGroup` drops documents in oversized
+    * IDENTICAL-`sh` groups wholesale before banding: unrelated docs
+    * collide on all 64 bits at ~n²/2⁶⁵, so an oversized group is an
+    * exact/near-exact-dup cluster by construction, owned by the O(B)
+    * hash-groupBy pass — run exact dedup first and the guard never
+    * fires. A per-BAND bucket cap would be wrong here (the x3-family
+    * rule does NOT transfer): band keys live in a FIXED 2^w space, so
+    * bucket occupancy grows linearly with the corpus and is skewed by
+    * corpus-wide vote correlation — capping it drops REAL pairs
+    * (measured: 141 of 1,297 gate pairs at sf0.01 under a 64 cap).
+    * Band-bucket volume n²/2^{w+1} is the documented width trade, not a
+    * skew anomaly. Pigeonhole recall is exact among surviving docs.
+    * Default unbounded. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    val sigs = simhashes(df, idCol, textCol)
+                   maxHamming: Int = 3, bands: Int = 4,
+                   maxSigGroup: Int = Int.MaxValue): DataFrame = {
+    val sigsAll = simhashes(df, idCol, textCol)
+    // one narrow (id, sh) exchange on sh; the banded self-join below
+    // exchanges on (band, bucket) regardless
+    val sigs =
+      if (maxSigGroup == Int.MaxValue) sigsAll
+      else sigsAll.withColumn("__sg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+        .filter(col("__sg") <= maxSigGroup)
+        .drop("__sg")
     val layout = bandLayout(bands)
     val banded = sigs.select(col("id"), col("sh"),
       posexplode(array(layout.map { case (shift, width) =>
@@ -1184,24 +1212,65 @@ object Dedup {
 
   // ---- embedding cosine near-dup ----------------------------------------
 
+  /** Dedicated plane-table id for the hot-bucket refinement stage of
+    * [[embeddingCosinePairs]] — far outside any multi-table LSH range so
+    * the refine planes are independent of every table-0..T candidate
+    * signature a caller composes with. */
+  val RefineTable = 1000003
+
   /** Embedding near-dup pairs above a cosine threshold. Candidates via
     * random-hyperplane LSH buckets (see [[Similarity.hyperplaneSignature]])
-    * keep this off the O(n²) path; verification is exact double cosine. */
+    * keep this off the O(n²) path; verification is exact double cosine.
+    *
+    * Skew guard — TWO stages, because hyperplane buckets overfill in two
+    * distinct ways that the minhash wholesale-drop rule must not
+    * conflate: (1) a DENSE-but-diverse region (an embedding-space
+    * "topic") legitimately overfills its cell — those rows are REFINED
+    * with `refinePlanes` additional hyperplanes from an independent
+    * plane table (candidates must then agree on (bucket, sub): the
+    * standard multiplicative LSH recall trade, paid only inside hot
+    * cells); (2) a cluster of IDENTICAL vectors shares every signature
+    * under EVERY plane set — refinement cannot split it, so a
+    * (bucket, sub) group still over `maxBucketSize` after refinement is
+    * dropped wholesale: byte-identical embeddings are exact dups owned
+    * by the O(B) hash-groupBy pass, the same ownership rule as the
+    * minhash family's band guard. Both count windows ride the
+    * bucket-clustered exchange the self-join needs anyway (a window
+    * keyed on a superset of the partitioning adds a sort, not a
+    * shuffle). Default unbounded. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double = 0.95, planes: Int = 12): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
+                           threshold: Double = 0.95, planes: Int = 12,
+                           maxBucketSize: Int = Int.MaxValue,
+                           refinePlanes: Int = 12,
+                           refineTable: Int = RefineTable): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs0 = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), planes))
       .withColumn("nv", Similarity.norm(col("v")))
+    val sigs =
+      if (maxBucketSize == Int.MaxValue) sigs0.withColumn("sub", lit(0L))
+      else sigs0
+        .withColumn("__bs", count(lit(1)).over(
+          Window.partitionBy(col("bucket"))))
+        // +1 keeps the refined sub-key space disjoint from the
+        // unrefined rows' constant 0
+        .withColumn("sub", when(col("__bs") <= maxBucketSize, lit(0L))
+          .otherwise(Similarity.hyperplaneSignature(
+            col("v"), refinePlanes, refineTable) + lit(1L)))
+        .withColumn("__bs2", count(lit(1)).over(
+          Window.partitionBy(col("bucket"), col("sub"))))
+        .filter(col("__bs2") <= maxBucketSize)
+        .drop("__bs", "__bs2")
     val a = sigs.select(col("id").as("id_a"), col("v").as("v_a"),
-      col("nv").as("n_a"), col("bucket"))
+      col("nv").as("n_a"), col("bucket"), col("sub"))
     val b = sigs.select(col("id").as("id_b"), col("v").as("v_b"),
-      col("nv").as("n_b"), col("bucket"))
+      col("nv").as("n_b"), col("bucket"), col("sub"))
     // merge hint, same rationale as minhashLshPairs: the corpus-vs-corpus
     // self-join must never broadcast (AQE would at toy scale), and as a
     // sort-merge both sides are the identical Exchange(bucket) subtree —
     // the scan + signature projection runs once, ReusedExchange second leg.
-    a.hint("merge").join(b, Seq("bucket"))
+    a.hint("merge").join(b, Seq("bucket", "sub"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine_sim",
         Similarity.cosinePrenormed(col("v_a"), col("v_b"), col("n_a"), col("n_b")))

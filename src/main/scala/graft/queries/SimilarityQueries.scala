@@ -185,8 +185,10 @@ object SimilarityQueries {
     // embeds.
     "x5_embedding_near_dup" -> { (s, d) =>
       val n = 2L * embeddings(s, d).count()
+      val p = Similarity.planesFor(n, targetBucket = 32)
       Dedup.embeddingCosinePairs(nearDupEmbeddings(s, d), "vec_id", "embedding",
-        threshold = 0.98, planes = Similarity.planesFor(n, targetBucket = 32))
+        threshold = 0.98, planes = p,
+        maxBucketSize = TextQueries.MaxBucket, refinePlanes = p)
         .withColumn("cosine_sim", round(col("cosine_sim"), 6))
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -600,7 +602,11 @@ object SimilarityQueries {
     },
 
     // 5 planes = the gate's planesFor(1000 doubled sf0.01 vectors,
-    // target 32) — ScaleKnobSpec pins this coupling.
+    // target 32) — ScaleKnobSpec pins this coupling. The two-stage
+    // bucket guard is mirrored exactly: hot buckets (> MaxBucket)
+    // re-bucket under the independent refine-table planes, and
+    // (bucket, sub) groups still oversized after refinement drop
+    // wholesale (identical-vector clusters — the engine's stage 2).
     "x5_embedding_near_dup" ->
       s"""WITH base AS (
          |  SELECT vec_id, $dblEmb AS v FROM embeddings
@@ -609,11 +615,24 @@ object SimilarityQueries {
          |  SELECT vec_id + 100000 AS vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01) AS v
          |  FROM embeddings),
+         |sigs0 AS (
+         |  SELECT vec_id, v, ${sqlSignature("v", 5)} AS bucket FROM base),
+         |sized AS (
+         |  SELECT *, count(*) OVER (PARTITION BY bucket) AS __bs FROM sigs0),
+         |ref AS (
+         |  SELECT vec_id, v, bucket,
+         |    CASE WHEN __bs <= ${TextQueries.MaxBucket} THEN 0
+         |      ELSE ${sqlSignature("v", 5, graft.operators.Dedup.RefineTable)} + 1
+         |    END AS sub
+         |  FROM sized),
          |sigs AS (
-         |  SELECT vec_id, v, ${sqlSignature("v", 5)} AS bucket FROM base)
+         |  SELECT vec_id, v, bucket, sub FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY bucket, sub) AS __bs2
+         |    FROM ref) WHERE __bs2 <= ${TextQueries.MaxBucket})
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(${sqlCosine("a.v", "b.v")}, 6) AS cosine_sim
-         |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |FROM sigs a JOIN sigs b
+         |  ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id < b.vec_id
          |WHERE ${sqlCosine("a.v", "b.v")} >= 0.98
          |ORDER BY id_a, id_b""".stripMargin,
 

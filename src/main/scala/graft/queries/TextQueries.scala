@@ -262,7 +262,7 @@ object TextQueries {
     // hamming <= 6 is pigeonhole-EXACT (no LSH luck in the gate result).
     "x4_simhash" -> { (s, d) =>
       Dedup.simhashPairs(nearDupCorpus(s, d), "doc_id", "text",
-        maxHamming = 6, bands = 7)
+        maxHamming = 6, bands = 7, maxSigGroup = MaxBucket)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -884,7 +884,11 @@ object TextQueries {
       s"""WITH h AS (
          |  SELECT doc_id, h FROM read_parquet('__AUX__/x4_token_h64/*.parquet')),
          |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
-         |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS sh FROM votes),
+         |sigs0 AS (SELECT doc_id, CAST($sig AS BIGINT) AS sh FROM votes),
+         |sigs AS (
+         |  SELECT doc_id, sh FROM (
+         |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS __sg
+         |    FROM sigs0) WHERE __sg <= $MaxBucket),
          |banded AS ($bandsSql)
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming

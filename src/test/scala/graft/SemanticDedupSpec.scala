@@ -55,6 +55,41 @@ class SemanticDedupSpec extends SparkSpec {
     assert(one == other)
   }
 
+  test("embeddingCosinePairs: two-stage guard — refine splits dense cells, drop owns identical clusters") {
+    val rnd = new scala.util.Random(42)
+    def vec(): Seq[Double] = Seq.fill(64)(rnd.nextGaussian())
+    val a = vec()                      // 100 IDENTICAL copies — stage-2 target
+    val b = vec()                      // planted exact twin pair — must survive
+    val fill = Seq.fill(80)(vec())     // diverse filler — hot cells at planes=2
+    val rows = Seq.tabulate(100)(i => (i.toLong, a)) ++
+      Seq(200L -> b, 201L -> b) ++
+      fill.zipWithIndex.map { case (v, i) => ((300 + i).toLong, v) }
+    val df = rows.toDF("vec_id", "embedding")
+    // planes=2 -> 4 base buckets, so every bucket is "hot" at cap 16:
+    // ALL rows take the refine path; 12 refine planes split the diverse
+    // filler (pair collision 1/2^12) but CANNOT split identical vectors
+    val guarded = Dedup.embeddingCosinePairs(df, "vec_id", "embedding",
+      threshold = 0.95, planes = 2, maxBucketSize = 16, refinePlanes = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unguarded = Dedup.embeddingCosinePairs(df, "vec_id", "embedding",
+      threshold = 0.95, planes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // stage 2: the 100-copy identical cluster's refined sub-group still
+    // holds 100 > 16 -> dropped wholesale
+    assert(unguarded.count { case (x, y) => x < 100 && y < 100 } == 100 * 99 / 2)
+    assert(guarded.forall { case (x, y) => x >= 100 && y >= 100 })
+    // stage 1 refinement keeps the planted twin pair: identical vectors
+    // agree on every refine plane and their sub-group is tiny
+    assert(guarded.contains((200L, 201L)))
+    // refinement only ever REMOVES candidates (verify is unchanged)
+    assert(guarded.subsetOf(unguarded))
+    // and an unbounded guard is the identity
+    val noop = Dedup.embeddingCosinePairs(df, "vec_id", "embedding",
+      threshold = 0.95, planes = 2, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noop == unguarded)
+  }
+
   test("plan: sort-merge self-join over a reused assign exchange") {
     // ReuseExchange is visible only in the FINAL adaptive plan,
     // post-execution (same caveat as PlanSpec's dedup assertions)

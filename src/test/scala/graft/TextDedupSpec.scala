@@ -86,6 +86,38 @@ class TextDedupSpec extends SparkSpec {
       s"7-band blocking at maxHamming=6 must be exact: |exact|=${exact.size}, |banded|=${banded.size}")
   }
 
+  test("simhashPairs: maxSigGroup drops identical-signature mega-clusters") {
+    val boiler = "copy paste boiler plate text repeated verbatim everywhere " * 3
+    val near = "one two three four five six seven eight nine ten " * 3
+    val docs = (Seq.tabulate(5)(i => (i.toLong, boiler)) ++
+      Seq(10L -> near, 11L -> near)).toDF("doc_id", "text")
+    // unbounded: the identical 5-clique (10 pairs at hamming 0, in every
+    // band's bucket — no band knob can split identical signatures) plus
+    // the identical 2-clique
+    val all = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 6, bands = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.size == 11 && all.contains((10L, 11L)))
+    // guard at 4: the 5-clique's sh group holds 5 ids -> its docs drop
+    // before banding; the 2-clique (sh group of 2) survives intact
+    val guarded = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 6, bands = 7, maxSigGroup = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == Set((10L, 11L)))
+    // and the gate arm (MaxBucket) is a no-op on the uniform corpus —
+    // the same equality the oracle mirror relies on (identical-text
+    // families there are far below the bound)
+    val corpus = graft.queries.TextQueries.nearDupCorpus(spark, "/root/testdata/sf0.001")
+    val unguardedC = Dedup.simhashPairs(corpus, "doc_id", "text",
+      maxHamming = 6, bands = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guardedC = Dedup.simhashPairs(corpus, "doc_id", "text",
+      maxHamming = 6, bands = 7,
+      maxSigGroup = graft.queries.TextQueries.MaxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guardedC == unguardedC)
+  }
+
   test("minhash LSH recall vs exact jaccard pairs on near-dup corpus") {
     val corpus = graft.queries.TextQueries.nearDupCorpus(spark, "/root/testdata/sf0.001")
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8)
