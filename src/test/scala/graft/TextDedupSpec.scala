@@ -405,6 +405,37 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 1L, 1.0)), got.toSeq)
   }
 
+  test("crossDedupRoster guard counts COMBINED A∪B bucket membership") {
+    // mega cluster: 6 identical left + 6 identical right copies share one
+    // signature, so every band bucket holds 12 COMBINED members; the
+    // planted ordinary cross pair occupies its own buckets at combined 2
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val pairT = "one two three four five six seven eight"
+    val left = (Seq.tabulate(6)(i => (i.toLong, boiler)) :+ (100L -> pairT))
+      .toDF("doc_id", "text")
+    val right = (Seq.tabulate(6)(i => ((10 + i).toLong, boiler)) :+ (200L -> pairT))
+      .toDF("doc_id", "text")
+    val un = Dedup.crossDedupRoster(left, right, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // unguarded: every right boiler copy leaks (tie-broken to left id 0)
+    assert(un == (10 to 15).map(i => (i.toLong, 0L)).toSet + ((200L, 100L)))
+    // cap 8: combined boiler membership is 12 > 8 although EACH side holds
+    // only 6 <= 8 — a per-side count would keep the mega bucket; the
+    // combined count drops it wholesale and the planted pair survives
+    val g = Dedup.crossDedupRoster(left, right, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g == Set((200L, 100L)))
+    // the incremental store path threads the identical guard
+    val store = Dedup.signatureStore(left, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 8)
+    val gi = Dedup.incrementalDedupRoster(right, store, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gi == g)
+  }
+
   test("perturbedDocs id set is disjoint from documents (x11 oracle precondition)") {
     // The x11 oracle and X11Pin classify pair sides by id-SET membership
     // and assume documents ids and shifted (+1000000) ids never overlap.
