@@ -446,6 +446,20 @@ object Dedup {
     * default near-dup path — whose banding bounds candidates with no
     * data-dependent key at all.
     *
+    * MEGA-CLUSTER GUARD (r15): within-block banding cannot split
+    * IDENTICAL documents — B copies share every minhash lane, so each
+    * band's bucket still holds the whole cluster and the skew path
+    * degrades back to B²/2 (measured: a 5,000-copy cluster put the
+    * banded path at 148 s on a corpus the exact path covers in 4 s).
+    * `maxBucketSize` wholesale-drops oversized (block, band, bucket)
+    * groups — the x3-family rule, valid here because bucket keys live
+    * in the open 2^64 hash space where occupancy is collision-driven,
+    * not corpus-driven (contrast [[simhashPairs]]' fixed band space,
+    * which needs the full-signature form). Oversized groups are
+    * exact-dup clusters owned by the O(B) hash-groupBy pass. Only the
+    * skew path is affected; capped blocks keep exact recall. Default
+    * unbounded.
+    *
     * Design note — the classic alternative is an inverted index (explode
     * gram→id postings, self-join on gram, count overlaps). Measured on
     * this corpus it is 5× SLOWER: a small token vocabulary makes postings
@@ -454,7 +468,8 @@ object Dedup {
     * grams are selective (large vocabularies / web text with df-capping). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxBlockSize: Int = 64): DataFrame = {
+                        maxBlockSize: Int = 64,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // shingles carried as xxhash64 longs: the candidate join shuffles
     // ~3 KB/doc instead of ~20 KB of strings, and the verify intersects
@@ -500,13 +515,22 @@ object Dedup {
       array_min(transform(col("grams"),
         g => pmod(pmod(g, lit(4294967296L)) * a + b, lit(MinhashPrime))))
     }
-    val banded = big
+    val banded0 = big
       .withColumn("sig", array(bigLanes: _*))
       .select(col("id"), col("prefix"), col("n_grams"),
         posexplode(array((0 until 8).map(b =>
           slice(col("sig"), b * 4 + 1, 4)): _*)))
       .withColumn("bucket", xxhash64(col("pos"), col("col").cast("string")))
       .select("id", "prefix", "n_grams", "pos", "bucket")
+    // mega-cluster guard: the count window partitions on exactly the
+    // candidate join's key, so it rides the join's own exchange
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else banded0.withColumn("__bs", count(lit(1)).over(
+          Window.partitionBy(col("prefix"), col("n_grams"),
+            col("pos"), col("bucket"))))
+        .filter(col("__bs") <= maxBucketSize)
+        .drop("__bs")
     val bigCands = banded.select(col("id").as("id_a"), col("prefix"),
       col("n_grams"), col("pos"), col("bucket")).hint("merge")
       .join(banded.select(col("id").as("id_b"), col("prefix"),

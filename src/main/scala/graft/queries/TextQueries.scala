@@ -137,9 +137,12 @@ object TextQueries {
     },
 
     // n-gram Jaccard near-dup pairs (blocked candidates + exact verify).
+    // The bucket guard affects only the banded SKEW path, which never
+    // fires on the gate corpus (no block exceeds maxBlockSize at
+    // sf0.01) — the oracle's plain block join stays exact.
     "x2_ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccardPairs(nearDupCorpus(s, d), "doc_id", "text",
-        n = 3, threshold = 0.6)
+        n = 3, threshold = 0.6, maxBucketSize = MaxBucket)
         .orderBy(col("id_a"), col("id_b"))
     },
 

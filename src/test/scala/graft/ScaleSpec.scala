@@ -92,4 +92,31 @@ class ScaleSpec extends SparkSpec {
     val twinHits = (0 until 5).count(i => found.contains((i.toLong, 1000L + i)))
     assert(twinHits >= 3, s"twin recall $twinHits/5 under banding")
   }
+
+  test("ngramJaccardPairs: maxBucketSize drops identical mega-clusters inside hot blocks") {
+    import graft.operators.Dedup
+    // within-block banding cannot split IDENTICAL documents (they share
+    // every minhash lane): a 100-copy cluster in a hot block puts its
+    // whole membership in one bucket per band — the guard's target. The
+    // planted exact-twin pair shares the block AND the identical-sig
+    // property, but its bucket groups hold 2 — far under the cap.
+    def doc(i: Int) = "the company " + (0 until 20).map(j => s"w${i}_$j").mkString(" ")
+    val mega = (0 until 100).map(i => (i.toLong, doc(9999)))
+    val pair = Seq((5000L, doc(7777)), (5001L, doc(7777)))
+    val fill = (0 until 50).map(i => (6000L + i, doc(i)))
+    // one block of 152 > maxBlockSize(64): everything takes the skew path
+    val corpus = (mega ++ pair ++ fill).toDF("id", "text")
+    val un = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(un.count { case (a, b) => a < 100 && b < 100 } == 100 * 99 / 2)
+    assert(un.contains((5000L, 5001L)))
+    val g = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.6,
+        maxBucketSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cluster dropped wholesale (owned by exact dedup); twins survive;
+    // the guard only ever removes candidates
+    assert(g.forall { case (a, b) => !(a < 100 || b < 100) }, g.take(5))
+    assert(g.contains((5000L, 5001L)))
+    assert(g.subsetOf(un))
+  }
 }
