@@ -945,32 +945,45 @@ object Dedup {
   private def crossRosterOf(sgL: DataFrame, sgR: DataFrame, bands: Int,
                             rowsPerBand: Int, threshold: Double,
                             maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    def banded(sg: DataFrame, side: String) = sg.select(col("id"),
+    def banded(sg: DataFrame) = sg.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumn("bucket", xxhash64(col("band"), col("col").cast("string")))
-      .select(col("id"), col("band"), col("bucket"), lit(side).as("__side"))
+      .select(col("id"), col("band"), col("bucket"))
     // the x3-family bucket guard, CROSS form (r15): a (band, bucket)
     // key holding a left ids and b right ids emits a·b candidates, so
-    // the size that matters is the COMBINED membership — counted over
-    // the unioned banded frame (matching the oracle's union-count
-    // semantics), then each join leg filters its side from the same
-    // guarded frame. Deterministic wholesale drop, same rationale as
+    // the size that matters is the COMBINED a+b membership (matching
+    // the oracle's union-count semantics). Counted via two map-side-
+    // combinable per-side aggregates merged with a full outer join —
+    // NOT a window over the unioned frame, which was measured 2.09×
+    // on the uniform gate (the union doubles the rows BOTH legs' sort
+    // must then carry). The oversized key set is empty on healthy
+    // corpora and at most n/cap entries adversarially, so the anti-
+    // joins below resolve to broadcasts under AQE at any real scale;
+    // each side keeps its own exchange exactly as unguarded.
+    // Deterministic wholesale drop, same rationale as
     // minhashLshPairsShared: oversized buckets are exact-dup
     // mega-clusters the O(B) exact pass owns.
-    val all = banded(sgL, "a").unionByName(banded(sgR, "b"))
-    val guarded =
-      if (maxBucketSize == Int.MaxValue) all
-      else all.withColumn("__bs", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("bucket"))))
-        .filter(col("__bs") <= maxBucketSize)
-        .drop("__bs")
-    val candidates = guarded.filter(col("__side") === "a")
+    val bandedL = banded(sgL)
+    val bandedR = banded(sgR)
+    val (guardedL, guardedR) =
+      if (maxBucketSize == Int.MaxValue) (bandedL, bandedR)
+      else {
+        val oversized = bandedL.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__ca"))
+          .join(bandedR.groupBy("band", "bucket")
+            .agg(count(lit(1)).as("__cb")), Seq("band", "bucket"), "full_outer")
+          .na.fill(0L, Seq("__ca", "__cb"))
+          .filter(col("__ca") + col("__cb") > maxBucketSize)
+          .select("band", "bucket")
+        (bandedL.join(oversized, Seq("band", "bucket"), "left_anti"),
+         bandedR.join(oversized, Seq("band", "bucket"), "left_anti"))
+      }
+    val candidates = guardedL
       .select(col("id").as("id_a"), col("band"), col("bucket"))
       .hint("merge")
-      .join(guarded.filter(col("__side") === "b")
+      .join(guardedR
         .select(col("id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select("id_a", "id_b").distinct()
@@ -1206,14 +1219,24 @@ object Dedup {
                    maxHamming: Int = 3, bands: Int = 4,
                    maxSigGroup: Int = Int.MaxValue): DataFrame = {
     val sigsAll = simhashes(df, idCol, textCol)
-    // one narrow (id, sh) exchange on sh; the banded self-join below
-    // exchanges on (band, bucket) regardless
+    // a map-side-combinable count per sh over the CHECKPOINTED (id, sh)
+    // frame (two longs per doc — the lazy localCheckpoint is the same
+    // pattern as minhashLshPairsShared's (sig, grams) frame), then
+    // anti-join the (tiny, empty-on-healthy-corpora) oversized key set
+    // back. NOT a window over sh — that was measured 1.63× on the
+    // uniform gate (a full exchange+sort of every row between the vote
+    // aggregation and banding); and without the checkpoint the two
+    // aggregate consumers each recompute the tokenize+vote pipeline.
+    // The anti-join resolves to a broadcast under AQE.
     val sigs =
       if (maxSigGroup == Int.MaxValue) sigsAll
-      else sigsAll.withColumn("__sg", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-        .filter(col("__sg") <= maxSigGroup)
-        .drop("__sg")
+      else {
+        val ck = sigsAll.localCheckpoint(false)
+        ck.join(
+          ck.groupBy("sh").agg(count(lit(1)).as("__sg"))
+            .filter(col("__sg") > maxSigGroup).select("sh"),
+          Seq("sh"), "left_anti")
+      }
     val layout = bandLayout(bands)
     val banded = sigs.select(col("id"), col("sh"),
       posexplode(array(layout.map { case (shift, width) =>
@@ -1258,34 +1281,50 @@ object Dedup {
     * (bucket, sub) group still over `maxBucketSize` after refinement is
     * dropped wholesale: byte-identical embeddings are exact dups owned
     * by the O(B) hash-groupBy pass, the same ownership rule as the
-    * minhash family's band guard. Both count windows ride the
-    * bucket-clustered exchange the self-join needs anyway (a window
-    * keyed on a superset of the partitioning adds a sort, not a
-    * shuffle). Default unbounded. */
+    * minhash family's band guard. Both stages count via slim
+    * map-side-combinable aggregates joined back (broadcast under AQE —
+    * the key sets are empty on healthy corpora, ≤ n/cap adversarially),
+    * so no vector row ever crosses a guard exchange. Default
+    * unbounded. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double = 0.95, planes: Int = 12,
                            maxBucketSize: Int = Int.MaxValue,
                            refinePlanes: Int = 12,
                            refineTable: Int = RefineTable): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sigs0 = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), planes))
       .withColumn("nv", Similarity.norm(col("v")))
+    // both guard stages count via map-side-combinable aggregates and
+    // attach the (tiny, empty-on-healthy-corpora) hot/oversized key
+    // sets back by joins that AQE resolves to broadcasts — NOT count
+    // windows, which were measured 1.30× on the uniform gate because
+    // they push every full vector row through an exchange+sort twice
+    // before the self-join even starts. The signature frame is lazily
+    // checkpointed once (the guard's multiple consumers would otherwise
+    // each re-scan the corpus and recompute signatures — measured WORSE
+    // than the windows, 2.4×); the self-join below reuses its leg
+    // exchange exactly as unguarded.
     val sigs =
       if (maxBucketSize == Int.MaxValue) sigs0.withColumn("sub", lit(0L))
-      else sigs0
-        .withColumn("__bs", count(lit(1)).over(
-          Window.partitionBy(col("bucket"))))
+      else {
+        val ck = sigs0.localCheckpoint(false)
+        val hot = ck.groupBy("bucket").agg(count(lit(1)).as("__bs"))
+          .filter(col("__bs") > maxBucketSize)
+          .select(col("bucket"), lit(true).as("__hot"))
         // +1 keeps the refined sub-key space disjoint from the
         // unrefined rows' constant 0
-        .withColumn("sub", when(col("__bs") <= maxBucketSize, lit(0L))
-          .otherwise(Similarity.hyperplaneSignature(
-            col("v"), refinePlanes, refineTable) + lit(1L)))
-        .withColumn("__bs2", count(lit(1)).over(
-          Window.partitionBy(col("bucket"), col("sub"))))
-        .filter(col("__bs2") <= maxBucketSize)
-        .drop("__bs", "__bs2")
+        val withSub = ck.join(hot, Seq("bucket"), "left")
+          .withColumn("sub", when(col("__hot").isNull, lit(0L))
+            .otherwise(Similarity.hyperplaneSignature(
+              col("v"), refinePlanes, refineTable) + lit(1L)))
+          .drop("__hot")
+        val oversized = withSub.groupBy("bucket", "sub")
+          .agg(count(lit(1)).as("__bs2"))
+          .filter(col("__bs2") > maxBucketSize)
+          .select("bucket", "sub")
+        withSub.join(oversized, Seq("bucket", "sub"), "left_anti")
+      }
     val a = sigs.select(col("id").as("id_a"), col("v").as("v_a"),
       col("nv").as("n_a"), col("bucket"), col("sub"))
     val b = sigs.select(col("id").as("id_b"), col("v").as("v_b"),
