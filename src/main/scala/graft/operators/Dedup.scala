@@ -1374,16 +1374,55 @@ object Dedup {
     * per-cluster quadratic a constant-size unit of work. The `c`
     * parameter is that knob; the default matches the oracle-gated toy
     * quantizer. Output: (vec_id, cluster_id, kept) — the full roster,
-    * so a gate hash-checks every keep/drop decision. */
+    * so a gate hash-checks every keep/drop decision.
+    *
+    * Exact-duplicate pre-collapse (`collapseIdentical`, on by default):
+    * the Σ|cluster|² contract assumes clusters track data DENSITY, but
+    * B byte-identical embeddings land in ONE cluster regardless of C —
+    * a B²/2 pair term no cluster-count knob can cut, the same cliff the
+    * near-dup band guards close. Identical vectors are all mutual
+    * cosine-1 dups, so the rule is EXACTLY semantics-preserving: each
+    * identical group's min id stands in for the group in the pair join
+    * (any smaller-id near-dup some member has, the rep has at the same
+    * cosine — identical inputs), and every non-rep is dropped
+    * unconditionally (its rep IS a smaller-id near-dup). Detection is
+    * hash-prefiltered so healthy corpora pay only a column-pruned scan
+    * and a slim map-side-combinable count: rows whose xxhash64(v) group
+    * is singleton skip the collapse entirely; only actual-duplicate
+    * rows reach the exact group-by-vector rep aggregation (hash
+    * collisions between distinct vectors are harmless — they merely
+    * route both through the exact stage). Auto-disabled when
+    * `threshold` is within 1e-9 of 1.0, where cosine(v, v)'s float
+    * round-off (dot/(sqrt·sqrt) ∈ 1 ± 4ε) could make the original rule
+    * keep an identical twin the collapse would drop. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double = 0.9, c: Int = 16,
-                    stride: Long = 7L): DataFrame = {
+                    stride: Long = 7L,
+                    collapseIdentical: Boolean = true): DataFrame = {
     val cents = Ivf.seedCentroids(df, idCol, vecCol, c, stride)
-    val assigned = Ivf.assign(df, idCol, vecCol, cents)
-      .repartition(col("cluster_id"))
-    val a = assigned.select(col("id").as("id_a"), col("v").as("v_a"),
+    val assigned0 = Ivf.assign(df, idCol, vecCol, cents)
+    val withRep =
+      if (!collapseIdentical || threshold > 1.0 - 1e-9)
+        assigned0.withColumn("__rep", col("id"))
+      else {
+        // the raw frame mirrors assign's v derivation exactly so the
+        // rep join key below matches byte-for-byte
+        val raw = df.filter(col(idCol).isNotNull)
+          .select(col(idCol).as("id"),
+            Similarity.toDouble(col(vecCol)).as("v"))
+          .withColumn("__h", xxhash64(col("v")))
+        val dupH = raw.groupBy("__h").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 1).select("__h")
+        val repOfDups = raw.join(dupH, Seq("__h"))
+          .groupBy(col("v")).agg(min(col("id")).as("__rep"))
+        assigned0.join(repOfDups, Seq("v"), "left")
+          .withColumn("__rep", coalesce(col("__rep"), col("id")))
+      }
+    val assigned = withRep.repartition(col("cluster_id"))
+    val reps = assigned.filter(col("id") === col("__rep"))
+    val a = reps.select(col("id").as("id_a"), col("v").as("v_a"),
       col("nv").as("n_a"), col("cluster_id"))
-    val b = assigned.select(col("id").as("id_b"), col("v").as("v_b"),
+    val b = reps.select(col("id").as("id_b"), col("v").as("v_b"),
       col("nv").as("n_b"), col("cluster_id"))
     // merge hint + explicit cluster_id repartition: same rationale as
     // embeddingCosinePairs — corpus-vs-corpus must never broadcast, and
@@ -1393,9 +1432,9 @@ object Dedup {
       .filter(Similarity.cosinePrenormed(
         col("v_a"), col("v_b"), col("n_a"), col("n_b")) >= threshold)
       .select(col("id_b").as("id")).distinct()
-    assigned.select(col("id"), col("cluster_id"))
+    assigned.select(col("id"), col("cluster_id"), col("__rep"))
       .join(drops.withColumn("__dropped", lit(true)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster_id"),
-        col("__dropped").isNull.as("kept"))
+        (col("__dropped").isNull && col("id") === col("__rep")).as("kept"))
   }
 }

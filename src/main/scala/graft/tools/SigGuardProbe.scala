@@ -111,6 +111,24 @@ object SigGuardProbe {
         threshold = 0.95, planes = planes).count()
       println(s"[sigguard]   pairs=$c")
     }
+
+    // ---- sd1: semantic dedup with the exact-duplicate pre-collapse ----
+    // The Σ|cluster|² contract breaks on identical vectors (one cluster
+    // holds all B copies regardless of C); the collapse routes them to
+    // a min-id rep before the within-cluster pair join.
+    val cSd = graft.operators.Ivf.centroidsFor(n)
+    println(s"[sigguard] sd1 corpus=rows=$n c=$cSd")
+    phase("sd1 semantic dedup COLLAPSED (default)") {
+      val kept = Dedup.semanticDedup(vcorpus, "vec_id", "embedding",
+        threshold = 0.9, c = cSd).filter(col("kept")).count()
+      println(s"[sigguard]   kept=$kept")
+    }
+    if (runUnguarded) phase("sd1 semantic dedup NO COLLAPSE") {
+      val kept = Dedup.semanticDedup(vcorpus, "vec_id", "embedding",
+        threshold = 0.9, c = cSd, collapseIdentical = false)
+        .filter(col("kept")).count()
+      println(s"[sigguard]   kept=$kept")
+    }
     spark.stop()
   }
 }

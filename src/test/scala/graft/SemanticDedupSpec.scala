@@ -55,6 +55,42 @@ class SemanticDedupSpec extends SparkSpec {
     assert(one == other)
   }
 
+  test("semanticDedup: identical-vector collapse is roster-identical and drops all non-reps") {
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Double] = Seq.fill(32)(rnd.nextGaussian())
+    val hotVec = vec()
+    val nearBase = vec()
+    // 200-copy identical mega cluster (ids 0..199) + a planted NEAR
+    // (not identical) pair + 60 diverse fillers — the collapse must
+    // leave every non-identical decision to the ordinary pair join
+    val rows = Seq.tabulate(200)(i => (i.toLong, hotVec)) ++
+      Seq(500L -> nearBase, 501L -> nearBase.map(_ * 1.000001)) ++
+      Seq.tabulate(60)(i => ((1000 + i).toLong, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    def roster(collapse: Boolean): Map[Long, (Int, Boolean)] =
+      Dedup.semanticDedup(df, "vec_id", "embedding", threshold = 0.9,
+          c = 4, collapseIdentical = collapse)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    val coll = roster(collapse = true)
+    val plain = roster(collapse = false)
+    // the collapse is EXACTLY semantics-preserving — full-roster equality
+    assert(coll == plain)
+    // sanity on the mega cluster: 199 non-reps all dropped; and the
+    // planted near pair kept its ordinary keep-min decision
+    assert((1L to 199L).forall(i => !coll(i)._2))
+    assert(coll(501L)._2 == false && coll(500L)._2 == plain(500L)._2)
+    // threshold within 1e-9 of 1.0 auto-disables the collapse (float
+    // round-off of cosine(v, v) could diverge there) — both arms must
+    // still agree because they ARE the same path
+    val collOne = Dedup.semanticDedup(df, "vec_id", "embedding",
+        threshold = 1.0, c = 4, collapseIdentical = true)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val plainOne = Dedup.semanticDedup(df, "vec_id", "embedding",
+        threshold = 1.0, c = 4, collapseIdentical = false)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(collOne == plainOne)
+  }
+
   test("embeddingCosinePairs: two-stage guard — refine splits dense cells, drop owns identical clusters") {
     val rnd = new scala.util.Random(42)
     def vec(): Seq[Double] = Seq.fill(64)(rnd.nextGaussian())
