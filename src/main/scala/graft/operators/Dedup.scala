@@ -954,28 +954,28 @@ object Dedup {
     // the x3-family bucket guard, CROSS form (r15): a (band, bucket)
     // key holding a left ids and b right ids emits a·b candidates, so
     // the size that matters is the COMBINED a+b membership (matching
-    // the oracle's union-count semantics). Counted via two map-side-
-    // combinable per-side aggregates merged with a full outer join —
-    // NOT a window over the unioned frame, which was measured 2.09×
-    // on the uniform gate (the union doubles the rows BOTH legs' sort
-    // must then carry). The oversized key set is empty on healthy
-    // corpora and at most n/cap entries adversarially, so the anti-
-    // joins below resolve to broadcasts under AQE at any real scale;
-    // each side keeps its own exchange exactly as unguarded.
-    // Deterministic wholesale drop, same rationale as
-    // minhashLshPairsShared: oversized buckets are exact-dup
-    // mega-clusters the O(B) exact pass owns.
+    // the oracle's union-count semantics) — ONE map-side-combinable
+    // count over the unioned SLIM (band, bucket) projections. A window
+    // over the unioned full frame was measured 2.09× on the uniform
+    // gate (the union doubles the rows BOTH legs' sort must carry);
+    // the slim union count pays only one 16-bytes-per-banding-row
+    // aggregation. The oversized key set is empty on healthy corpora
+    // and at most n/cap entries adversarially, so the anti-joins below
+    // resolve to broadcasts under AQE at any real scale (and AQE
+    // DELETES them outright when the set is empty — PLANS.md); each
+    // side keeps its own exchange exactly as unguarded. Deterministic
+    // wholesale drop, same rationale as minhashLshPairsShared:
+    // oversized buckets are exact-dup mega-clusters the O(B) exact
+    // pass owns.
     val bandedL = banded(sgL)
     val bandedR = banded(sgR)
     val (guardedL, guardedR) =
       if (maxBucketSize == Int.MaxValue) (bandedL, bandedR)
       else {
-        val oversized = bandedL.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__ca"))
-          .join(bandedR.groupBy("band", "bucket")
-            .agg(count(lit(1)).as("__cb")), Seq("band", "bucket"), "full_outer")
-          .na.fill(0L, Seq("__ca", "__cb"))
-          .filter(col("__ca") + col("__cb") > maxBucketSize)
+        val oversized = bandedL.select("band", "bucket")
+          .unionByName(bandedR.select("band", "bucket"))
+          .groupBy("band", "bucket").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > maxBucketSize)
           .select("band", "bucket")
         (bandedL.join(oversized, Seq("band", "bucket"), "left_anti"),
          bandedR.join(oversized, Seq("band", "bucket"), "left_anti"))
