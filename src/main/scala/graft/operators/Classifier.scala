@@ -135,7 +135,7 @@ object Classifier {
     val totAggs = count(lit(1)).as("n_vocab") +:
       classes.map(c => sum(col(cnt(c))).as(tot(c)))
     val totals = stats.agg(totAggs.head, totAggs.tail: _*)
-      .crossJoin(priors)
+      .crossJoin(broadcast(priors))
       // evaluated once on the 1-row frame; assert_true -> null when ok
       .filter(coalesce(assert_true(
         classes.map(c => col(nd(c)) > 0L).reduce(_ && _),

@@ -1394,7 +1394,12 @@ object Dedup {
     * route both through the exact stage). Auto-disabled when
     * `threshold` is within 1e-9 of 1.0, where cosine(v, v)'s float
     * round-off (dot/(sqrt·sqrt) ∈ 1 ± 4ε) could make the original rule
-    * keep an identical twin the collapse would drop. */
+    * keep an identical twin the collapse would drop. Zero-norm vectors
+    * are likewise exempt (r15 advice): cosinePrenormed defines
+    * cosine = 0.0 when either norm is 0, so the pair rule keeps
+    * identical zero-vector twins (0.0 < threshold) and the collapse
+    * must not drop them — they bypass the rep substitution and the
+    * pair stage decides as before. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double = 0.9, c: Int = 16,
                     stride: Long = 7L,
@@ -1415,8 +1420,17 @@ object Dedup {
           .filter(col("__c") > 1).select("__h")
         val repOfDups = raw.join(dupH, Seq("__h"))
           .groupBy(col("v")).agg(min(col("id")).as("__rep"))
+        // zero-norm twins are EXEMPT from the collapse (r15 advice):
+        // cosinePrenormed yields 0.0 when a norm is 0, so the original
+        // pair rule KEEPS identical zero-vector twins (0.0 < threshold)
+        // — collapsing them would silently change behavior for
+        // degenerate-but-real inputs (zero embeddings from empty or
+        // fully-padded docs). Gating on nv > 0 routes those rows through
+        // the pair stage, where the original rule decides as before.
         assigned0.join(repOfDups, Seq("v"), "left")
-          .withColumn("__rep", coalesce(col("__rep"), col("id")))
+          .withColumn("__rep",
+            when(col("nv") > 0, coalesce(col("__rep"), col("id")))
+              .otherwise(col("id")))
       }
     val assigned = withRep.repartition(col("cluster_id"))
     val reps = assigned.filter(col("id") === col("__rep"))

@@ -243,34 +243,50 @@ object Lm {
     * `onRound` is a probe hook (round, phase, nanos) — a no-op by
     * default, used by tools/BpeProbe to publish per-phase cost.
     *
-    * TWO ARMS dispatched on round count (the bpeEncode literal/kernel
-    * pattern applied to training): delta maintenance made each
+    * TWO ARMS, chosen by the EXPLICIT `sampled` flag (r15 advice: the
+    * earlier rounds>64 auto-dispatch silently switched semantics —
+    * above 200k docs the result became sample-derived and the `n`
+    * column changed meaning from corpus-wide to within-sample counts,
+    * with no signal to the caller; a latency heuristic must not be a
+    * semantics boundary). Default `sampled = false` always runs the
+    * exact corpus-wide trainer below. Delta maintenance makes each
     * distributed round CHEAP, but it is still one sequential Spark job
-    * per round — at a production 30k-50k-merge vocabulary that is hours
-    * of driver round-trips regardless of corpus size. Above
-    * [[DistributedTrainMaxRounds]] the public entry dispatches to
-    * [[bpeMergesSampled]] (driver-local merge loop over a bounded
-    * deterministic sample — the SentencePiece/HF industry shape);
-    * at or below it, the exact corpus-wide trainer below runs. The two
-    * arms are spec-pinned identical whenever the sample covers the
-    * corpus (LmSpec), which is true for every oracle-mirrored gate. */
+    * per round — at a production 30k-50k-merge vocabulary that is
+    * hours of driver round-trips regardless of corpus size, so callers
+    * training real vocabularies should opt in with `sampled = true`
+    * (driver-local merge loop over a bounded deterministic sample —
+    * the SentencePiece/HF industry shape); a WARN fires when the exact
+    * arm is asked for more than [[DistributedTrainMaxRounds]] rounds.
+    * The two arms are spec-pinned identical whenever the sample covers
+    * the corpus (LmSpec), which is true for every oracle-mirrored
+    * gate. */
   def bpeMerges(df: DataFrame, idCol: String, textCol: String,
-                rounds: Int = 3, joiner: String = "~"): DataFrame =
-    if (rounds <= DistributedTrainMaxRounds)
-      bpeMergesDistributed(df, idCol, textCol, rounds, joiner, (_, _, _) => ())
-    else
+                rounds: Int = 3, joiner: String = "~",
+                sampled: Boolean = false): DataFrame =
+    if (sampled)
       bpeMergesSampled(df, idCol, textCol, rounds, joiner)
+    else {
+      if (rounds > DistributedTrainMaxRounds) logger.warn(
+        s"bpeMerges: exact distributed training for $rounds rounds is " +
+          s"$rounds sequential Spark jobs (~0.3-0.4 s each at any corpus " +
+          "size) — for large vocabularies pass sampled = true (bounded " +
+          "deterministic sample, driver-local merge loop; identical " +
+          "whenever the sample covers the corpus)")
+      bpeMergesDistributed(df, idCol, textCol, rounds, joiner, (_, _, _) => ())
+    }
 
-  /** Above this round count [[bpeMerges]] dispatches from the
-    * exact distributed trainer to [[bpeMergesSampled]]. The distributed
-    * arm is O(rounds) SEQUENTIAL Spark jobs (one top-1 collect per
-    * round — flat ~0.3-0.4 s/round at any corpus size, tools/BpeProbe),
-    * so a production 30k-50k-merge vocabulary would be hours of driver
-    * round-trips; the sampled arm distributes only the tokenize+sample
-    * and runs the merge loop driver-local (tools/BpeTrainProbe: the
-    * crossover is round-count-driven, not data-driven). 64 keeps every
-    * oracle-mirrored gate (3-12 rounds) on the exact SQL-expressible
-    * arm with wide margin. */
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.operators.Lm")
+
+  /** Advisory round count above which the exact arm of [[bpeMerges]]
+    * logs a latency warning (it is O(rounds) SEQUENTIAL Spark jobs —
+    * one top-1 collect per round, flat ~0.3-0.4 s/round at any corpus
+    * size, tools/BpeProbe — so a production 30k-50k-merge vocabulary
+    * would be hours of driver round-trips; tools/BpeTrainProbe shows
+    * the sampled arm's crossover is round-count-driven, not
+    * data-driven). Purely advisory since r16: arm choice is the
+    * caller's explicit `sampled` flag, never an auto-dispatch. 64
+    * keeps every oracle-mirrored gate (3-12 rounds) far below the
+    * warning. */
   val DistributedTrainMaxRounds = 64
 
   /** Bounded sample for [[bpeMergesSampled]] — the SentencePiece

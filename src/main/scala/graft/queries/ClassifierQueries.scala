@@ -86,9 +86,10 @@ object ClassifierQueries {
     // pipeline a real pretraining-data run executes, every stage one of
     // the individually-gated operators (r14 verdict #5):
     //   t11 hygiene (cleanText) -> nb1 learned quality/lang scoring ->
-    //   nb3 DSIR resample -> x3 minhash candidates -> x6 components ->
-    //   x10 keep-best survivor -> dc1 decontamination -> ds7 hash split
-    //   -> ds3 sequence packing.
+    //   nb3 DSIR resample -> x1 exact dedup (min-id rep — required by
+    //   the bucket guard's contract, see below) -> x3 minhash candidates
+    //   -> x6 components -> x10 keep-best survivor -> dc1
+    //   decontamination -> ds7 hash split -> ds3 sequence packing.
     // Output = the final packed-manifest roster (doc, split, token
     // offsets), which pins every upstream decision jointly: a drifted
     // clean, score, lottery, cluster, survivor, contamination or split
@@ -109,14 +110,26 @@ object ClassifierQueries {
         ResampleSeed, tau = ResampleTau, temperature = ResampleTemp)
         .select("doc_id")
       val corpus = kept.join(cleaned.select(col("doc_id"), col("text")), "doc_id")
+      // exact pre-collapse BEFORE the guarded minhash (r15 advice): the
+      // bucket guard's contract is "oversized buckets are exact-dup
+      // mega-clusters owned by the O(B) exact pass" — this chain must
+      // therefore RUN that exact pass first, or >maxBucketSize identical
+      // copies would all survive (their banding rows dropped, no pairs).
+      // Roster-preserving: identical texts share qualityScore, and
+      // clusterRepresentatives ties break to min id, so collapsing each
+      // text group to its min-id member up front keeps exactly the doc
+      // the downstream keep-best would have kept.
+      val uniq = corpus.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("text"))
         .localCheckpoint(false)
-      val pairs = Dedup.minhashLshPairsShared(corpus, "doc_id", "text",
+      val pairs = Dedup.minhashLshPairsShared(uniq, "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6,
         maxBucketSize = TextQueries.MaxBucket)
       val clusters = Dedup.clusters(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
       val reps = Dedup.clusterRepresentatives(clusters, "doc_id", "cluster_id",
-        corpus.select(col("doc_id"),
+        uniq.select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("q")), "doc_id", "q")
       // repartition at the stage boundary: AQE coalesces the broadcast
       // anti-join's output toward its 64MB advisory size, leaving a few
@@ -124,9 +137,9 @@ object ClassifierQueries {
       // ran 4 tasks of 8.3 s where 16 of ~0.8 s fit — tools/Cur5Probe /
       // DecontStageProbe), so the post-dedup corpus is explicitly
       // rebalanced before it fans into decontamination and packing
-      val survivors = corpus.join(clusters, Seq("doc_id"), "left_anti")
+      val survivors = uniq.join(clusters, Seq("doc_id"), "left_anti")
         .unionByName(reps.select(col("keep_id").as("doc_id"))
-          .join(corpus, "doc_id"))
+          .join(uniq, "doc_id"))
         .repartition(col("doc_id"))
         .localCheckpoint(false)
       val bench = cleaned.filter(col("doc_id") < 30).select(col("text"))
@@ -251,10 +264,10 @@ object ClassifierQueries {
 
   /** The composed cur5 chain in SQL — every fragment REUSED from the
     * stage gates' own mirrors (cleanTextSqlOver, the nb/kept chain,
-    * the minhash lane/band fragments, the x6 recursive closure, the
-    * x10 keep-best window, dc1's 8-gram overlap, ds7's split CASE,
-    * ds3's cumulative packing), so the composition cannot drift from
-    * the individually-pinned derivations. Minhash hashes come from the
+    * the x1 min-id exact collapse, the minhash lane/band fragments,
+    * the x6 recursive closure, the x10 keep-best window, dc1's 8-gram
+    * overlap, ds7's split CASE, ds3's cumulative packing), so the
+    * composition cannot drift from the individually-pinned derivations. Minhash hashes come from the
     * cur5 aux dumps (cleaned-corpus shingles); restricting them to the
     * post-resample kept set is sound because signatures are per-doc. */
   private val cur5Sql = {
@@ -264,12 +277,15 @@ object ClassifierQueries {
        |  SELECT doc_id, ${TextQueries.cleanTextSqlOver("text")} AS text, lang
        |  FROM documents),
        |${keptChainOver("clean")},
+       |uniq AS (
+       |  SELECT min(k.doc_id) AS doc_id
+       |  FROM kept k JOIN clean c USING (doc_id) GROUP BY c.text),
        |h32 AS (
        |  SELECT doc_id, h FROM read_parquet('__AUX__/cur5_gram_h32/*.parquet')
-       |  WHERE doc_id IN (SELECT doc_id FROM kept)),
+       |  WHERE doc_id IN (SELECT doc_id FROM uniq)),
        |g64 AS (
        |  SELECT DISTINCT doc_id, g FROM read_parquet('__AUX__/cur5_gram_h64/*.parquet')
-       |  WHERE doc_id IN (SELECT doc_id FROM kept)),
+       |  WHERE doc_id IN (SELECT doc_id FROM uniq)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM g64 GROUP BY doc_id),
        |sigs AS (SELECT doc_id, ${TextQueries.minhashLanesSql} FROM h32 GROUP BY doc_id),
        |banded AS (${TextQueries.minhashBandedSql}),
@@ -304,7 +320,7 @@ object ClassifierQueries {
        |      ORDER BY q.q DESC, c.doc_id ASC) AS rn
        |  FROM clusters c JOIN quality q USING (doc_id)),
        |survivors AS (
-       |  SELECT doc_id FROM kept
+       |  SELECT doc_id FROM uniq
        |  WHERE doc_id NOT IN (SELECT doc_id FROM clusters)
        |  UNION ALL
        |  SELECT doc_id FROM ranked WHERE rn = 1),

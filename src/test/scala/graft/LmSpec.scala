@@ -174,17 +174,20 @@ class LmSpec extends SparkSpec {
       .orderBy($"round").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(samp == dist, s"sampled arm diverged:\n$samp\nvs\n$dist")
-    // and the >64-round dispatch path lands on the sampled arm and
-    // still matches (rounds exhaust long before 65 on this corpus)
-    val auto = Lm.bpeMerges(df, "doc_id", "text",
+    // arm choice is the caller's EXPLICIT flag (r15 advice: no silent
+    // semantics switch on a round-count heuristic): sampled = true
+    // opts in and still matches; the default stays on the exact arm
+    // even past the advisory warning threshold (rounds exhaust long
+    // before 65 on this corpus, so both runs are cheap)
+    val optIn = Lm.bpeMerges(df, "doc_id", "text",
+        rounds = Lm.DistributedTrainMaxRounds + 1, sampled = true)
+      .orderBy($"round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val distLong = Lm.bpeMerges(df, "doc_id", "text",
         rounds = Lm.DistributedTrainMaxRounds + 1)
       .orderBy($"round").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
-    val distLong = Lm.bpeMergesDistributed(df, "doc_id", "text",
-        Lm.DistributedTrainMaxRounds + 1, "~", (_, _, _) => ())
-      .orderBy($"round").collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
-    assert(auto == distLong, "dispatched sampled arm diverged at high rounds")
+    assert(optIn == distLong, "opt-in sampled arm diverged at high rounds")
   }
 
   test("trainLocal tie-breaks pairs in UTF8 binary order, not UTF-16") {

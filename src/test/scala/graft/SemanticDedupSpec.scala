@@ -91,6 +91,32 @@ class SemanticDedupSpec extends SparkSpec {
     assert(collOne == plainOne)
   }
 
+  test("semanticDedup: identical ZERO-vector twins are exempt from the collapse") {
+    // r15 advice: cosinePrenormed defines cosine = 0.0 when a norm is 0,
+    // so the pair rule KEEPS identical zero twins (0.0 < threshold); the
+    // collapse must not silently drop them. Mix zero twins with a normal
+    // identical group to pin that the exemption is per-group, not global.
+    val rnd = new scala.util.Random(11)
+    def vec(): Seq[Double] = Seq.fill(16)(rnd.nextGaussian())
+    val hot = vec()
+    val zero = Seq.fill(16)(0.0)
+    val rows = Seq.tabulate(5)(i => (i.toLong, zero)) ++
+      Seq.tabulate(5)(i => ((100 + i).toLong, hot)) ++
+      Seq.tabulate(20)(i => ((1000 + i).toLong, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    def roster(collapse: Boolean): Map[Long, Boolean] =
+      Dedup.semanticDedup(df, "vec_id", "embedding", threshold = 0.9,
+          c = 4, collapseIdentical = collapse)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val coll = roster(collapse = true)
+    assert(coll == roster(collapse = false),
+      "collapse must be roster-identical in the presence of zero vectors")
+    // every zero twin survives (cosine 0.0 < 0.9)...
+    assert((0L to 4L).forall(coll(_)), s"zero twins must all be kept: $coll")
+    // ...while the normal identical group still collapses to its min id
+    assert(coll(100L) && (101L to 104L).forall(!coll(_)))
+  }
+
   test("embeddingCosinePairs: two-stage guard — refine splits dense cells, drop owns identical clusters") {
     val rnd = new scala.util.Random(42)
     def vec(): Seq[Double] = Seq.fill(64)(rnd.nextGaussian())

@@ -63,6 +63,14 @@ def main(sf_dir, out_dir, only=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:  # optional comma-list filter for resuming interrupted sweeps
         names = set(only.split(","))
+        # fail loudly on unknown names (r15 advice): a typo'd resume list
+        # would otherwise yield an empty sweep that exits 0 — a vacuous
+        # "verification pass" with n_pass=0
+        unknown = names - set(oracle)
+        if unknown:
+            raise SystemExit(
+                f"check.py: unknown query name(s) in filter: {sorted(unknown)} "
+                f"— not in {out_dir}/oracle_sql.json")
         oracle = {k: v for k, v in oracle.items() if k in names}
     n_pass = n_fail = 0
     fails = []
