@@ -1,0 +1,38 @@
+#!/bin/bash
+# Interleaved sf0.1/sf1 pair capture (r15 verdict #1): the committed
+# ratio's denominator (sf0.1 total) historically swung ±20% with the
+# host regime BETWEEN capture sessions, bracketing the ratio at
+# [1.57, 1.91] on identical code. Fix: alternate the two sides within
+# ONE session so each pair (A_i, B_i) shares a regime by construction,
+# and stamp every side with a fixed CALIBRATION probe (three cheap
+# queries at sf0.1, isolated JVM) so a drifting host shows up as a
+# drifting calibration rather than silently bending the ratio.
+#
+# Usage: tools/bench_pair_interleaved.sh <outPrefix> [nPairs]
+# Produces, per pair i: <p>_cal_a$i.json, <p>_sf0.1_$i.json,
+#                       <p>_cal_b$i.json, <p>_sf1_$i.json
+# Summarize with tools/pair_report.py <outPrefix> <nPairs>.
+set -e
+cd "$(dirname "$0")/.."
+OUT=${1:?usage: bench_pair_interleaved.sh <outPrefix> [nPairs]}
+PAIRS=${2:-3}
+SF01=${SF01_DIR:-/root/testdata/sf0.1}
+SF1=${SF1_DIR:-/root/repo/testdata/sf1}
+# fixed calibration trio: scan-bound + join/iterate-bound + tokenize-
+# bound, all at sf0.1 on BOTH sides of the pair (it measures the HOST
+# at that moment, not the data side)
+CAL=q1_pricing_summary,x6_dup_clusters,t4_tfidf
+for i in $(seq 1 "$PAIRS"); do
+  echo "[pair $i] start loadavg=$(cut -d' ' -f1-3 /proc/loadavg)"
+  SPARK_GRAFT_SF_DIR=$SF01 SPARK_GRAFT_ONLY=$CAL \
+    SPARK_GRAFT_BENCH_FULL=${OUT}_cal_a$i.json \
+    tools/run-main.sh graft.Bench 2>/dev/null | tail -1
+  SPARK_GRAFT_SF_DIR=$SF01 SPARK_GRAFT_BENCH_FULL=${OUT}_sf0.1_$i.json \
+    tools/run-main.sh graft.Bench 2>/dev/null | tail -1
+  SPARK_GRAFT_SF_DIR=$SF01 SPARK_GRAFT_ONLY=$CAL \
+    SPARK_GRAFT_BENCH_FULL=${OUT}_cal_b$i.json \
+    tools/run-main.sh graft.Bench 2>/dev/null | tail -1
+  SPARK_GRAFT_SF_DIR=$SF1 SPARK_GRAFT_BENCH_FULL=${OUT}_sf1_$i.json \
+    tools/run-main.sh graft.Bench 2>/dev/null | tail -1
+  echo "[pair $i] done loadavg=$(cut -d' ' -f1-3 /proc/loadavg)"
+done
