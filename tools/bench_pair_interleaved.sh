@@ -22,16 +22,35 @@ SF1=${SF1_DIR:-/root/repo/testdata/sf1}
 # bound, all at sf0.1 on BOTH sides of the pair (it measures the HOST
 # at that moment, not the data side)
 CAL=q1_pricing_summary,x6_dup_clusters,t4_tfidf
+# Quiet-start gate before EVERY side: back-to-back interleaving leaves
+# the just-exited JVM's residual loadavg on the next side's load_before
+# stamp (the 1-min average decays e-fold per minute, it does not reset
+# at process exit), which reads as a contended start even though the
+# box is idle. Wait for the decay so every side is quiet-started by
+# the same < 2 convention as standalone captures; cap the wait so a
+# genuinely busy host fails loudly in the stamp instead of hanging.
+wait_quiet() {
+  for _ in $(seq 1 60); do
+    l1=$(cut -d' ' -f1 /proc/loadavg)
+    awk -v l="$l1" 'BEGIN{exit !(l < 2.0)}' && return 0
+    sleep 10
+  done
+  echo "[warn] loadavg still $(cut -d' ' -f1 /proc/loadavg) after 10 min; proceeding"
+}
 for i in $(seq 1 "$PAIRS"); do
   echo "[pair $i] start loadavg=$(cut -d' ' -f1-3 /proc/loadavg)"
+  wait_quiet
   SPARK_GRAFT_SF_DIR=$SF01 SPARK_GRAFT_ONLY=$CAL \
     SPARK_GRAFT_BENCH_FULL=${OUT}_cal_a$i.json \
     tools/run-main.sh graft.Bench 2>/dev/null | tail -1
+  wait_quiet
   SPARK_GRAFT_SF_DIR=$SF01 SPARK_GRAFT_BENCH_FULL=${OUT}_sf0.1_$i.json \
     tools/run-main.sh graft.Bench 2>/dev/null | tail -1
+  wait_quiet
   SPARK_GRAFT_SF_DIR=$SF01 SPARK_GRAFT_ONLY=$CAL \
     SPARK_GRAFT_BENCH_FULL=${OUT}_cal_b$i.json \
     tools/run-main.sh graft.Bench 2>/dev/null | tail -1
+  wait_quiet
   SPARK_GRAFT_SF_DIR=$SF1 SPARK_GRAFT_BENCH_FULL=${OUT}_sf1_$i.json \
     tools/run-main.sh graft.Bench 2>/dev/null | tail -1
   echo "[pair $i] done loadavg=$(cut -d' ' -f1-3 /proc/loadavg)"
