@@ -29,10 +29,23 @@ object Packing {
     require(budget > 0, s"budget must be positive, got $budget")
     val n = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
+    // The ranked frame MUST materialize exactly once (the
+    // withDenseKeyRanged rule, its second home): both consumers — the
+    // per-partition cumulative sums and the per-partition total
+    // aggregate — depend on the range partitioner's SAMPLED boundaries,
+    // and Spark seeds that sampling from the RDD id. If the two legs
+    // plan separate exchanges (column pruning makes the subtrees
+    // differ, defeating ReuseExchange — observed at sf1 inside cur5's
+    // composed chain, where the offsets described partitions the cum
+    // leg never ranked: nondeterministic start_offsets on identical
+    // rosters, tools/Cur5PreCollapsePin caught it), they sample
+    // DIFFERENT boundaries. The lazy checkpoint pins one
+    // materialization — correctness, not (only) perf.
     val local = df.repartitionByRange(n, col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__cum", sum(col(tokenCol).cast("long")).over(
         Window.partitionBy(col("__pid")).orderBy(col(orderCol))))
+      .localCheckpoint(false)
     val offW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid"))

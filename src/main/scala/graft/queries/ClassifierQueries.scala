@@ -99,7 +99,21 @@ object ClassifierQueries {
     // diverge before any exchange — localCheckpoint pins ONE
     // materialization of each (the bm25 shared-tf pattern), so the
     // NB+resample subtree runs once, not four times.
-    "cur5_curation_chain" -> { (s, d) =>
+    "cur5_curation_chain" -> { (s, d) => cur5Chain(s, d, preCollapse = true) }
+  )
+
+  /** The cur5 chain body, parameterized on the exact pre-collapse stage
+    * so `tools/Cur5PreCollapsePin` can diff the two rosters at big SF:
+    * with preCollapse = false the guarded minhash runs directly on the
+    * post-resample corpus — output-identical on corpora whose duplicate
+    * families stay under `TextQueries.MaxBucket` (identical texts tie on
+    * qualityScore and keep-best breaks ties to min id, so the downstream
+    * dedup collapses them to the same survivor), and the r15-advice
+    * failure mode (every over-cap copy survives, its banding rows all
+    * dropped) on corpora where the guard fires. The gate always runs
+    * preCollapse = true. */
+  private[graft] def cur5Chain(s: SparkSession, d: String,
+                               preCollapse: Boolean): DataFrame = {
       import graft.operators.{Dedup, Sampling, Packing}
       import graft.functions.TextAnalysis
       val cleaned = documents(s, d).select(col("doc_id"),
@@ -119,9 +133,11 @@ object ClassifierQueries {
       // clusterRepresentatives ties break to min id, so collapsing each
       // text group to its min-id member up front keeps exactly the doc
       // the downstream keep-best would have kept.
-      val uniq = corpus.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"), col("text"))
+      val uniq = (if (preCollapse)
+          corpus.groupBy(col("text"))
+            .agg(min(col("doc_id")).as("doc_id"))
+            .select(col("doc_id"), col("text"))
+        else corpus.select(col("doc_id"), col("text")))
         .localCheckpoint(false)
       val pairs = Dedup.minhashLshPairsShared(uniq, "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6,
@@ -154,8 +170,7 @@ object ClassifierQueries {
         .select(col("doc_id"), col("split"), col("n_tokens"),
           col("start_offset"), col("bin_id"), col("bin_offset"))
         .orderBy(col("doc_id"))
-    }
-  )
+  }
 
   /** The full NB derivation in SQL: seed token counts pivoted wide by
     * class, 1-row totals/priors, per-doc ln-sums, rounded scores, and
