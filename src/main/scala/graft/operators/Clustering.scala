@@ -60,6 +60,18 @@ object Clustering {
     * back and asserts the intervals never interleave. */
   def clusteredWrite(df: DataFrame, path: String, aCol: String, bCol: String,
                      files: Int = 8, bits: Int = 16): Unit =
+    // SINGLE-CONSUMER CONTRACT (the range-exchange audit, SCALE.md r17):
+    // this `repartitionByRange` feeds exactly ONE consumer — the write
+    // sink below — so the sampled-boundary bug class that bit
+    // Warehouse.withDenseKeyRanged (r14) and Packing.packSequences (r16)
+    // cannot apply: there is no second subtree to sample different
+    // boundaries. The boundaries only decide WHICH file a row lands in,
+    // never a computed value; the layout property the spec asserts
+    // (disjoint per-file zkey intervals) holds for ANY boundary choice,
+    // and z1's gate reads the rows back boundary-independently. If a
+    // second consumer of the ranged frame is ever added, pin the
+    // materialization with .localCheckpoint(false) like the other two
+    // sites.
     df.withColumn("zkey", zValue(col(aCol), col(bCol), bits))
       .repartitionByRange(files, col("zkey"))
       .sortWithinPartitions(col("zkey"))

@@ -62,6 +62,20 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("event_type"), col("event_time_us"))
     },
 
+    // watermark-dropped late data (b7): the batch-parity MODEL of what a
+    // watermarked streaming windowedRollup keeps when the input arrives
+    // as 4 ordered micro-batches (batch = event_id mod 4) — the
+    // late-events watermark for batch b is max event time of batches
+    // 0..b-2 minus 2h (one batch behind eviction, the SPARK-40925
+    // split), rows in already-final windows are dropped. The actual
+    // multi-batch streaming
+    // run (per-file micro-batches + sentinel flush) is asserted equal to
+    // this model in StreamingSpec.
+    "b7_late_data" -> { (s, d) =>
+      EventsStream.lateKeptRollup(batchEvents(s, d))
+        .orderBy(col("window_start_us"), col("event_type"))
+    },
+
     // the streaming upsert sink's merge step (latest row per key by
     // version), batch-parity form — the multi-batch streaming run of the
     // same fold is asserted equal in StreamingSpec.
@@ -98,6 +112,27 @@ object StreamingQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+    "b7_late_data" ->
+      """WITH e AS (
+        |  SELECT event_id % 4 AS b, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT *, (us // 3600000000 + 1) * 3600000000 AS win_end_us FROM e),
+        |bm AS (SELECT b, max(us) AS bmax_us FROM w GROUP BY b),
+        |wm AS (
+        |  SELECT b, greatest(coalesce(
+        |    (max(bmax_us) OVER (ORDER BY b
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)) // 1000
+        |      - 7200000, 0), 0) AS wm_ms
+        |  FROM bm),
+        |kept AS (
+        |  SELECT w.* FROM w JOIN wm USING (b)
+        |  WHERE w.win_end_us // 1000 > wm.wm_ms)
+        |SELECT win_end_us - 3600000000 AS window_start_us, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM kept GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
     "b3_user_running_totals" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,

@@ -303,6 +303,72 @@ object EventsStream {
   /** Run a streaming transform over `dir` with Trigger.AvailableNow into
     * an in-memory table; returns the final result. Used by specs to
     * assert stream/batch parity. */
+  /** Batch-parity model of WATERMARK-DROPPED LATE DATA (the b7 gate):
+    * predicts exactly which rows a watermarked streaming
+    * [[windowedRollup]] keeps when the input arrives as an ordered
+    * sequence of micro-batches. Spark's contract, reproduced here in
+    * plain relational algebra so a DuckDB oracle can check it:
+    *
+    *  - Spark keeps TWO watermark values per batch (the SPARK-40925
+    *    split): state EVICTION/emission uses the current watermark
+    *    (`max(event_time over batches 0..b-1) - delay`), but LATE-EVENT
+    *    FILTERING uses the previous batch's — `max(event_time over
+    *    batches 0..b-2) - delay`, millisecond precision, initially epoch
+    *    0 (measured by tools/LateDataProbe: batch 1 drops nothing even
+    *    though its reported watermark already trails batch 0's max);
+    *  - an input row is DROPPED iff its tumbling window's end is at or
+    *    below that LATE-EVENTS watermark. Every admitted row's window is
+    *    provably still un-evicted (evictions so far used exactly that
+    *    lagged value), so admission alone decides the final output once
+    *    the closing watermark passes every real window.
+    *
+    * Batch membership is `pmod(event_id, batches)` — deterministic, and
+    * because event ids are uncorrelated with timestamps each later batch
+    * genuinely contains rows far older than the watermark, so the drop
+    * path is exercised on real data, not a synthetic straggler. The
+    * rollup over the kept set is what the streaming run emits once a
+    * max-timestamp sentinel pushes the final watermark past every real
+    * window (StreamingSpec stages exactly that and asserts equality).
+    *
+    * Scale shape: the per-batch maxima aggregate is `batches` rows —
+    * the running-max window function runs over O(batches), never the
+    * events themselves — broadcast-joined back; everything else is one
+    * map-side-combinable aggregation. */
+  def lateKeptRollup(events: DataFrame, batches: Int = 4,
+                     windowLenSec: Long = 3600L,
+                     delaySec: Long = 7200L): DataFrame = {
+    require(batches > 0, s"batches must be positive, got $batches")
+    val ev = events.withColumn("__b", pmod(col("event_id"), lit(batches)))
+      .withColumn("__us", unix_micros(col("event_time")))
+    // window length / delay as exact integer micros / millis (interval
+    // arithmetic kept integral — epoch micros exceed 2^53)
+    val lenUs = lit(windowLenSec * 1000000L)
+    val delayMs = lit(delaySec * 1000L)
+    val withWin = ev.withColumn("__win_end_us",
+      (call_function("div", col("__us"), lenUs) + lit(1L)) * lenUs)
+    // per-batch event-time maxima: `batches` rows, so the running max
+    // window is O(batches); the join back is a broadcast
+    // -2, not -1: the late-events watermark lags one batch behind the
+    // eviction watermark (see scaladoc), so batch b filters with the
+    // maxima of batches 0..b-2
+    val offW = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -2)
+    val wm = withWin.groupBy(col("__b"))
+      .agg(max(col("__us")).as("__bmax_us"))
+      .withColumn("__wm_ms",
+        greatest(coalesce(call_function("div", max(col("__bmax_us")).over(offW),
+          lit(1000L)) - delayMs, lit(0L)), lit(0L)))
+      .select(col("__b"), col("__wm_ms"))
+    withWin.join(broadcast(wm), Seq("__b"))
+      .filter(call_function("div", col("__win_end_us"), lit(1000L)) > col("__wm_ms"))
+      .groupBy(col("__win_end_us"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select((col("__win_end_us") - lenUs).as("window_start_us"),
+        col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+  }
+
   def runAvailableNow(spark: SparkSession, dir: String,
                       transform: DataFrame => DataFrame,
                       queryName: String,

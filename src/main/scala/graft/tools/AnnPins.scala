@@ -209,9 +209,13 @@ object Y3Pin {
     val k = 5
     val n = base.length
     val ids = base.map(_._1)
+    // precondition, checked BEFORE the candidate build + parallel top-k
+    // (r16 advice: a duplicate-id corpus must fail fast, not after the
+    // expensive compute): candidate sets are keyed per query INDEX on
+    // the assumption ids are unique in embeddings.
+    require(ids.distinct.length == n, s"y3pin: duplicate ids in embeddings ($n rows)")
     val vecs = base.map(_._2)
     val norms = vecs.map(norm)
-    val idxOf = ids.zipWithIndex.toMap
     // candidate set per query INDEX (ids are unique in embeddings)
     val cands = Array.fill(n)(new java.util.HashSet[Int]())
     (0 until tables).foreach { t =>
@@ -249,7 +253,6 @@ object Y3Pin {
     import scala.jdk.CollectionConverters._
     val ref = results.asScala.toSeq.flatten
     val tRef = (System.nanoTime() - t1) / 1e9
-    require(idxOf.size == n, s"y3pin: duplicate ids in embeddings ($n rows)")
     report("y3pin", sfDir, engine, ref, tEngine, tRef)
     spark.stop()
   }

@@ -112,6 +112,82 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("events.ts"))
   }
 
+  test("b7 late data: watermark-dropped rows match the batch-parity model") {
+    // Stage events as 4 files picked up in a KNOWN order (batch b =
+    // event_id mod 4; modTimes strictly increasing, names lexicographic,
+    // maxFilesPerTrigger=1 -> one micro-batch per file), plus a far-
+    // future sentinel 5th file whose only job is to push the final
+    // watermark past every real window so append mode emits the whole
+    // kept set. Because event ids are uncorrelated with timestamps,
+    // batches 1-3 carry rows hours older than the watermark — the drop
+    // path fires on real data. The claim: the streaming output equals
+    // EventsStream.lateKeptRollup's relational model of Spark's
+    // watermark contract (initial watermark 0; watermark before batch b
+    // = max event time of batches < b minus the delay, ms precision;
+    // drop iff the row's window end <= that watermark).
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val src = java.nio.file.Files.createTempDirectory("ev_late").toString
+    val stage = java.nio.file.Files.createTempDirectory("ev_late_stage").toString
+    val base = System.currentTimeMillis() - 3600 * 1000L
+    def placeFile(fromDir: String, name: String, mtime: Long): Unit = {
+      val part = new java.io.File(fromDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime))
+    }
+    (0 until 4).foreach { b =>
+      raw.filter(pmod(col("event_id"), lit(4)) === b).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/b$b")
+      placeFile(s"$stage/b$b", f"batch-$b%03d.parquet", base + b * 60000L)
+    }
+    // sentinel: one row 3650 days past the max event time, same physical
+    // ts layout as the table (long nanos or timestamp[us])
+    val tenYearsUs = 3650L * 24 * 3600 * 1000000L
+    val sentinel = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.limit(1).withColumn("ts",
+          lit(raw.agg(max(col("ts"))).head.getLong(0) + tenYearsUs * 1000L))
+      case _ =>
+        val maxUs = raw.agg(max(unix_micros(col("ts").cast("timestamp"))))
+          .head.getLong(0)
+        raw.limit(1).withColumn("ts",
+          timestamp_micros(lit(maxUs + tenYearsUs)).cast(raw.schema("ts").dataType))
+    }
+    sentinel.withColumn("event_type", lit("sentinel")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/sent")
+    placeFile(s"$stage/sent", "batch-999.parquet", base + 10 * 60000L)
+
+    val streamed = {
+      val q = EventsStream.windowedRollup(
+        EventsStream.withEventTime(
+          spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)),
+        windowLen = "1 hour", watermark = "2 hours")
+        .writeStream.format("memory").queryName("late_rollup")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_late").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(q.recentProgress.length >= 5,
+        s"expected >=5 micro-batches, got ${q.recentProgress.length}")
+      spark.table("late_rollup").filter(col("event_type") =!= "sentinel")
+    }
+    val model = EventsStream.lateKeptRollup(
+      EventsStream.withEventTime(graft.Tables.events(spark, dir)))
+    val all = EventsStream.windowedRollup(
+      EventsStream.withEventTime(graft.Tables.events(spark, dir)))
+    assert(norm(streamed) == norm(model),
+      s"|stream|=${streamed.count()} |model|=${model.count()}")
+    // the gate is only meaningful if the watermark actually dropped rows
+    assert(model.agg(sum(col("n_events"))).head.getLong(0) <
+      all.agg(sum(col("n_events"))).head.getLong(0),
+      "late-data scenario dropped nothing — watermark never fired")
+    assert(streamed.count() > 0)
+  }
+
   test("mapGroupsWithState running totals match a plain aggregate") {
     import spark.implicits._
     val typed = EventsStream.withEventTime(graft.Tables.events(spark, dir))

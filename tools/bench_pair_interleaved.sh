@@ -37,6 +37,17 @@ wait_quiet() {
   done
   echo "[warn] loadavg still $(cut -d' ' -f1 /proc/loadavg) after 10 min; proceeding"
 }
+# Pair-of-record contract (r16 verdict #5, promoted from SCALE.md prose
+# into assertions so a future round can't accidentally commit a
+# single-session pair): a pair-of-record requires >= 3 sibling pairs
+# captured in ONE session whose raw ratios agree within +/-0.10
+# (pair_report.py's raw verdict). The median pair is the pair of record;
+# calibration probes are a drift stamp only, never the number of record.
+if [ "$PAIRS" -lt 3 ]; then
+  echo "ERROR: pair-of-record requires >= 3 sibling pairs (got $PAIRS)." >&2
+  echo "       Run with nPairs >= 3, or treat this capture as a scratch probe." >&2
+  exit 2
+fi
 for i in $(seq 1 "$PAIRS"); do
   echo "[pair $i] start loadavg=$(cut -d' ' -f1-3 /proc/loadavg)"
   wait_quiet
@@ -55,3 +66,25 @@ for i in $(seq 1 "$PAIRS"); do
     tools/run-main.sh graft.Bench 2>/dev/null | tail -1
   echo "[pair $i] done loadavg=$(cut -d' ' -f1-3 /proc/loadavg)"
 done
+# Emit the pair-of-record ONLY if the sibling-agreement gate passes:
+# pair_report.py exits non-zero when the raw ratios spread > 0.10.
+if python3 tools/pair_report.py "$OUT" "$PAIRS"; then
+  python3 - "$OUT" "$PAIRS" <<'EOF'
+import json, sys, statistics, shutil
+p, n = sys.argv[1], int(sys.argv[2])
+pairs = []
+for i in range(1, n + 1):
+    a = json.load(open(f"{p}_sf0.1_{i}.json"))
+    b = json.load(open(f"{p}_sf1_{i}.json"))
+    pairs.append((b["value"] / a["value"], i))
+pairs.sort()
+_, rec = pairs[len(pairs) // 2]  # median-ratio pair = pair of record
+for side in ("sf0.1", "sf1"):
+    shutil.copy(f"{p}_{side}_{rec}.json", f"{p}_record_{side}.json")
+print(f"pair of record = pair {rec} -> {p}_record_sf0.1.json / {p}_record_sf1.json")
+EOF
+else
+  echo "ERROR: sibling raw ratios spread > 0.10 — NOT emitting a pair of record." >&2
+  echo "       Recapture in a quieter regime; siblings must agree within 0.10." >&2
+  exit 3
+fi

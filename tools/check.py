@@ -63,15 +63,31 @@ def main(sf_dir, out_dir, only=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:  # optional comma-list filter for resuming interrupted sweeps
         names = set(only.split(","))
-        # fail loudly on unknown names (r15 advice): a typo'd resume list
-        # would otherwise yield an empty sweep that exits 0 — a vacuous
-        # "verification pass" with n_pass=0
-        unknown = names - set(oracle)
-        if unknown:
+        # Two kinds of "not in oracle_sql.json" (r16 advice): a TYPO
+        # (absent from the registry snapshot tools/query_names.txt) hard
+        # fails — a typo'd resume list would otherwise yield an empty
+        # sweep that exits 0, a vacuous "verification pass"; a VALID
+        # rows-only gate (in the registry but deliberately without an
+        # oracle entry) is warn-and-skipped — it has no DuckDB mirror to
+        # check, and aborting the whole sweep over it punishes a correct
+        # name.
+        reg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "query_names.txt")
+        registry = set(open(reg_path).read().split())
+        typos = names - set(oracle) - registry
+        if typos:
             raise SystemExit(
-                f"check.py: unknown query name(s) in filter: {sorted(unknown)} "
-                f"— not in {out_dir}/oracle_sql.json")
+                f"check.py: unknown query name(s) in filter: {sorted(typos)} "
+                f"— not in {out_dir}/oracle_sql.json nor {reg_path}")
+        rows_only = sorted((names & registry) - set(oracle))
+        if rows_only:
+            print(f"WARN skipping rows-only gate(s) with no oracle entry: "
+                  f"{rows_only}")
         oracle = {k: v for k, v in oracle.items() if k in names}
+        if not oracle:
+            raise SystemExit(
+                "check.py: filter matched no oracle entries — nothing to "
+                "verify (all names rows-only?)")
     n_pass = n_fail = 0
     fails = []
     for name in sorted(oracle):
