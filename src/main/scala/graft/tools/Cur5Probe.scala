@@ -16,11 +16,19 @@ import org.apache.spark.sql.functions._
   * task max/median (the SkewProbe straggler signature; quiet-box noise
   * band < ~3).
   *
+  * r16 verdict #3 extension: the probe now runs the chain
+  * SPARK_GRAFT_PROBE_ROUNDS times (default 2) in ONE JVM and prints a
+  * first-vs-warm per-stage table — the sf10 bench showed a 1.48×
+  * first-run outlier the 3-run-median convention hides, and this
+  * attributes the cold cost to specific stages (JIT + codegen compile +
+  * page-cache fill vs a checkpoint boundary silently re-running).
+  *
   * Usage: runMain graft.tools.Cur5Probe <sfDir>
   */
 object Cur5Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/testdata/sf1")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROUNDS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -37,12 +45,14 @@ object Cur5Probe {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
         if (te.taskInfo != null) taskMs.add((te.stageId, te.taskInfo.duration))
     })
+    val walls = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     def stage(label: String)(f: => DataFrame): DataFrame = {
       taskMs.clear()
       val t0 = System.nanoTime()
       val cp = f.localCheckpoint() // eager: materializes this stage NOW
       val n = cp.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      walls(label) = walls.getOrElse(label, Vector.empty) :+ wall
       Thread.sleep(300)
       val byStage = taskMs.toArray(new Array[(Int, Long)](0)).toSeq
         .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
@@ -72,6 +82,9 @@ object Cur5Probe {
     import graft.functions.TextAnalysis
     import graft.operators.{Classifier, Dedup, Packing, Sampling}
     val langs = Seq("de", "en", "es", "fr", "zh")
+
+    (1 to rounds).foreach { round =>
+    println(s"[cur5probe] ===== round $round of $rounds =====")
     val t0 = System.nanoTime()
 
     val cleaned = stage("1_clean")(
@@ -114,6 +127,21 @@ object Cur5Probe {
     val counts = packed.groupBy(col("split")).count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
     println(f"[cur5probe] TOTAL $total%.2f s  splits: $counts")
+    walls("TOTAL") = walls.getOrElse("TOTAL", Vector.empty) :+ total
+    // drop this round's checkpoint blocks so the next round re-runs the
+    // full lineage (warm JIT/codegen/page-cache, no block reuse)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+
+    if (rounds > 1) {
+      println("[cur5probe] ===== first-vs-warm per stage =====")
+      walls.foreach { case (label, ws) =>
+        val warmMin = ws.tail.min
+        println(f"[cur5probe] $label%-22s cold=${ws.head}%8.2f s warm=" +
+          ws.tail.map(w => f"$w%.2f").mkString("/") +
+          f" s cold/warm=${ws.head / warmMin}%5.2f")
+      }
+    }
     spark.stop()
   }
 }

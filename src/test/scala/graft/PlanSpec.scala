@@ -201,6 +201,17 @@ class PlanSpec extends SparkSpec {
       s"banded self-join and vector re-attach legs must reuse exchanges:\n$fin")
   }
 
+  test("b7 late-data model: watermark table broadcasts; no window over the data") {
+    // the per-batch-maxima frame is `batches` rows — its running-max
+    // window and the join back to the events must never put the events
+    // themselves through a single-partition window or a shuffle join
+    val p = plan("b7_late_data")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly one Window operator (over the 4-row maxima), none over events
+    assert(p.split("Window").length - 1 <= 2, p)
+  }
+
   test("q1 aggregation is partial+final (map-side combine present)") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("HashAggregate"), p)
