@@ -232,6 +232,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // store-merge lifecycle: the corpus is split into two DISJOINT
+    // half-stores (doc_id parity), each built and persisted
+    // independently, folded into ONE store by mergeSignatureStore, and
+    // the delta dedups against the MERGED store. Per-doc signatures are
+    // corpus-independent, so the split+merge must be invisible: a
+    // dropped, duplicated, or param-garbled signature moves the roster.
+    // Output contract == x11/x12, so the oracle is x11's derivation
+    // again — the gate pins merge ≡ rebuild through DuckDB, completing
+    // the store lifecycle (build x12, maintain x14) the way
+    // y9_ann_store_merge does for the ANN store.
+    "x14_store_merge_dedup" -> { (s, d) =>
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val dirA = StoreDirs.fresh("x14_store_a", d)
+      val dirB = StoreDirs.fresh("x14_store_b", d)
+      Dedup.signatureStore(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8)
+        .write.mode("overwrite").parquet(dirA)
+      Dedup.signatureStore(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8)
+        .write.mode("overwrite").parquet(dirB)
+      Dedup.incrementalDedupRoster(
+        perturbedDocs(s, d),
+        Dedup.mergeSignatureStore(s.read.parquet(dirA), s.read.parquet(dirB)),
+        "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8,
+        threshold = 0.6, maxBucketSize = MaxBucket)
+        .orderBy(col("doc_id"))
+    },
+
     // ftfy-style text hygiene: mojibake repair -> punctuation
     // normalization -> control strip -> whitespace collapse, pinned
     // char-for-char over a deterministically-dirtied corpus (both
@@ -854,6 +882,29 @@ object TextQueries {
     // must be indistinguishable from the recompute path), so the oracle
     // IS x11's derivation — the gate pins store-roundtrip ≡ recompute.
     "x12_incremental_dedup" ->
+      s"""WITH pairs AS ($minhashPairsSql),
+         |cross_pairs AS (
+         |  SELECT id_a AS a_id, id_b AS b_id, jaccard_sim FROM pairs
+         |  WHERE id_a IN (SELECT doc_id FROM documents)
+         |    AND id_b IN (SELECT doc_id + 1000000 FROM documents)
+         |  UNION ALL
+         |  SELECT id_b AS a_id, id_a AS b_id, jaccard_sim FROM pairs
+         |  WHERE id_b IN (SELECT doc_id FROM documents)
+         |    AND id_a IN (SELECT doc_id + 1000000 FROM documents)),
+         |roster AS (
+         |  SELECT b_id AS doc_id, a_id, jaccard_sim,
+         |    row_number() OVER (PARTITION BY b_id
+         |      ORDER BY jaccard_sim DESC, a_id ASC) AS rn
+         |  FROM cross_pairs)
+         |SELECT doc_id, a_id AS matched_doc_id, jaccard_sim
+         |FROM roster WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // x14: contract-identical to x11/x12 — the engine side splits the
+    // store corpus into two disjoint persisted half-stores and folds
+    // them with mergeSignatureStore before deduping the delta; per-doc
+    // signatures are corpus-independent, so the oracle is again x11's
+    // derivation — the gate pins merge ≡ rebuild.
+    "x14_store_merge_dedup" ->
       s"""WITH pairs AS ($minhashPairsSql),
          |cross_pairs AS (
          |  SELECT id_a AS a_id, id_b AS b_id, jaccard_sim FROM pairs
