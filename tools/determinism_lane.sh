@@ -32,3 +32,28 @@ for r in "$RUN1" "$RUN2"; do
   fi
 done
 python3 tools/det_diff.py "$RUN1" "$RUN2" "$OUT"
+
+# Targeted big-SF arm (r17): both historical range-boundary bugs only
+# MANIFESTED at sf1+ (boundary placement is partition-count-dependent),
+# so the full-surface sf0.01 lane alone cannot certify the bug class.
+# Re-run the gates whose plans contain a sampled-range site — keep this
+# list in sync with RangeExchangeAuditSpec's printed inventory
+# (Warehouse.withDenseKeyRanged -> w1; Packing.packSequences -> ds3,
+# cur5; Clustering.clusteredWrite -> z1; plus ds4, the r14 bug's gate) —
+# twice at RANGE_SF_DIR (default testdata/sf1; skipped if absent).
+RANGE_SF=${RANGE_SF_DIR:-testdata/sf1}
+RANGE_GATES=w1_surrogate_keys,ds3_sequence_packing,ds4_doc_shuffle,cur5_curation_chain,z1_zorder_cluster
+if [ -d "$RANGE_SF" ]; then
+  ROUT="${OUT%.json}_sf1arm.json"
+  R1=${DET_DIR1:-/tmp/det_run1}_sf1arm; R2=${DET_DIR2:-/tmp/det_run2}_sf1arm
+  rm -rf "$R1" "$R2"
+  echo "[det] sf1 range arm, run 1 -> $R1"
+  SPARK_GRAFT_VERIFY_ONLY=$RANGE_GATES SPARK_GRAFT_AQE=false \
+    tools/run-main.sh graft.Verify "$RANGE_SF" "$R1" 2>/dev/null | tail -1
+  echo "[det] sf1 range arm, run 2 -> $R2"
+  SPARK_GRAFT_VERIFY_ONLY=$RANGE_GATES SPARK_GRAFT_AQE=false \
+    tools/run-main.sh graft.Verify "$RANGE_SF" "$R2" 2>/dev/null | tail -1
+  python3 tools/det_diff.py "$R1" "$R2" "$ROUT"
+else
+  echo "[det] WARN: $RANGE_SF absent — sf1 range arm skipped (regenerate with ScaleGen)"
+fi
