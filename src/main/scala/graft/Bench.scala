@@ -20,7 +20,44 @@ object Bench {
     if (2 * cluster.length >= ts.length) med(cluster) else med(ts)
   }
 
+  private def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Quiet-start gate (r17 verdict #1): the capture discipline used to
+    * live only in tools/bench_full_quiet.sh, so any path that invoked
+    * this main directly (the driver's harness does) could ship a
+    * contended artifact — BENCH_r17.json ran at loads 3.0–9.1 and read
+    * 17 % above the committed quiet capture of identical code. The gate
+    * now lives HERE: before the SparkSession exists, wait (bounded) for
+    * the 1-min loadavg to fall below the threshold, and stamp the
+    * outcome in the artifact so every capture is self-adjudicating:
+    *   "passed"  — load was below the threshold when timing started;
+    *   "timeout" — still loaded after the max wait (artifact is
+    *               explicitly suspect; loads[] shows how much);
+    *   "waived"  — SPARK_GRAFT_NO_QUIET_GATE was set (opt-out for
+    *               lanes that interleave their own captures);
+    *   "unreadable" — /proc/loadavg missing (non-Linux), no wait.
+    * Returns (verdict, secondsWaited). */
+  private[graft] def quietGate(): (String, Int) = {
+    if (sys.env.contains("SPARK_GRAFT_NO_QUIET_GATE")) return ("waived", 0)
+    val threshold = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble
+    val maxWait = sys.env.getOrElse("SPARK_GRAFT_QUIET_MAX_WAIT", "600").toInt
+    if (load1() < 0) return ("unreadable", 0)
+    var waited = 0
+    while (load1() >= threshold && waited < maxWait) {
+      if (waited == 0)
+        System.err.println(s"[bench] quiet gate: loadavg ${load1()} >= " +
+          s"$threshold, waiting (max ${maxWait}s; " +
+          "SPARK_GRAFT_NO_QUIET_GATE=1 to waive)")
+      Thread.sleep(10000); waited += 10
+    }
+    (if (load1() < threshold) "passed" else "timeout", waited)
+  }
+
   def main(args: Array[String]): Unit = {
+    val (quietVerdict, quietWaitSec) = quietGate()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the full machine (brief: local[32]) when the driver
     // doesn't pin a core count
@@ -59,10 +96,6 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString("[", ",", "]")
       catch { case _: Throwable => "null" }
-    def load1(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-        .split(" ").head.toDouble
-      catch { case _: Throwable => -1.0 }
     val loadBefore = loadAvg()
     // Self-adjudicating timing (round-9 finding: committed sf1 medians for
     // x3/y3/x7 were background-load artifacts only diagnosable via
@@ -116,6 +149,7 @@ object Bench {
     val rt = Runtime.getRuntime
     val env =
       s"""{"load_before":$loadBefore,"load_after":${loadAvg()},""" +
+        s""""quiet_gate":"$quietVerdict","quiet_wait_sec":$quietWaitSec,""" +
         s""""heap_max_mb":${rt.maxMemory() / (1 << 20)},""" +
         s""""procs_online":${rt.availableProcessors()},""" +
         s""""java":"${System.getProperty("java.version")}",""" +

@@ -17,12 +17,45 @@ import org.apache.spark.sql.types._
   *    encoders — [[encodeGrayPng]] and [[encodeGrayBmp]] (lossless,
   *    oracle-gated end to end) and [[encodeGrayJpeg]] (lossy,
   *    boolean-invariant oracle per the sk1 pattern + spec-gated).
-  *  - [[decodeFeatures]] remains the generic-binary STUB for formats
-  *    whose codecs this container lacks (mp3/mp4): deterministic
-  *    byte-level features where a production kernel would call the
-  *    format's decoder.
+  *  - [[decodeFeatures]] is the GENERIC decode surface (r17 verdict #7):
+  *    it dispatches on `meta.format` — png/bmp/jpeg/wav route to the
+  *    REAL in-JVM codecs, everything else (the mp3/mp4 class whose
+  *    codecs this container lacks) falls back to a documented
+  *    deterministic byte-level stand-in where a production kernel would
+  *    slot the format's decoder.
   */
 object Multimodal {
+
+  /** Per-partition cached WAV reader (one instance per partition, like
+    * the writer caches): AudioSystem.getAudioInputStream re-scans the
+    * AudioFileReader SPI registry per call — measured 23x the actual
+    * parse+read work (626ms vs 27ms / 20k clips, tools/WavPerfProbe).
+    * The first payload resolves the provider; a payload the cached
+    * reader rejects falls back to the full AudioSystem path (and
+    * re-caches from it), so mixed-container inputs stay correct. */
+  private class CachedWavReader {
+    import javax.sound.sampled._
+    import scala.jdk.CollectionConverters._
+    private lazy val readers =
+      try java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toList
+      catch { case _: Throwable => Nil }
+    private var cached: javax.sound.sampled.spi.AudioFileReader = null
+    def open(bytes: Array[Byte]): AudioInputStream = {
+      if (cached != null)
+        try return cached.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: UnsupportedAudioFileException => }
+      readers.iterator.flatMap { rd =>
+        try {
+          val s = rd.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          cached = rd
+          Iterator.single(s)
+        } catch { case _: UnsupportedAudioFileException => Iterator.empty }
+      }.nextOption().getOrElse(
+        AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+    }
+  }
 
   val MediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -43,32 +76,78 @@ object Multimodal {
         octet_length(col("text")).as("n_bytes"),
         lit(1).as("channels")).as("meta"))
 
-  /** Batched feature extraction over the binary payload.
+  /** Rolling byte checksum shared by the generic decode surface and its
+    * specs/oracles: fold (acc * 31 + byte) mod 1e9+7 — expressible in
+    * DuckDB as list_reduce over codepoints, so the gate is SQL-checkable. */
+  private[graft] def byteChecksum(bytes: Array[Byte]): Long =
+    bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)
+
+  /** THE generic decode surface (r17 verdict #7: the real m4–m7 kernels
+    * now flow THROUGH this one batched path instead of beside it).
+    * Dispatches on `meta.format` and emits features over the DECODED
+    * byte domain:
     *
-    * STUB: a production decode would hand each batch to an image/audio
-    * codec here (???). The deterministic stand-in computes n_bytes,
-    * first_byte and a byte checksum so the plumbing is verifiable.
+    *  - `png` / `bmp` / `jpeg` → REAL `javax.imageio` decode; the domain
+    *    is the gray raster's sample bytes (for the lossless gray PNG/BMP
+    *    encoders those ARE the source bytes, so a SQL oracle checks the
+    *    full encode→decode round trip — gate m1's png leg);
+    *  - `wav` → REAL `javax.sound.sampled` decode; the domain is the
+    *    PCM sample bytes (lossless — again the source bytes), through
+    *    the same cached-SPI reader as [[decodeWavFeatures]];
+    *  - anything else (`txt`, and the mp3/mp4 class whose codecs this
+    *    container lacks) → the documented byte-level STAND-IN: the
+    *    domain is the raw container bytes. This fallback is the honest
+    *    plumbing contract for absent codecs — a production kernel slots
+    *    the format's decoder into this same per-batch position.
+    *
     * Executes as mapPartitions with fixed-size batches — the decode
     * kernel sees `batchSize` payloads at a time, the shape vectorized
-    * codecs want. */
+    * codecs want. Output: (media_id, format, n_bytes, first_byte,
+    * checksum) over the decoded domain, uniform across formats. */
   def decodeFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
       StructField("n_bytes", IntegerType, nullable = false),
       StructField("first_byte", IntegerType, nullable = false),
       StructField("checksum", LongType, nullable = false)))
     val idIdx = media.schema.fieldIndex("media_id")
     val mediaIdx = media.schema.fieldIndex("media")
+    val metaIdx = media.schema.fieldIndex("meta")
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val wavReader = new CachedWavReader
       rows.grouped(batchSize).flatMap { batch =>
-        // per-batch "decode kernel" (STUB — codec call goes here)
+        // per-batch decode kernel — dispatch once per row, decode with
+        // the per-partition cached codec machinery
         batch.iterator.map { r =>
           val id = r.getLong(idIdx)
           // media is declared nullable — treat a null payload as empty
           val bytes = Option(r.getAs[Array[Byte]](mediaIdx)).getOrElse(Array.emptyByteArray)
-          val checksum = bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)
-          Row(id, bytes.length, if (bytes.isEmpty) -1 else bytes(0) & 0xFF, checksum)
+          val fmt = Option(r.getStruct(metaIdx)).flatMap(m =>
+            Option(m.getString(0))).getOrElse("bin")
+          val decoded = fmt match {
+            case "png" | "bmp" | "jpeg" if bytes.nonEmpty =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              require(img != null, s"decodeFeatures: undecodable $fmt payload")
+              val raster = img.getRaster
+              val (w, h) = (img.getWidth, img.getHeight)
+              val px = new Array[Byte](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { px(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
+                y += 1
+              }
+              px
+            case "wav" if bytes.nonEmpty =>
+              wavReader.open(bytes).readAllBytes()
+            case _ => bytes // STAND-IN: no codec for this format in-container
+          }
+          Row(id, fmt, decoded.length,
+            if (decoded.isEmpty) -1 else decoded(0) & 0xFF, byteChecksum(decoded))
         }
       }
     }(enc)
@@ -314,38 +393,12 @@ object Multimodal {
     val wavIdx = wav.schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
     wav.mapPartitions { rows =>
-      import javax.sound.sampled._
-      // Reader provider cached per partition, resolved lazily from the
-      // first payload: AudioSystem.getAudioInputStream re-scans the
-      // AudioFileReader SPI registry per call — measured 23x the actual
-      // parse+read work (626ms vs 27ms / 20k clips, tools/WavPerfProbe).
-      // A payload the cached reader rejects falls back to the full
-      // AudioSystem path (and re-caches from it), so mixed-container
-      // inputs stay correct.
-      import scala.jdk.CollectionConverters._
-      lazy val readers =
-        try java.util.ServiceLoader
-          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
-          .iterator().asScala.toList
-        catch { case _: Throwable => Nil }
-      var cached: javax.sound.sampled.spi.AudioFileReader = null
-      def open(bytes: Array[Byte]): AudioInputStream = {
-        if (cached != null)
-          try return cached.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: UnsupportedAudioFileException => }
-        readers.iterator.flatMap { rd =>
-          try {
-            val s = rd.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
-            cached = rd
-            Iterator.single(s)
-          } catch { case _: UnsupportedAudioFileException => Iterator.empty }
-        }.nextOption().getOrElse(
-          AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
-      }
+      // reader provider cached per partition (see CachedWavReader)
+      val reader = new CachedWavReader
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch decode kernel (vectorized-codec shape, as elsewhere)
         batch.iterator.map { r =>
-          val ais = open(r.getAs[Array[Byte]](wavIdx))
+          val ais = reader.open(r.getAs[Array[Byte]](wavIdx))
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
             s"decodeWavFeatures: expected 16-bit mono PCM, got $fmt")

@@ -208,13 +208,25 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     },
 
-    // multimodal: binary payload + typed meta, batched decode kernel.
-    // ASCII-filtered for the same reason as m3/m4: the oracle reads
-    // first_byte as a codepoint, the engine as a UTF-8 byte.
+    // multimodal: THE generic dispatching decode surface (r17 verdict
+    // #7) exercised on BOTH of its legs through one call: the txt
+    // fallback (byte-level stand-in over the raw payload — the
+    // documented plumbing contract for codecs this container lacks) and
+    // a REAL javax.imageio PNG round trip (encodeGrayPng payloads
+    // re-wrapped as media frames with meta.format="png"; lossless gray
+    // means the decoded raster bytes ARE the first 64 source bytes, so
+    // the SQL oracle checks an actual codec decode, including the full
+    // rolling checksum, from the original text). ASCII-filtered for the
+    // same reason as m3/m4: the oracle reads bytes as codepoints.
     "m1_multimodal_decode" -> { (s, d) =>
-      Multimodal.decodeFeatures(Multimodal.fromDocuments(asciiDocuments(s, d)))
-        .select(col("media_id"), col("n_bytes"), col("first_byte"))
-        .orderBy(col("media_id"))
+      val media = Multimodal.fromDocuments(asciiDocuments(s, d))
+      val png = Multimodal.encodeGrayPng(media)
+        .select(col("media_id"), col("png").as("media"),
+          struct(lit("png").as("format"),
+            octet_length(col("png")).as("n_bytes"),
+            lit(1).as("channels")).as("meta"))
+      Multimodal.decodeFeatures(media.unionByName(png))
+        .orderBy(col("media_id"), col("format"))
     },
 
     // multimodal: frame sampling over the binary payload.
@@ -636,11 +648,35 @@ object SimilarityQueries {
          |WHERE ${sqlCosine("a.v", "b.v")} >= 0.98
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "m1_multimodal_decode" ->
-      s"""SELECT doc_id AS media_id,
+    // m1: both legs of the dispatching surface rebuilt from the text.
+    // txt leg = raw-byte stand-in over the whole payload; png leg = the
+    // DECODED raster domain, which for lossless 8x8 gray PNG is exactly
+    // the first 64 source bytes (rows >= 64 bytes only — the encoder's
+    // raster-size drop). checksum mirrors Multimodal.byteChecksum:
+    // fold (acc*31 + byte) % 1e9+7, codepoints == bytes under the
+    // shared ASCII filter.
+    "m1_multimodal_decode" -> {
+      // acc seeded as BIGINT: an INT32 accumulator overflows at
+      // (~1e9 * 31) and DuckDB hard-errors on integer overflow
+      def checksum(n: String) =
+        s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(range(1, $n + 1), i -> unicode(text[i:i]))),
+           |  (acc, b) -> (acc * 31 + b) % 1000000007) AS BIGINT)""".stripMargin
+      s"""SELECT doc_id AS media_id, 'txt' AS format,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  CAST(unicode(text[1:1]) AS INT) AS first_byte
-        |FROM documents WHERE $AsciiWhere ORDER BY media_id""".stripMargin,
+        |  CAST(CASE WHEN length(text) = 0 THEN -1
+        |    ELSE unicode(text[1:1]) END AS INT) AS first_byte,
+        |  ${checksum("length(text)")} AS checksum
+        |FROM documents WHERE $AsciiWhere
+        |UNION ALL
+        |SELECT doc_id AS media_id, 'png' AS format,
+        |  CAST(64 AS INT) AS n_bytes,
+        |  CAST(unicode(text[1:1]) AS INT) AS first_byte,
+        |  ${checksum("64")} AS checksum
+        |FROM documents
+        |WHERE $AsciiWhere AND octet_length(encode(text)) >= 64
+        |ORDER BY media_id, format""".stripMargin
+    },
 
     "m2_frame_sample" ->
       """WITH m AS (

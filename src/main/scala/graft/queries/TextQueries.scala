@@ -501,6 +501,38 @@ object TextQueries {
        |  FROM ($raw)) WHERE __bs <= $MaxBucket""".stripMargin
   }
 
+  /** Shared x11/x12/x14 oracle derivation (r17 advice: it was three
+    * verbatim copies — a tie-break or cross-pair-filter change would
+    * have needed hand-syncing). The engine contracts of x12 (store
+    * round-trip) and x14 (store merge) are both "indistinguishable from
+    * x11's recompute path", so all three gates pin against the SAME SQL:
+    * the x3 mirror's union self-join pairs restricted to one A-side and
+    * one B-side id (side membership by SET — documents ids vs ids +
+    * 1000000 — never an id threshold; at sf1+ the ScaleGen copy strides
+    * put most original ids above 1e6 and a threshold silently
+    * misclassifies whole copies, caught by the sf1 pin: 49,907 engine
+    * rows vs 4,990 under the threshold form). Both orientations of the
+    * ordered pair list are folded in; a pair lands in exactly one branch
+    * (the sides are disjoint id sets). rn = 1 under (jaccard DESC,
+    * a_id ASC) mirrors the engine's max(struct) argmax. */
+  private lazy val crossDedupRosterSql: String =
+    s"""WITH pairs AS ($minhashPairsSql),
+       |cross_pairs AS (
+       |  SELECT id_a AS a_id, id_b AS b_id, jaccard_sim FROM pairs
+       |  WHERE id_a IN (SELECT doc_id FROM documents)
+       |    AND id_b IN (SELECT doc_id + 1000000 FROM documents)
+       |  UNION ALL
+       |  SELECT id_b AS a_id, id_a AS b_id, jaccard_sim FROM pairs
+       |  WHERE id_b IN (SELECT doc_id FROM documents)
+       |    AND id_a IN (SELECT doc_id + 1000000 FROM documents)),
+       |roster AS (
+       |  SELECT b_id AS doc_id, a_id, jaccard_sim,
+       |    row_number() OVER (PARTITION BY b_id
+       |      ORDER BY jaccard_sim DESC, a_id ASC) AS rn
+       |  FROM cross_pairs)
+       |SELECT doc_id, a_id AS matched_doc_id, jaccard_sim
+       |FROM roster WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   private lazy val minhashPairsSql: String = {
     val lanes = minhashLanesSql
     val bandsSql = minhashBandedSql
@@ -847,80 +879,13 @@ object TextQueries {
          |  CAST(n_members AS BIGINT) AS n_members
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
-    // x11: the engine bands split A and split B separately and joins
-    // across; per-doc signatures are corpus-independent, so the union
-    // self-join pairs (the x3 mirror) restricted to one A-side and one
-    // B-side id are EXACTLY the cross candidates. Side membership is by
-    // SET (A = documents ids, B = ids + 1000000), never by an id
-    // threshold — at sf1+ the ScaleGen copy strides put most original
-    // ids above 1e6 and a threshold silently misclassifies whole copies
-    // (caught by the sf1 pin: 49,907 engine rows vs 4,990 under the
-    // threshold form). Both orientations of the ordered pair list are
-    // folded in; a pair lands in exactly one branch (the sides are
-    // disjoint id sets). rn = 1 under (jaccard DESC, a_id ASC) mirrors
-    // the engine's max(struct) argmax.
-    "x11_cross_dedup" ->
-      s"""WITH pairs AS ($minhashPairsSql),
-         |cross_pairs AS (
-         |  SELECT id_a AS a_id, id_b AS b_id, jaccard_sim FROM pairs
-         |  WHERE id_a IN (SELECT doc_id FROM documents)
-         |    AND id_b IN (SELECT doc_id + 1000000 FROM documents)
-         |  UNION ALL
-         |  SELECT id_b AS a_id, id_a AS b_id, jaccard_sim FROM pairs
-         |  WHERE id_b IN (SELECT doc_id FROM documents)
-         |    AND id_a IN (SELECT doc_id + 1000000 FROM documents)),
-         |roster AS (
-         |  SELECT b_id AS doc_id, a_id, jaccard_sim,
-         |    row_number() OVER (PARTITION BY b_id
-         |      ORDER BY jaccard_sim DESC, a_id ASC) AS rn
-         |  FROM cross_pairs)
-         |SELECT doc_id, a_id AS matched_doc_id, jaccard_sim
-         |FROM roster WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    // x12: contract-identical to x11 (the engine side routes split A's
-    // signatures through a persisted parquet store; the roster itself
-    // must be indistinguishable from the recompute path), so the oracle
-    // IS x11's derivation — the gate pins store-roundtrip ≡ recompute.
-    "x12_incremental_dedup" ->
-      s"""WITH pairs AS ($minhashPairsSql),
-         |cross_pairs AS (
-         |  SELECT id_a AS a_id, id_b AS b_id, jaccard_sim FROM pairs
-         |  WHERE id_a IN (SELECT doc_id FROM documents)
-         |    AND id_b IN (SELECT doc_id + 1000000 FROM documents)
-         |  UNION ALL
-         |  SELECT id_b AS a_id, id_a AS b_id, jaccard_sim FROM pairs
-         |  WHERE id_b IN (SELECT doc_id FROM documents)
-         |    AND id_a IN (SELECT doc_id + 1000000 FROM documents)),
-         |roster AS (
-         |  SELECT b_id AS doc_id, a_id, jaccard_sim,
-         |    row_number() OVER (PARTITION BY b_id
-         |      ORDER BY jaccard_sim DESC, a_id ASC) AS rn
-         |  FROM cross_pairs)
-         |SELECT doc_id, a_id AS matched_doc_id, jaccard_sim
-         |FROM roster WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    // x14: contract-identical to x11/x12 — the engine side splits the
-    // store corpus into two disjoint persisted half-stores and folds
-    // them with mergeSignatureStore before deduping the delta; per-doc
-    // signatures are corpus-independent, so the oracle is again x11's
-    // derivation — the gate pins merge ≡ rebuild.
-    "x14_store_merge_dedup" ->
-      s"""WITH pairs AS ($minhashPairsSql),
-         |cross_pairs AS (
-         |  SELECT id_a AS a_id, id_b AS b_id, jaccard_sim FROM pairs
-         |  WHERE id_a IN (SELECT doc_id FROM documents)
-         |    AND id_b IN (SELECT doc_id + 1000000 FROM documents)
-         |  UNION ALL
-         |  SELECT id_b AS a_id, id_a AS b_id, jaccard_sim FROM pairs
-         |  WHERE id_b IN (SELECT doc_id FROM documents)
-         |    AND id_a IN (SELECT doc_id + 1000000 FROM documents)),
-         |roster AS (
-         |  SELECT b_id AS doc_id, a_id, jaccard_sim,
-         |    row_number() OVER (PARTITION BY b_id
-         |      ORDER BY jaccard_sim DESC, a_id ASC) AS rn
-         |  FROM cross_pairs)
-         |SELECT doc_id, a_id AS matched_doc_id, jaccard_sim
-         |FROM roster WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // x11/x12/x14 share ONE derivation (see crossDedupRosterSql): x11 is
+    // the recompute path, x12 pins store-roundtrip ≡ recompute, x14 pins
+    // half-store merge ≡ rebuild — contract-identical rosters by design,
+    // so a cross-pair-filter or tie-break change lands in all three.
+    "x11_cross_dedup" -> crossDedupRosterSql,
+    "x12_incremental_dedup" -> crossDedupRosterSql,
+    "x14_store_merge_dedup" -> crossDedupRosterSql,
 
     // x4: 64-bit simhash bit votes, 7-band blocking, hamming verify in
     // DuckDB over Spark-dumped token hashes.

@@ -124,6 +124,35 @@ class SimilaritySpec extends SparkSpec {
     assert(feats.map(_.toString).toSeq == feats64.map(_.toString).toSeq)
   }
 
+  test("multimodal decode: format dispatch routes real codecs (png, wav)") {
+    // 64+ byte doc -> PNG-encodable; lossless gray raster means the
+    // decoded domain through the GENERIC surface is the source bytes
+    val text = ('a' to 'z').mkString * 3 // 78 ascii chars
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(docs)
+    val png = Multimodal.encodeGrayPng(media)
+      .select(col("media_id"), col("png").as("media"),
+        struct(lit("png").as("format"), octet_length(col("png")).as("n_bytes"),
+          lit(1).as("channels")).as("meta"))
+    val wav = Multimodal.encodeWav(media, nSamples = 32)
+      .select(col("media_id"), col("wav").as("media"),
+        struct(lit("wav").as("format"), octet_length(col("wav")).as("n_bytes"),
+          lit(1).as("channels")).as("meta"))
+    val got = Multimodal.decodeFeatures(media.unionByName(png).unionByName(wav))
+      .orderBy("format").collect()
+      .map(r => r.getAs[String]("format") ->
+        ((r.getAs[Int]("n_bytes"), r.getAs[Int]("first_byte"), r.getAs[Long]("checksum"))))
+      .toMap
+    val bytes = text.getBytes("UTF-8")
+    def ck(bs: Array[Byte]) = Multimodal.byteChecksum(bs)
+    // png leg: decoded raster = first 64 source bytes (real ImageIO decode)
+    assert(got("png") == ((64, 'a'.toInt, ck(bytes.take(64)))), s"png leg: ${got("png")}")
+    // wav leg: decoded PCM = first 64 source bytes (real AudioSystem decode)
+    assert(got("wav") == ((64, 'a'.toInt, ck(bytes.take(64)))), s"wav leg: ${got("wav")}")
+    // txt leg: stand-in over the raw payload
+    assert(got("txt") == ((78, 'a'.toInt, ck(bytes))), s"txt leg: ${got("txt")}")
+  }
+
   test("audio windows: STFT geometry and boundary bytes on raw binary") {
     // 10-byte payload 0x00,0x10,...,0x90; winSize=4 hop=2 -> starts 0,2,4,6
     // (start 8 would need bytes through 11 — full windows only)

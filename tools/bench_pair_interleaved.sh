@@ -3,46 +3,38 @@
 # ratio's denominator (sf0.1 total) historically swung ±20% with the
 # host regime BETWEEN capture sessions, bracketing the ratio at
 # [1.57, 1.91] on identical code. Fix: alternate the two sides within
-# ONE session so each pair (A_i, B_i) shares a regime by construction,
-# and stamp every side with a fixed CALIBRATION probe (three cheap
-# queries at sf0.1, isolated JVM) so a drifting host shows up as a
-# drifting calibration rather than silently bending the ratio.
+# ONE session so each pair (A_i, B_i) shares a regime by construction.
+#
+# CALIBRATION PROBE RETIRED (r17 verdict #5, decided r18): for two
+# consecutive rounds the raw sibling-agreement gate was the binding
+# contract while the calibration-normalized ratios disagreed with
+# themselves (r17: raw spread 0.095 PASS vs normalized 0.221) and never
+# changed a verdict; the probe cost ~2 min of wall per pair for a drift
+# stamp nobody consumed. The pair's quiet-start discipline now lives in
+# graft.Bench itself (env.quiet_gate), which stamps regime drift per
+# side more directly than the probe did. pair_report.py still reads old
+# captures' cal files when present.
 #
 # Usage: tools/bench_pair_interleaved.sh <outPrefix> [nPairs]
-# Produces, per pair i: <p>_cal_a$i.json, <p>_sf0.1_$i.json,
-#                       <p>_cal_b$i.json, <p>_sf1_$i.json
+# Produces, per pair i: <p>_sf0.1_$i.json, <p>_sf1_$i.json
 # Summarize with tools/pair_report.py <outPrefix> <nPairs>.
-set -e
+set -eo pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:?usage: bench_pair_interleaved.sh <outPrefix> [nPairs]}
 PAIRS=${2:-3}
 SF01=${SF01_DIR:-/root/testdata/sf0.1}
 SF1=${SF1_DIR:-/root/repo/testdata/sf1}
-# fixed calibration trio: scan-bound + join/iterate-bound + tokenize-
-# bound, all at sf0.1 on BOTH sides of the pair (it measures the HOST
-# at that moment, not the data side)
-CAL=q1_pricing_summary,x6_dup_clusters,t4_tfidf
-# Quiet-start gate before EVERY side: back-to-back interleaving leaves
-# the just-exited JVM's residual loadavg on the next side's load_before
-# stamp (the 1-min average decays e-fold per minute, it does not reset
-# at process exit), which reads as a contended start even though the
-# box is idle. Wait for the decay so every side is quiet-started by
-# the same < 2 convention as standalone captures; cap the wait so a
-# genuinely busy host fails loudly in the stamp instead of hanging.
-wait_quiet() {
-  for _ in $(seq 1 60); do
-    l1=$(cut -d' ' -f1 /proc/loadavg)
-    awk -v l="$l1" 'BEGIN{exit !(l < 2.0)}' && return 0
-    sleep 10
-  done
-  echo "[warn] loadavg still $(cut -d' ' -f1 /proc/loadavg) after 10 min; proceeding"
-}
+# Quiet-start gate before EVERY side now lives inside graft.Bench
+# (r17 verdict #1): back-to-back interleaving leaves the just-exited
+# JVM's residual loadavg on the next side's start (the 1-min average
+# decays e-fold per minute), and Bench waits it out itself, stamping
+# env.quiet_gate in each artifact.
+#
 # Pair-of-record contract (r16 verdict #5, promoted from SCALE.md prose
 # into assertions so a future round can't accidentally commit a
 # single-session pair): a pair-of-record requires >= 3 sibling pairs
 # captured in ONE session whose raw ratios agree within +/-0.10
-# (pair_report.py's raw verdict). The median pair is the pair of record;
-# calibration probes are a drift stamp only, never the number of record.
+# (pair_report.py's raw verdict). The median pair is the pair of record.
 if [ "$PAIRS" -lt 3 ]; then
   echo "ERROR: pair-of-record requires >= 3 sibling pairs (got $PAIRS)." >&2
   echo "       Run with nPairs >= 3, or treat this capture as a scratch probe." >&2
@@ -50,18 +42,8 @@ if [ "$PAIRS" -lt 3 ]; then
 fi
 for i in $(seq 1 "$PAIRS"); do
   echo "[pair $i] start loadavg=$(cut -d' ' -f1-3 /proc/loadavg)"
-  wait_quiet
-  SPARK_GRAFT_SF_DIR=$SF01 SPARK_GRAFT_ONLY=$CAL \
-    SPARK_GRAFT_BENCH_FULL=${OUT}_cal_a$i.json \
-    tools/run-main.sh graft.Bench 2>/dev/null | tail -1
-  wait_quiet
   SPARK_GRAFT_SF_DIR=$SF01 SPARK_GRAFT_BENCH_FULL=${OUT}_sf0.1_$i.json \
     tools/run-main.sh graft.Bench 2>/dev/null | tail -1
-  wait_quiet
-  SPARK_GRAFT_SF_DIR=$SF01 SPARK_GRAFT_ONLY=$CAL \
-    SPARK_GRAFT_BENCH_FULL=${OUT}_cal_b$i.json \
-    tools/run-main.sh graft.Bench 2>/dev/null | tail -1
-  wait_quiet
   SPARK_GRAFT_SF_DIR=$SF1 SPARK_GRAFT_BENCH_FULL=${OUT}_sf1_$i.json \
     tools/run-main.sh graft.Bench 2>/dev/null | tail -1
   echo "[pair $i] done loadavg=$(cut -d' ' -f1-3 /proc/loadavg)"

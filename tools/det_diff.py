@@ -10,8 +10,14 @@ bit-equal). A mismatch means the query's RESULT VALUES depend on
 something the plan does not pin — the sampled-range-boundary bug class
 (Warehouse r14, Packing r16) produced exactly this signature.
 
-Usage: tools/det_diff.py <run1_dir> <run2_dir> <out_json>
+Usage: tools/det_diff.py <run1_dir> <run2_dir> <out_json> [expected_count]
 Exit 0 iff every query hashes identical; writes a JSON artifact either way.
+
+expected_count (r17 advice, the 'silent shrink' hole): a gate that fails
+IDENTICALLY in both runs leaves both dirs without it — the compared sets
+stay symmetric and the diff would happily report DETERMINISTIC over a
+shrunken surface. When the caller knows how many gates it asked for,
+passing that count makes a shrink a hard INCOMPLETE failure.
 """
 import sys, os, glob, json, hashlib
 import pandas as pd
@@ -33,7 +39,7 @@ def query_hash(pq_dir: str):
     return hashlib.sha256(body).hexdigest(), len(df)
 
 
-def main(run1: str, run2: str, out_json: str) -> int:
+def main(run1: str, run2: str, out_json: str, expected: int | None = None) -> int:
     names1 = sorted(d for d in os.listdir(run1)
                     if os.path.isdir(os.path.join(run1, d)))
     names2 = sorted(d for d in os.listdir(run2)
@@ -56,7 +62,17 @@ def main(run1: str, run2: str, out_json: str) -> int:
             print(f"MISMATCH {name}: rows {n1} vs {n2}, hash {h1} vs {h2}")
     ok = (report["diff0"] == report["n_queries"]
           and not report["missing"] and report["n_queries"] > 0)
-    report["verdict"] = "DETERMINISTIC" if ok else "NONDETERMINISTIC"
+    if expected is not None:
+        report["expected"] = expected
+        if report["n_queries"] != expected:
+            print(f"ERROR: compared {report['n_queries']} queries but the "
+                  f"caller asked for {expected} — a gate failed in BOTH runs "
+                  "(silent shrink)")
+            ok = False
+    report["verdict"] = ("DETERMINISTIC" if ok else
+                         "INCOMPLETE" if expected is not None
+                         and report["n_queries"] != expected
+                         else "NONDETERMINISTIC")
     with open(out_json, "w") as f:
         json.dump(report, f, indent=1)
     print(f"\n{report['diff0']}/{report['n_queries']} diff-0 -> "
@@ -65,4 +81,5 @@ def main(run1: str, run2: str, out_json: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3],
+                  int(sys.argv[4]) if len(sys.argv) > 4 else None))
