@@ -25,6 +25,11 @@ object Bench {
       .split(" ").head.toDouble
     catch { case _: Throwable => -1.0 }
 
+  private def load5(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ")(1).toDouble
+    catch { case _: Throwable => -1.0 }
+
   /** Quiet-start gate (r17 verdict #1): the capture discipline used to
     * live only in tools/bench_full_quiet.sh, so any path that invoked
     * this main directly (the driver's harness does) could ship a
@@ -43,17 +48,92 @@ object Bench {
   private[graft] def quietGate(): (String, Int) = {
     if (sys.env.contains("SPARK_GRAFT_NO_QUIET_GATE")) return ("waived", 0)
     val threshold = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble
-    val maxWait = sys.env.getOrElse("SPARK_GRAFT_QUIET_MAX_WAIT", "600").toInt
+    // The 5-MIN load is gated too (r18 verdict #2): BENCH_r18.json passed
+    // the 1-min-only gate at load_before [2.18, 10.11, 13.75] — a host
+    // mid-recovery from heavy work, whose residual page-cache/cgroup
+    // pressure put every query 24 % above 12 same-code quiet siblings.
+    // A genuinely quiet box has BOTH averages low; the 5-min average
+    // decays e-fold per 5 min, hence the longer default wait.
+    val threshold5 = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD5",
+      threshold.toString).toDouble
+    val maxWait = sys.env.getOrElse("SPARK_GRAFT_QUIET_MAX_WAIT", "900").toInt
     if (load1() < 0) return ("unreadable", 0)
+    def noisy() = load1() >= threshold || load5() >= threshold5
     var waited = 0
-    while (load1() >= threshold && waited < maxWait) {
+    while (noisy() && waited < maxWait) {
       if (waited == 0)
-        System.err.println(s"[bench] quiet gate: loadavg ${load1()} >= " +
-          s"$threshold, waiting (max ${maxWait}s; " +
+        System.err.println(s"[bench] quiet gate: loadavg ${load1()}/${load5()}" +
+          s" (1m/5m) >= $threshold/$threshold5, waiting (max ${maxWait}s; " +
           "SPARK_GRAFT_NO_QUIET_GATE=1 to waive)")
       Thread.sleep(10000); waited += 10
     }
-    (if (load1() < threshold) "passed" else "timeout", waited)
+    (if (!noisy()) "passed" else "timeout", waited)
+  }
+
+  /** Post-run deviation check (r18 verdict #2, second leg): a gate that
+    * only samples loadavg BEFORE the run can still stamp `passed` on a
+    * mid-recovery host whose contention shows up in the numbers, not the
+    * load. Defense: compare this capture's total against the last
+    * COMMITTED quiet artifact of the same surface (`git show
+    * HEAD:BENCH_full.json`, overridable via SPARK_GRAFT_QUIET_REF) and
+    * downgrade the stamp to "suspect" when the total reads >15 % SLOWER
+    * (one-sided — a faster box is not contention). The reference must
+    * itself be clean under the HARDENED criteria (quiet_gate=passed and
+    * both load_before averages under the gate), so a contaminated
+    * committed artifact can never launder a contaminated capture.
+    * Returns (finalVerdict, postCheckNote). */
+  private[graft] def postCheck(quietVerdict: String, total: Double,
+                               sfDir: String, fullSurface: Boolean): (String, String) = {
+    if (!fullSurface) return (quietVerdict, "skipped(subset)")
+    val refText: Option[String] = sys.env.get("SPARK_GRAFT_QUIET_REF") match {
+      case Some(p) =>
+        try Some(java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+        catch { case _: Throwable => None }
+      case None =>
+        try {
+          val pr = new ProcessBuilder("git", "show", "HEAD:BENCH_full.json").start()
+          val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+          if (pr.waitFor() == 0 && out.nonEmpty) Some(out) else None
+        } catch { case _: Throwable => None }
+    }
+    postCheckDecision(quietVerdict, total, sfDir, refText,
+      thr = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble,
+      devPct = sys.env.getOrElse("SPARK_GRAFT_QUIET_DEV_PCT", "15").toDouble)
+  }
+
+  /** Pure decision core of [[postCheck]] (unit-tested directly). */
+  private[graft] def postCheckDecision(quietVerdict: String, total: Double,
+                                       sfDir: String, refText: Option[String],
+                                       thr: Double, devPct: Double): (String, String) = {
+    def field(src: String, re: scala.util.matching.Regex): Option[String] =
+      re.findFirstMatchIn(src).map(_.group(1))
+    val note = refText match {
+      case None => "no_ref(unreadable)"
+      case Some(txt) =>
+        val refTotal = field(txt, """"metric":"total","value":([0-9.Ee+-]+)""".r).map(_.toDouble)
+        val refSf = field(txt, """"sf":"([^"]+)"""".r)
+        val refGate = field(txt, """"quiet_gate":"([^"]+)"""".r)
+        val refLoads = field(txt, """"load_before":\[([0-9.,\s-]+)\]""".r)
+          .map(_.split(",").map(_.trim.toDouble))
+        (refTotal, refSf, refGate, refLoads) match {
+          case (Some(_), Some(sf), Some(_), Some(_)) if sf != sfDir =>
+            s"no_ref(sf_mismatch:$sf)"
+          case (Some(_), _, Some(g), _) if g != "passed" =>
+            s"no_ref(ref_gate:$g)"
+          case (Some(_), _, _, Some(lb)) if lb.length < 2 || lb(0) >= thr || lb(1) >= thr =>
+            s"no_ref(ref_contended:[${lb.mkString(",")}])"
+          case (Some(t), Some(_), Some(_), Some(_)) =>
+            // Locale.ROOT: a comma-decimal default locale would break both
+            // the JSON field and the suspect-parse below
+            val fmt = (p: String, x: Double) =>
+              String.format(java.util.Locale.ROOT, p, Double.box(x))
+            s"ref_total=${fmt("%.1f", t)},deviation=${fmt("%+.1f", (total / t - 1.0) * 100)}%"
+          case _ => "no_ref(unparsed)"
+        }
+    }
+    val suspect = note.startsWith("ref_total=") &&
+      note.split("deviation=")(1).stripSuffix("%").toDouble > devPct
+    (if (suspect && quietVerdict == "passed") "suspect" else quietVerdict, note)
   }
 
   def main(args: Array[String]): Unit = {
@@ -147,9 +227,16 @@ object Bench {
     // loadavg is sampled BEFORE and AFTER the timed section — a non-idle
     // "before" or a big jump flags background contention on the box.
     val rt = Runtime.getRuntime
+    // post-run deviation check may DOWNGRADE the gate stamp to "suspect"
+    // (r18 verdict #2): a mid-recovery host can pass the pre-run load
+    // gate yet run 20+ % slow; the committed quiet artifact is the judge
+    val preTotal = results.map(r => stableMed(r._2.map(_._1))).sum
+    val (gateVerdict, postNote) =
+      postCheck(quietVerdict, preTotal, sfDir, fullSurface = only.isEmpty)
     val env =
       s"""{"load_before":$loadBefore,"load_after":${loadAvg()},""" +
-        s""""quiet_gate":"$quietVerdict","quiet_wait_sec":$quietWaitSec,""" +
+        s""""quiet_gate":"$gateVerdict","quiet_wait_sec":$quietWaitSec,""" +
+        s""""post_check":"$postNote",""" +
         s""""heap_max_mb":${rt.maxMemory() / (1 << 20)},""" +
         s""""procs_online":${rt.availableProcessors()},""" +
         s""""java":"${System.getProperty("java.version")}",""" +
@@ -191,7 +278,7 @@ object Bench {
     val loads = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.map(t => num(t._2, "%.2f")).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(r => stableMed(r._2.map(_._1))).sum
+    val total = preTotal
     // self-documenting provenance: BENCH artifacts produced before this
     // guard existed are heap-size-sensitive (see SCALE.md, "heap
     // contamination" — BENCH_r08.json at 89 GiB); artifacts carrying

@@ -114,6 +114,12 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val mediaIdx = media.schema.fieldIndex("media")
     val metaIdx = media.schema.fieldIndex("meta")
+    // format is resolved by NAME, not ordinal: decodeFeatures accepts any
+    // DataFrame with (media_id, media, meta), and a caller whose meta
+    // struct orders its fields differently would otherwise dispatch every
+    // row to the byte stand-in (or ClassCastException on a non-string)
+    val fmtIdx = media.schema(metaIdx).dataType
+      .asInstanceOf[StructType].fieldIndex("format")
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
@@ -126,7 +132,7 @@ object Multimodal {
           // media is declared nullable — treat a null payload as empty
           val bytes = Option(r.getAs[Array[Byte]](mediaIdx)).getOrElse(Array.emptyByteArray)
           val fmt = Option(r.getStruct(metaIdx)).flatMap(m =>
-            Option(m.getString(0))).getOrElse("bin")
+            Option(m.getString(fmtIdx))).getOrElse("bin")
           val decoded = fmt match {
             case "png" | "bmp" | "jpeg" if bytes.nonEmpty =>
               val img = javax.imageio.ImageIO.read(

@@ -47,8 +47,13 @@ object B7StreamEqPin {
     spark.sparkContext.setLogLevel("WARN")
 
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // All three scratch dirs (source files, staging copy, checkpoint) are
+    // deleted after spark.stop(): the staging side holds a full coalesced
+    // copy of the corpus, so at the big SFs this tool targets a leaked run
+    // would leave corpus-sized litter in /tmp (r18 advice).
     val src = java.nio.file.Files.createTempDirectory("b7_sf_late").toString
     val stage = java.nio.file.Files.createTempDirectory("b7_sf_stage").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("b7_sf_ckpt").toString
     val base = System.currentTimeMillis() - 3600 * 1000L
     def placeFile(fromDir: String, name: String, mtime: Long): Unit = {
       val parts = new java.io.File(fromDir).listFiles()
@@ -88,8 +93,7 @@ object B7StreamEqPin {
       windowLen = "1 hour", watermark = "2 hours")
       .writeStream.format("memory").queryName("b7_sf_rollup")
       .outputMode(OutputMode.Append())
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("b7_sf_ckpt").toString)
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -129,6 +133,16 @@ object B7StreamEqPin {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
     println(json)
     spark.stop()
+    def rmTree(dir: String): Unit = {
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Seq(src, stage, ckpt).foreach(rmTree)
     if (verdict != "EQUAL") sys.exit(1)
   }
 }

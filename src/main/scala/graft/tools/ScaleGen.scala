@@ -165,8 +165,25 @@ object ScaleGen {
     }, "documents", 8)
 
     out(copies(in("embeddings"), factor) { (df, k) =>
-      offsetKeys(df, k, "vec_id").withColumn("embedding",
+      val base = offsetKeys(df, k, "vec_id").withColumn("embedding",
         transform(col("embedding"), (x, i) => signFlip(x, i, k)))
+      // zipf embeddings (r18 verdict #5): vec_id % 10 == 7 becomes THE
+      // hot vector — one fixed 64-dim pattern, identical in EVERY copy
+      // (applied after the sign flip, the HotDocText analog), so 10 % of
+      // the corpus is one exact-duplicate vector cluster. That is the
+      // worst case for every vector operator's data-shape terms at once:
+      // the cluster shares a signature in every LSH table (one bucket
+      // holding 10 % of the banding rows — the y3 hub-cap/salt stress),
+      // lands in one IVF cell (a posting list holding 10 % of the corpus
+      // — the hot-cell probe stress for y6), and collapses to one PQ
+      // code word. Stride % 10 == 0, so the same source rows are hot in
+      // each copy.
+      if (!zipf) base
+      else base.withColumn("embedding",
+        when(col("vec_id") % 10 === 7,
+          transform(col("embedding"),
+            (_, i) => (sin(i.cast("double") * 2.39996) * 0.7).cast("float")))
+          .otherwise(col("embedding")))
     }, "embeddings", 8)
 
     spark.stop()

@@ -64,6 +64,33 @@ class ScaleKnobSpec extends AnyFunSuite {
     assert(Bench.stableMed(Seq(0.5, 1.9, 1.9, 2.0)) == 1.9)
   }
 
+  test("Bench.postCheckDecision: deviation vs committed ref downgrades to suspect") {
+    def ref(total: Double, gate: String, lb: String, sf: String = "/d/sf0.1") =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sf",""" +
+        s""""env":{"load_before":$lb,"quiet_gate":"$gate"}}"""
+    val clean = Some(ref(120.0, "passed", "[0.5,0.8,1.0]"))
+    // >15% slower than a clean committed ref -> suspect
+    val (v1, n1) = Bench.postCheckDecision("passed", 151.0, "/d/sf0.1", clean, 2.0, 15.0)
+    assert(v1 == "suspect" && n1.contains("deviation=+25.8%"), s"$v1 $n1")
+    // within 15% -> stamp survives
+    assert(Bench.postCheckDecision("passed", 130.0, "/d/sf0.1", clean, 2.0, 15.0)._1 == "passed")
+    // FASTER is never suspect (one-sided)
+    assert(Bench.postCheckDecision("passed", 90.0, "/d/sf0.1", clean, 2.0, 15.0)._1 == "passed")
+    // a contaminated committed ref (the r18 151s artifact: 5-min load 10.11)
+    // must NOT be a laundering baseline -> no_ref, stamp survives
+    val dirty = Some(ref(151.0, "passed", "[2.18,10.11,13.75]"))
+    val (v2, n2) = Bench.postCheckDecision("passed", 170.0, "/d/sf0.1", dirty, 2.0, 15.0)
+    assert(v2 == "passed" && n2.startsWith("no_ref(ref_contended"), s"$v2 $n2")
+    // ref at a different sf -> no comparison
+    assert(Bench.postCheckDecision("passed", 170.0, "/d/sf1", clean, 2.0, 15.0)
+      ._2.startsWith("no_ref(sf_mismatch"))
+    // a timeout stamp is never upgraded by a good deviation
+    assert(Bench.postCheckDecision("timeout", 121.0, "/d/sf0.1", clean, 2.0, 15.0)._1 == "timeout")
+    // no ref at all (fresh clone / git unavailable)
+    assert(Bench.postCheckDecision("passed", 121.0, "/d/sf0.1", None, 2.0, 15.0)
+      ._2 == "no_ref(unreadable)")
+  }
+
   test("oracle-coupling pins: the sf0.01 knob values the SQL mirrors embed") {
     // y3: 500 embeddings -> 4 planes (SimilarityQueries y3 oracle)
     assert(Similarity.planesFor(500, targetBucket = 32) == 4)

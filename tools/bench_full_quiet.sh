@@ -30,8 +30,12 @@ python3 - "$OUT" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
 gate = d["env"].get("quiet_gate")
-assert gate == "passed", f"quiet_gate={gate!r} — artifact is contended/waived, recapture"
+# "suspect" (post-run deviation vs the committed quiet artifact) fails
+# here too — the r18 verdict #2 hardening
+assert gate == "passed", f"quiet_gate={gate!r} — artifact is contended/suspect/waived, recapture"
 lb = d["env"]["load_before"]
-assert lb[0] < 2.0, f"load_before {lb} fails the quiet gate — artifact is contended, recapture"
-print(f"[full] OK quiet_gate={gate} load_before={lb} total={d['value']:.2f}s")
+assert lb[0] < 2.0 and lb[1] < 2.0, \
+    f"load_before {lb} fails the hardened (1m AND 5m) quiet gate — recapture"
+print(f"[full] OK quiet_gate={gate} load_before={lb} "
+      f"post_check={d['env'].get('post_check')} total={d['value']:.2f}s")
 EOF

@@ -15,13 +15,17 @@
 # side more directly than the probe did. pair_report.py still reads old
 # captures' cal files when present.
 #
-# Usage: tools/bench_pair_interleaved.sh <outPrefix> [nPairs]
+# Usage: tools/bench_pair_interleaved.sh <outPrefix> [nPairs] [startIdx]
 # Produces, per pair i: <p>_sf0.1_$i.json, <p>_sf1_$i.json
-# Summarize with tools/pair_report.py <outPrefix> <nPairs>.
+# startIdx lets a later session APPEND pairs to an earlier capture set
+# (same prefix): the report/record/consensus then runs over pairs
+# 1..startIdx+nPairs-1. Summarize with tools/pair_report.py.
 set -eo pipefail
 cd "$(dirname "$0")/.."
-OUT=${1:?usage: bench_pair_interleaved.sh <outPrefix> [nPairs]}
+OUT=${1:?usage: bench_pair_interleaved.sh <outPrefix> [nPairs] [startIdx]}
 PAIRS=${2:-3}
+START=${3:-1}
+TOTAL=$((START + PAIRS - 1))
 SF01=${SF01_DIR:-/root/testdata/sf0.1}
 SF1=${SF1_DIR:-/root/repo/testdata/sf1}
 # Quiet-start gate before EVERY side now lives inside graft.Bench
@@ -35,12 +39,12 @@ SF1=${SF1_DIR:-/root/repo/testdata/sf1}
 # single-session pair): a pair-of-record requires >= 3 sibling pairs
 # captured in ONE session whose raw ratios agree within +/-0.10
 # (pair_report.py's raw verdict). The median pair is the pair of record.
-if [ "$PAIRS" -lt 3 ]; then
-  echo "ERROR: pair-of-record requires >= 3 sibling pairs (got $PAIRS)." >&2
+if [ "$TOTAL" -lt 3 ]; then
+  echo "ERROR: pair-of-record requires >= 3 sibling pairs (got $TOTAL)." >&2
   echo "       Run with nPairs >= 3, or treat this capture as a scratch probe." >&2
   exit 2
 fi
-for i in $(seq 1 "$PAIRS"); do
+for i in $(seq "$START" "$TOTAL"); do
   echo "[pair $i] start loadavg=$(cut -d' ' -f1-3 /proc/loadavg)"
   SPARK_GRAFT_SF_DIR=$SF01 SPARK_GRAFT_BENCH_FULL=${OUT}_sf0.1_$i.json \
     tools/run-main.sh graft.Bench 2>/dev/null | tail -1
@@ -50,8 +54,8 @@ for i in $(seq 1 "$PAIRS"); do
 done
 # Emit the pair-of-record ONLY if the sibling-agreement gate passes:
 # pair_report.py exits non-zero when the raw ratios spread > 0.10.
-if python3 tools/pair_report.py "$OUT" "$PAIRS"; then
-  python3 - "$OUT" "$PAIRS" <<'EOF'
+if python3 tools/pair_report.py "$OUT" "$TOTAL"; then
+  python3 - "$OUT" "$TOTAL" <<'EOF'
 import json, sys, statistics, shutil
 p, n = sys.argv[1], int(sys.argv[2])
 pairs = []
@@ -66,7 +70,15 @@ for side in ("sf0.1", "sf1"):
 print(f"pair of record = pair {rec} -> {p}_record_sf0.1.json / {p}_record_sf1.json")
 EOF
 else
-  echo "ERROR: sibling raw ratios spread > 0.10 — NOT emitting a pair of record." >&2
-  echo "       Recapture in a quieter regime; siblings must agree within 0.10." >&2
-  exit 3
+  echo "record contract refused (spread > 0.10) — trying the consensus fallback" >&2
+  # r18 verdict #3: when the record is refused but >= 9 regime-matched
+  # pairs exist, the machine emits the second-class consensus artifact
+  # (median + IQR + pair count) instead of SCALE.md hand-arithmetic.
+  if python3 tools/pair_report.py "$OUT" "$TOTAL" --consensus "${OUT}_consensus.json"; then
+    echo "consensus artifact emitted: ${OUT}_consensus.json (record still refused)"
+  else
+    echo "ERROR: record refused AND not enough pairs for a consensus (>=9)." >&2
+    echo "       Append more pairs: bench_pair_interleaved.sh $OUT <n> $((TOTAL + 1))" >&2
+    exit 3
+  fi
 fi

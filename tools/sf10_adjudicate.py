@@ -23,16 +23,27 @@ import sys, json, os
 
 
 def steps(lane, denom, thr):
-    flagged, table = [], {}
+    flagged, table, undenominated = [], {}, []
     for q, t in lane["queries"].items():
         d = denom["queries"].get(q)
         if d is None or d <= 0 or t <= 0:
+            # a lane gate with no positive denominator would be silently
+            # exempt from adjudication AND the worst-step report — the
+            # 'silent shrink' class (r18 advice): a gate newly added to
+            # the lane but run against a stale denominator artifact must
+            # fail loudly, not table step_lane=None
             table[q] = {"lane": t, "denom": d, "step_lane": None}
+            undenominated.append(q)
             continue
         step = t / d
         table[q] = {"lane": t, "denom": d, "step_lane": round(step, 2)}
         if step > thr:
             flagged.append(q)
+    if undenominated:
+        raise SystemExit(
+            f"[adjudicate] ERROR: lane gate(s) without a positive denominator "
+            f"entry in the denom artifact: {sorted(undenominated)} — the "
+            f"denominator is stale or the gate failed; refusing to adjudicate")
     return flagged, table
 
 
@@ -58,7 +69,15 @@ def main():
         it = iso["queries"][q]
         table[q]["isolated"] = it
         table[q]["step_isolated"] = round(it / table[q]["denom"], 2)
-        table[q]["isolated_quiet_gate"] = iso.get("env", {}).get("quiet_gate")
+        gate = iso.get("env", {}).get("quiet_gate")
+        table[q]["isolated_quiet_gate"] = gate
+        if gate != "passed":
+            # an isolated rerun whose own quiet gate stamped timeout/waived
+            # is exactly the contended-numerator-of-record failure this
+            # lane exists to prevent (r16/r17 verdicts) — keep the lane
+            # number, flag the gate, and fail the merge (r18 advice)
+            table[q]["adjudicated"] = "CONTENDED_RERUN"
+            continue
         table[q]["adjudicated"] = True
         final[q] = it  # the isolated quiet number is the number of record
     art = {
@@ -78,9 +97,14 @@ def main():
         json.dump(art, f, indent=1)
     adj = [q for q in flagged if table[q].get("adjudicated") is True]
     missing = [q for q in flagged if table[q].get("adjudicated") == "MISSING_RERUN"]
+    contended = [q for q in flagged if table[q].get("adjudicated") == "CONTENDED_RERUN"]
     print(f"[adjudicate] {len(adj)} gate(s) adjudicated: {adj or 'none'}")
     if missing:
         print(f"[adjudicate] ERROR: flagged but no isolated rerun found: {missing}")
+        return 1
+    if contended:
+        print(f"[adjudicate] ERROR: isolated rerun(s) with quiet_gate != passed "
+              f"(contended numerator, not a number of record): {contended}")
         return 1
     worst = max((v["step_isolated" if v.get("adjudicated") is True else "step_lane"], q)
                 for q, v in table.items()
