@@ -83,6 +83,9 @@ def main():
     art = {
         "metric": "total", "value": sum(final.values()), "unit": "sec",
         "queries": final,
+        # per-gate in-JVM median-of-N convention rides through to the
+        # artifact of record (r18 verdict #6: ANN gates must stamp runs>=3)
+        "runs": lane.get("runs"),
         "adjudication_threshold": thr,
         "adjudicated": {q: table[q] for q in sorted(table)},
         "lane_raw_total": lane["value"],
