@@ -96,9 +96,18 @@ object Bench {
           if (pr.waitFor() == 0 && out.nonEmpty) Some(out) else None
         } catch { case _: Throwable => None }
     }
+    // Default threshold 40 %: the committed reference is ONE point inside
+    // a host band documented at ±20 % (SCALE.md r18/r19 pair sessions),
+    // and can sit at the band's fast edge (the r19 91.9 s capture reads
+    // 0.75× the r18 sibling medians, uniformly). A 15 % trigger against a
+    // fast-edge ref would stamp honest in-band captures suspect; at 40 %
+    // the r18-style mid-recovery capture (+64 % vs the r19 ref) still
+    // flags while the band's slow edge (+46 % worst case) rarely does.
+    // The measured deviation is ALWAYS in post_check for the reader —
+    // "suspect" is reserved for strong evidence.
     postCheckDecision(quietVerdict, total, sfDir, refText,
       thr = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble,
-      devPct = sys.env.getOrElse("SPARK_GRAFT_QUIET_DEV_PCT", "15").toDouble)
+      devPct = sys.env.getOrElse("SPARK_GRAFT_QUIET_DEV_PCT", "40").toDouble)
   }
 
   /** Pure decision core of [[postCheck]] (unit-tested directly). */
