@@ -45,19 +45,30 @@ object Bench {
     *               lanes that interleave their own captures);
     *   "unreadable" — /proc/loadavg missing (non-Linux), no wait.
     * Returns (verdict, secondsWaited). */
+  /** The gate's (1-min, 5-min) load thresholds — read in one place so the
+    * artifact can stamp the DISCIPLINE a "passed" was earned under (r19
+    * advice: pairs 5–9 passed a relaxed SPARK_GRAFT_QUIET_LOAD5=10 gate
+    * yet carried the same "passed" string as full-discipline siblings). */
+  private[graft] def quietThresholds(): (Double, Double) = {
+    val threshold = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble
+    val threshold5 = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD5",
+      threshold.toString).toDouble
+    (threshold, threshold5)
+  }
+
   private[graft] def quietGate(): (String, Int) = {
     if (sys.env.contains("SPARK_GRAFT_NO_QUIET_GATE")) return ("waived", 0)
-    val threshold = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble
     // The 5-MIN load is gated too (r18 verdict #2): BENCH_r18.json passed
     // the 1-min-only gate at load_before [2.18, 10.11, 13.75] — a host
     // mid-recovery from heavy work, whose residual page-cache/cgroup
     // pressure put every query 24 % above 12 same-code quiet siblings.
     // A genuinely quiet box has BOTH averages low; the 5-min average
     // decays e-fold per 5 min, hence the longer default wait.
-    val threshold5 = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD5",
-      threshold.toString).toDouble
+    val (threshold, threshold5) = quietThresholds()
     val maxWait = sys.env.getOrElse("SPARK_GRAFT_QUIET_MAX_WAIT", "900").toInt
-    if (load1() < 0) return ("unreadable", 0)
+    // either average unreadable -> neither leg of the gate can run (r19
+    // advice: a load5() read failure used to silently pass the 5-min leg)
+    if (load1() < 0 || load5() < 0) return ("unreadable", 0)
     def noisy() = load1() >= threshold || load5() >= threshold5
     var waited = 0
     while (noisy() && waited < maxWait) {
@@ -83,7 +94,8 @@ object Bench {
     * committed artifact can never launder a contaminated capture.
     * Returns (finalVerdict, postCheckNote). */
   private[graft] def postCheck(quietVerdict: String, total: Double,
-                               sfDir: String, fullSurface: Boolean): (String, String) = {
+                               sfDir: String, fullSurface: Boolean,
+                               calibCur: Option[Double]): (String, String) = {
     if (!fullSurface) return (quietVerdict, "skipped(subset)")
     val refText: Option[String] = sys.env.get("SPARK_GRAFT_QUIET_REF") match {
       case Some(p) =>
@@ -103,17 +115,34 @@ object Bench {
     // fast-edge ref would stamp honest in-band captures suspect; at 40 %
     // the r18-style mid-recovery capture (+64 % vs the r19 ref) still
     // flags while the band's slow edge (+46 % worst case) rarely does.
+    // The (15 %, 40 %] gray zone gets its own stamp, "passed_elevated"
+    // (r19 verdict #6): in-band-but-warm captures — the driver's r19
+    // recapture sat at +20.5 % and read plain "passed" — are now
+    // machine-segregable without a post_check archaeology pass.
     // The measured deviation is ALWAYS in post_check for the reader —
-    // "suspect" is reserved for strong evidence.
+    // "suspect" stays reserved for strong evidence.
+    val (thr1, thr5) = quietThresholds()
     postCheckDecision(quietVerdict, total, sfDir, refText,
-      thr = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble,
-      devPct = sys.env.getOrElse("SPARK_GRAFT_QUIET_DEV_PCT", "40").toDouble)
+      thr = thr1, thr5 = thr5,
+      devPct = sys.env.getOrElse("SPARK_GRAFT_QUIET_DEV_PCT", "40").toDouble,
+      elevPct = sys.env.getOrElse("SPARK_GRAFT_QUIET_ELEV_PCT", "15").toDouble,
+      calibCur = calibCur)
   }
 
-  /** Pure decision core of [[postCheck]] (unit-tested directly). */
+  /** Pure decision core of [[postCheck]] (unit-tested directly).
+    * Stamps: deviation > devPct -> "suspect"; in (elevPct, devPct] ->
+    * "passed_elevated"; else the quiet verdict survives. When BOTH this
+    * capture and the reference carry the fixed calibration probe
+    * ([[calibProbe]]), the note also reports `deviation_norm` — the
+    * deviation after dividing out the hosts' calib-speed ratio, i.e.
+    * what the drift looks like with the host regime removed (reported,
+    * never a stamp input: contention slows the calib too, so
+    * normalizing the STAMP would launder exactly what it polices). */
   private[graft] def postCheckDecision(quietVerdict: String, total: Double,
                                        sfDir: String, refText: Option[String],
-                                       thr: Double, devPct: Double): (String, String) = {
+                                       thr: Double, thr5: Double,
+                                       devPct: Double, elevPct: Double,
+                                       calibCur: Option[Double]): (String, String) = {
     def field(src: String, re: scala.util.matching.Regex): Option[String] =
       re.findFirstMatchIn(src).map(_.group(1))
     val note = refText match {
@@ -124,25 +153,87 @@ object Bench {
         val refGate = field(txt, """"quiet_gate":"([^"]+)"""".r)
         val refLoads = field(txt, """"load_before":\[([0-9.,\s-]+)\]""".r)
           .map(_.split(",").map(_.trim.toDouble))
+        // the ref's 5-min average is judged against the 5-MIN threshold
+        // (r19 advice: it was judged against thr(1m), demoting refs
+        // legitimately captured under a raised SPARK_GRAFT_QUIET_LOAD5)
         (refTotal, refSf, refGate, refLoads) match {
           case (Some(_), Some(sf), Some(_), Some(_)) if sf != sfDir =>
             s"no_ref(sf_mismatch:$sf)"
           case (Some(_), _, Some(g), _) if g != "passed" =>
             s"no_ref(ref_gate:$g)"
-          case (Some(_), _, _, Some(lb)) if lb.length < 2 || lb(0) >= thr || lb(1) >= thr =>
+          case (Some(_), _, _, Some(lb)) if lb.length < 2 || lb(0) >= thr || lb(1) >= thr5 =>
             s"no_ref(ref_contended:[${lb.mkString(",")}])"
           case (Some(t), Some(_), Some(_), Some(_)) =>
             // Locale.ROOT: a comma-decimal default locale would break both
             // the JSON field and the suspect-parse below
             val fmt = (p: String, x: Double) =>
               String.format(java.util.Locale.ROOT, p, Double.box(x))
-            s"ref_total=${fmt("%.1f", t)},deviation=${fmt("%+.1f", (total / t - 1.0) * 100)}%"
+            val refCalib = field(txt,
+              """"calib":\{[^}]*"total":([0-9.Ee+-]+)""".r).map(_.toDouble)
+            val norm = (calibCur, refCalib) match {
+              case (Some(cc), Some(cr)) if cc > 0 && cr > 0 =>
+                s",calib_ref=${fmt("%.2f", cr)},calib_cur=${fmt("%.2f", cc)}" +
+                  s",deviation_norm=${fmt("%+.1f", ((total / t) / (cc / cr) - 1.0) * 100)}%"
+              case _ => ""
+            }
+            s"ref_total=${fmt("%.1f", t)}," +
+              s"deviation=${fmt("%+.1f", (total / t - 1.0) * 100)}%" + norm
           case _ => "no_ref(unparsed)"
         }
     }
-    val suspect = note.startsWith("ref_total=") &&
-      note.split("deviation=")(1).stripSuffix("%").toDouble > devPct
-    (if (suspect && quietVerdict == "passed") "suspect" else quietVerdict, note)
+    val dev: Option[Double] =
+      if (note.startsWith("ref_total="))
+        Some(note.split("deviation=")(1).split("%")(0).toDouble)
+      else None
+    val verdict = dev match {
+      case Some(d) if d > devPct && quietVerdict == "passed" => "suspect"
+      case Some(d) if d > elevPct && quietVerdict == "passed" => "passed_elevated"
+      case _ => quietVerdict
+    }
+    (verdict, note)
+  }
+
+  /** Fixed host-speed calibration probe (r19 verdict #1): three tiny
+    * SF-INDEPENDENT kernels — codegen'd arithmetic, a small shuffle, a
+    * string/hash pass — run before the query loop in EVERY bench session
+    * and stamped into env.calib of every artifact, so a round-over-round
+    * headline drift on an unchanged query surface is machine-attributable
+    * to host regime (calib moved with it) vs code (calib flat) instead of
+    * a hand archaeology pass per round. Deliberately synthetic rather
+    * than the verdict's example sfDir gates: a fixed workload is the SAME
+    * number at sf0.1, sf1, sf10 and under SPARK_GRAFT_ONLY subsets, so
+    * one calib scale spans all lanes. Median of 3 per kernel (first run
+    * eats residual JIT). Skippable via SPARK_GRAFT_NO_CALIB (stamped as
+    * null). */
+  private[graft] def calibProbe(spark: SparkSession): Option[(String, Double)] = {
+    if (sys.env.contains("SPARK_GRAFT_NO_CALIB")) return None
+    // MIN of 5, not median: the probe estimates the host's unloaded
+    // capability (the normalization denominator), and timing noise on a
+    // fixed workload is strictly additive — the min is the stable lower
+    // envelope (3-JVM trial: medians spread 57% on the shuffle kernel,
+    // mins 6%)
+    def min5(f: => Unit): Double = (1 to 5).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+    val cpu = min5 {
+      // max, not sum: summing 40M full-range hashes overflows long under
+      // ANSI; max still forces every hash to be computed
+      spark.range(0, 640000000L, 1, 32)
+        .selectExpr("max(xxhash64(id * 2654435761)) s").collect()
+    }
+    val shuffle = min5 {
+      spark.range(0, 150000000L, 1, 32).selectExpr("id % 8192 AS k")
+        .groupBy("k").count().agg(org.apache.spark.sql.functions.sum("count")).collect()
+    }
+    val str = min5 {
+      spark.range(0, 6400000L, 1, 32)
+        .selectExpr("sha2(cast(id AS string), 256) AS h")
+        .selectExpr("sum(length(h)) s").collect()
+    }
+    def n(x: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    val total = cpu + shuffle + str
+    Some((s"""{"cpu":${n(cpu)},"shuffle":${n(shuffle)},"string":${n(str)},""" +
+      s""""total":${n(total)},"runs":5,"stat":"min"}""", total))
   }
 
   def main(args: Array[String]): Unit = {
@@ -169,8 +260,19 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the load_before stamp must reflect the HOST's state, so it is
+    // sampled before this process does any real work (the calib probe
+    // below alone pushes the 1-min average up by its own parallelism)
+    def loadAvg0(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "null" }
+    val loadBefore = loadAvg0()
     // absorb session/codegen warm-up outside the first query's timing
     spark.range(1000).selectExpr("sum(id)").collect()
+    // fixed host-speed calibration (r19 verdict #1) — BEFORE the query
+    // loop, stamped into env.calib of every artifact
+    val calib = calibProbe(spark)
     // optional comma-separated filter for timing individual queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
@@ -181,11 +283,7 @@ object Bench {
     // the median over a deterministic order is robust to one bad run
     // without hiding a consistent regression the way min can.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    def loadAvg(): String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-        .split(" ").take(3).mkString("[", ",", "]")
-      catch { case _: Throwable => "null" }
-    val loadBefore = loadAvg()
+    def loadAvg(): String = loadAvg0()
     // Self-adjudicating timing (round-9 finding: committed sf1 medians for
     // x3/y3/x7 were background-load artifacts only diagnosable via
     // SCALE.md archaeology). Three defenses, all IN the artifact:
@@ -199,6 +297,13 @@ object Bench {
     //     3x of that query's OWN min (the stable cluster) — outlier runs
     //     stay visible in "times"/"spread" but stop polluting the number
     //     the judge compares across rounds.
+    // Untimed per-query warm-up iterations (r19 verdict #2): the ANN
+    // interleave lane measured y3's sf10 runs still JIT-warming at run 3
+    // (124 -> 117 -> 76.5 s — a cold capture over-reads the gate ~2x).
+    // Lanes that need the warm band set SPARK_GRAFT_WARMUP_RUNS >= 1;
+    // the count is stamped in the artifact so warm and cold captures are
+    // never silently compared.
+    val warmupRuns = sys.env.getOrElse("SPARK_GRAFT_WARMUP_RUNS", "0").toInt
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run1(): Option[(Double, Double)] = {
         val l = load1()
@@ -206,6 +311,7 @@ object Bench {
         try { fn(spark, sfDir).count(); Some(((System.nanoTime() - t0) / 1e9, l)) }
         catch { case _: Throwable => None } // failed run: no timing
       }
+      (1 to warmupRuns).foreach(_ => run1()) // untimed, failures ignored
       var samples = (1 to runs).flatMap(_ => run1())
       var extra = 0
       while (samples.nonEmpty && extra < runs &&
@@ -241,11 +347,18 @@ object Bench {
     // gate yet run 20+ % slow; the committed quiet artifact is the judge
     val preTotal = results.map(r => stableMed(r._2.map(_._1))).sum
     val (gateVerdict, postNote) =
-      postCheck(quietVerdict, preTotal, sfDir, fullSurface = only.isEmpty)
+      postCheck(quietVerdict, preTotal, sfDir, fullSurface = only.isEmpty,
+        calibCur = calib.map(_._2))
+    val (thr1, thr5) = quietThresholds()
+    def thrFmt(x: Double) =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
     val env =
       s"""{"load_before":$loadBefore,"load_after":${loadAvg()},""" +
         s""""quiet_gate":"$gateVerdict","quiet_wait_sec":$quietWaitSec,""" +
+        s""""quiet_load_thr":[${thrFmt(thr1)},${thrFmt(thr5)}],""" +
         s""""post_check":"$postNote",""" +
+        s""""calib":${calib.map(_._1).getOrElse("null")},""" +
+        s""""warmup_runs":${sys.env.getOrElse("SPARK_GRAFT_WARMUP_RUNS", "0").toInt},""" +
         s""""heap_max_mb":${rt.maxMemory() / (1 << 20)},""" +
         s""""procs_online":${rt.availableProcessors()},""" +
         s""""java":"${System.getProperty("java.version")}",""" +

@@ -70,6 +70,30 @@ object Similarity {
     math.min(maxPlanes, math.max(minPlanes, raw))
   }
 
+  /** Folded bucket count for a corpus of `n` vectors: exactly
+    * `round(n / targetBucket)` buckets (clamped to the signature space
+    * `2^planes`), so the realized AVERAGE bucket size is `targetBucket`
+    * at ANY n — not the (target/2, target] power-of-two band the raw
+    * sign-bit signature gives. The r19 verdict measured planesFor's
+    * ceil-to-power-of-two quantization as a legitimate ≤2× oscillation
+    * on a 10× scale step (y3's 13.64× candidate step at sf1→sf10 is
+    * avg-bucket 24.4 → 30.5 riding on the 10× data): folding the
+    * signature into a non-power-of-two bucket count (`sig mod B` — the
+    * sign bits of N(0,1) hyperplanes are near-uniform over 2^planes, so
+    * the fold spreads evenly; 2^planes/B < 2 groups land per bucket)
+    * centers every SF on the same average and the 10× step on ~10×.
+    * At the oracle SF (500 vectors, 4 planes, target 32) B = 16 = 2^4 —
+    * the fold is the identity there, so the code-generated SQL mirrors
+    * stay valid byte-for-byte. Beyond n = targetBucket·2^maxPlanes the
+    * clamp binds and average bucket size grows linearly — per-row work
+    * is then bounded only by the candidate cap (the regime
+    * ANN_COUNTERS_clamped.json measures). */
+  def bucketsFor(n: Long, targetBucket: Int = 32, planes: Int): Long = {
+    require(n > 0 && targetBucket > 0 && planes > 0,
+      s"bucketsFor: n=$n target=$targetBucket planes=$planes")
+    math.max(2L, math.min(1L << planes, math.round(n.toDouble / targetBucket)))
+  }
+
   /** Sign-bit signature of a (double-cast) vector against the fixed
     * hyperplanes of one hash table — an integer bucket id in
     * [0, 2^planes). The planes are `dim`-dimensional; a mismatched vector
@@ -85,6 +109,16 @@ object Similarity {
       .otherwise(raise_error(concat(
         lit(s"hyperplaneSignature: expected $dim-dim vector, got "), size(v))))
     sig.reduce(_ + _) + dimGuard
+  }
+
+  /** [[hyperplaneSignature]] optionally folded into a non-power-of-two
+    * bucket count (`buckets <= 0` = no fold — raw sign-bit bucket). The
+    * signature is non-negative (< 2^planes), so `pmod` here is plain `%`
+    * and the DuckDB oracle mirrors it verbatim. */
+  def foldedSignature(v: Column, planes: Int, table: Int,
+                      buckets: Long = 0, dim: Int = 64): Column = {
+    val sig = hyperplaneSignature(v, planes, table, dim)
+    if (buckets > 0) pmod(sig, lit(buckets)) else sig
   }
 
   /** Exact cosine top-k for a fixed set of query vector ids.
@@ -118,14 +152,16 @@ object Similarity {
     * query — the knob that trades recall for scan volume at scale. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int = 10, planes: Int = 6,
-              tables: Int = 8): DataFrame = {
+              tables: Int = 8, buckets: Long = 0): DataFrame = {
     val base = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     // (table, bucket) pairs per vector, one hash table per array slot.
     // Ids only past this point: the banding join and the candidate
     // distinct shuffle two longs per row, never the vectors themselves.
+    // buckets > 0 folds the signature into exactly that many buckets
+    // ([[bucketsFor]] — average bucket size pinned to target at any n).
     val banded = base.select(col("id"),
       posexplode(array((0 until tables).map(t =>
-        hyperplaneSignature(col("v"), planes, t)): _*)))
+        foldedSignature(col("v"), planes, t, buckets)): _*)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
     val probes = banded.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("t"), col("bucket"))
@@ -202,7 +238,8 @@ object Similarity {
     * candidate list); everything else moves (long, long) pairs. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int = 10,
                planes: Int = 6, tables: Int = 8,
-               maxBucketSize: Int = 256, saltChunk: Int = 1024): DataFrame = {
+               maxBucketSize: Int = 256, saltChunk: Int = 1024,
+               buckets: Long = 0): DataFrame = {
     // null ids are dropped EXPLICITLY (meaningless in a knn graph):
     // downstream joins infer isnotnull on the query leg but can't push
     // it through the cap's window on the neighbor leg — filtering here
@@ -220,7 +257,7 @@ object Similarity {
     // nothing is reused, and banding is computed twice.)
     val banded = base.select(col("id"),
       posexplode(array((0 until tables).map(t =>
-        hyperplaneSignature(col("v"), planes, t)): _*)))
+        foldedSignature(col("v"), planes, t, buckets)): _*)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
       .repartition(col("t"), col("bucket"))
     // one windowed pass per leg over the SAME reused exchange yields the

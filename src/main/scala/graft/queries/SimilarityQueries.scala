@@ -48,15 +48,18 @@ object SimilarityQueries {
 
     // LSH-bucketed ANN (scale path; rows-only check + recall spec).
     "y2_ann_lsh" -> { (s, d) =>
-      // planes scale with the corpus (same planesFor policy as y3): the
-      // per-query touched fraction stays ~L·targetBucket/n instead of
-      // buckets silently growing linearly past the design point. At the
-      // oracle's sf0.01 (500 vectors) planesFor yields exactly the 4
-      // planes the SQL mirror embeds.
+      // planes scale with the corpus (same planesFor policy as y3), and
+      // the signature folds into bucketsFor(n) buckets so the REALIZED
+      // average bucket is targetBucket at any SF — not the power-of-two
+      // band (r19 verdict #3). At the oracle's sf0.01 (500 vectors) the
+      // knobs are 4 planes and B=16=2^4: the fold is the identity the
+      // SQL mirror embeds.
       val e = embeddings(s, d)
+      val n = e.count()
+      val p = Similarity.planesFor(n, targetBucket = 32)
       Similarity.lshTopK(e, "vec_id", "embedding", QueryIds,
-        k = 10, planes = Similarity.planesFor(e.count(), targetBucket = 32),
-        tables = 8)
+        k = 10, planes = p, tables = 8,
+        buckets = Similarity.bucketsFor(n, targetBucket = 32, planes = p))
         .withColumn("cosine_sim", round(col("cosine_sim"), 6))
         .orderBy(col("query_id"), col("rank"))
     },
@@ -64,16 +67,22 @@ object SimilarityQueries {
     // KNN graph: top-k neighbors for EVERY vector — nothing broadcasts,
     // banded sort-merge self-join with a deterministic hub-bucket cap.
     "y3_knn_graph" -> { (s, d) =>
-      // planes scale with the corpus (planesFor: expected bucket size
-      // stays ~32 at any SF) — the count is a contract-bounded metadata
-      // scan (parquet row counts), not a data collect. At the oracle's
-      // sf0.01 (500 vectors) planesFor yields exactly the 4 planes the
-      // SQL mirror embeds; at bench SFs it grows so candidate volume
-      // tracks avg-bucket·L, not cap·L (see planesFor's scaladoc).
+      // planes scale with the corpus (planesFor), and the signature
+      // folds into bucketsFor(n) buckets so average bucket size is
+      // EXACTLY targetBucket at any SF — the 10× candidate step then
+      // reads ~10× instead of riding planesFor's ceil-to-power-of-two
+      // oscillation (r19 verdict #3: 13.64× measured at sf1→sf10 was
+      // avg-bucket 24.4→30.5 on top of the 10× data). The count is a
+      // contract-bounded metadata scan (parquet row counts), not a data
+      // collect. At the oracle's sf0.01 (500 vectors) the knobs are 4
+      // planes, B=16=2^4 — the fold is the identity the SQL mirror
+      // embeds.
       val e = embeddings(s, d)
+      val n = e.count()
+      val p = Similarity.planesFor(n, targetBucket = 32)
       Similarity.knnGraph(e, "vec_id", "embedding",
-        k = 5, planes = Similarity.planesFor(e.count(), targetBucket = 32),
-        tables = 4, maxBucketSize = 64)
+        k = 5, planes = p, tables = 4, maxBucketSize = 64,
+        buckets = Similarity.bucketsFor(n, targetBucket = 32, planes = p))
         .withColumn("cosine_sim", round(col("cosine_sim"), 6))
         .orderBy(col("query_id"), col("rank"))
     },
@@ -376,12 +385,13 @@ object SimilarityQueries {
 
     // y2: all 8 hash tables' hyperplane literals are code-generated into
     // the SQL, so bucket assignment, candidate dedup, and ranking are
-    // fully cross-checked (no aux import needed). 4 planes = the gate's
-    // planesFor(500 sf0.01 vectors, target 32) — ScaleKnobSpec pins this
-    // coupling.
+    // fully cross-checked (no aux import needed). 4 planes and the % 16
+    // fold = the gate's planesFor/bucketsFor(500 sf0.01 vectors,
+    // target 32) — ScaleKnobSpec pins this coupling (B = 16 = 2^4, so
+    // the fold mirrors the engine's pmod verbatim AND is the identity).
     "y2_ann_lsh" -> {
       val banded = (0 until 8).map(t =>
-        s"SELECT vec_id, $t AS t, ${sqlSignature("v", 4, t)} AS bucket FROM base")
+        s"SELECT vec_id, $t AS t, (${sqlSignature("v", 4, t)} % 16) AS bucket FROM base")
         .mkString(" UNION ALL ")
       s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings
          |  WHERE ${sfGuard("y2_ann_lsh")}),
@@ -407,13 +417,15 @@ object SimilarityQueries {
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
-    // y3: same code-generated hyperplanes; the hub-bucket cap is the
-    // identical row_number-by-id window, so capping is cross-checked too.
-    // Query leg is UNCAPPED (every id queries its bucket's survivors);
-    // only the neighbor leg is capped — mirrors Similarity.knnGraph.
+    // y3: same code-generated hyperplanes (with the same % 16
+    // bucketsFor fold as the engine — identity at sf0.01); the
+    // hub-bucket cap is the identical row_number-by-id window, so
+    // capping is cross-checked too. Query leg is UNCAPPED (every id
+    // queries its bucket's survivors); only the neighbor leg is capped
+    // — mirrors Similarity.knnGraph.
     "y3_knn_graph" -> {
       val banded = (0 until 4).map(t =>
-        s"SELECT vec_id, $t AS t, ${sqlSignature("v", 4, t)} AS bucket FROM base")
+        s"SELECT vec_id, $t AS t, (${sqlSignature("v", 4, t)} % 16) AS bucket FROM base")
         .mkString(" UNION ALL ")
       s"""WITH base AS (SELECT vec_id, $dblEmb AS v FROM embeddings
          |  WHERE ${sfGuard("y3_knn_graph")}),

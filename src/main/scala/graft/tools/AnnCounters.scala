@@ -62,12 +62,16 @@ object AnnCounters {
       .select(col("vec_id").as("id"),
         Similarity.toDouble(col("embedding")).as("v"))
 
-    /** (t, bucket) sizes for L tables at the gate's planesFor count. */
+    /** (t, bucket) sizes for L tables at the gate's planesFor count,
+      * with the gate's bucketsFor fold (r20: y2/y3 fold the signature
+      * into round(n/32) buckets so the average bucket is exactly the
+      * target at any n — the counters mirror the gates verbatim). */
     def bucketSizes(tables: Int): (Int, DataFrame) = {
       val planes = Similarity.planesFor(n, targetBucket = 32)
+      val b = Similarity.bucketsFor(n, targetBucket = 32, planes = planes)
       val banded = base.select(col("id"),
         posexplode(array((0 until tables).map(t =>
-          Similarity.hyperplaneSignature(col("v"), planes, t)): _*)))
+          Similarity.foldedSignature(col("v"), planes, t, b)): _*)))
         .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
       (planes, banded.groupBy("t", "bucket")
         .agg(count(lit(1)).as("c"),
@@ -100,9 +104,10 @@ object AnnCounters {
     // the post-distinct count the cosine stage actually scores: the real
     // banded self-join, ids only (the probe's one expensive step)
     val planes3 = p3
+    val buckets3 = Similarity.bucketsFor(n, targetBucket = 32, planes = p3)
     val banded3 = base.select(col("id"),
       posexplode(array((0 until 4).map(t =>
-        Similarity.hyperplaneSignature(col("v"), planes3, t)): _*)))
+        Similarity.foldedSignature(col("v"), planes3, t, buckets3)): _*)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
       .repartition(col("t"), col("bucket"))
     val capW = org.apache.spark.sql.expressions.Window

@@ -54,6 +54,22 @@ object B7StreamEqPin {
     val src = java.nio.file.Files.createTempDirectory("b7_sf_late").toString
     val stage = java.nio.file.Files.createTempDirectory("b7_sf_stage").toString
     val ckpt = java.nio.file.Files.createTempDirectory("b7_sf_ckpt").toString
+    // cleanup is a finally (r19 advice: the success-path-only delete still
+    // leaked the corpus-sized staging copy on any mid-run failure — the
+    // exact litter the cleanup was added to prevent); the walk stream is
+    // closed via Using (Files.walk holds directory handles open)
+    def rmTree(dir: String): Unit = {
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { s =>
+          s.iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+    }
+    val verdict = try {
     val base = System.currentTimeMillis() - 3600 * 1000L
     def placeFile(fromDir: String, name: String, mtime: Long): Unit = {
       val parts = new java.io.File(fromDir).listFiles()
@@ -133,16 +149,8 @@ object B7StreamEqPin {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
     println(json)
     spark.stop()
-    def rmTree(dir: String): Unit = {
-      val root = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
-    Seq(src, stage, ckpt).foreach(rmTree)
+    verdict
+    } finally Seq(src, stage, ckpt).foreach(rmTree)
     if (verdict != "EQUAL") sys.exit(1)
   }
 }

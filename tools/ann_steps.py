@@ -38,6 +38,15 @@ def main():
         a = json.load(open(f"{prefix}_{g}_sf1.json"))
         b = json.load(open(f"{prefix}_{g}_sf10.json"))
         t1, t10 = a["queries"][g], b["queries"][g]
+        # Bench stamps -1.0 when every run of a gate failed: a ratio over
+        # a sentinel (or any non-positive time) is meaningless and must
+        # refuse loudly, not pass at step=1.0 (r19 advice — same loud
+        # no-denominator refusal sf10_adjudicate.py already has)
+        if t1 <= 0 or t10 <= 0:
+            print(f"[ann_steps] ERROR: non-positive headline for {g}: "
+                  f"sf1={t1} sf10={t10} (failed-runs sentinel?)",
+                  file=sys.stderr)
+            return 1
         gates_ok = (a["env"].get("quiet_gate"), b["env"].get("quiet_gate"))
         row = {
             "sf1": t1, "sf10": t10,
@@ -46,12 +55,20 @@ def main():
             "times_sf1": json.loads(json.dumps(a.get("times", {}).get(g))),
             "times_sf10": json.loads(json.dumps(b.get("times", {}).get(g))),
             "quiet_gate": list(gates_ok),
+            "warmup_runs": [a["env"].get("warmup_runs"),
+                            b["env"].get("warmup_runs")],
         }
         if any(v not in ("passed",) for v in gates_ok):
             bad_gates.append(g)
         if counters and g in COUNTER_FIELDS:
             sec, field = COUNTER_FIELDS[g]
             v1, v10 = counters[0][sec][field], counters[1][sec][field]
+            if v1 <= 0:
+                print(f"[ann_steps] ERROR: zero/negative sf1 candidate "
+                      f"volume for {g} ({sec}.{field}={v1}) — counter "
+                      f"capture is broken, refusing the ratio",
+                      file=sys.stderr)
+                return 1
             row["candidates_sf1"] = v1
             row["candidates_sf10"] = v10
             row["step_candidates"] = round(v10 / v1, 2)

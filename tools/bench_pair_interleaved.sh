@@ -54,6 +54,22 @@ for i in $(seq "$START" "$TOTAL"); do
 done
 # Emit the pair-of-record ONLY if the sibling-agreement gate passes:
 # pair_report.py exits non-zero when the raw ratios spread > 0.10.
+# With START > 1 the pair set spans multiple sessions, and the record
+# contract requires >= 3 sibling pairs captured in ONE session (r19
+# advice) — appended sets go straight to the consensus path, which is
+# the only cross-session convention.
+if [ "$START" -gt 1 ]; then
+  echo "[pair] START=$START: multi-session pair set — record contract" >&2
+  echo "       requires one session; evaluating the consensus path only" >&2
+  python3 tools/pair_report.py "$OUT" "$TOTAL" || true
+  if python3 tools/pair_report.py "$OUT" "$TOTAL" --consensus "${OUT}_consensus.json"; then
+    echo "consensus artifact emitted: ${OUT}_consensus.json (multi-session set; no record)"
+    exit 0
+  else
+    echo "ERROR: multi-session set and not enough passed pairs for a consensus (>=9)." >&2
+    exit 3
+  fi
+fi
 if python3 tools/pair_report.py "$OUT" "$TOTAL"; then
   python3 - "$OUT" "$TOTAL" <<'EOF'
 import json, sys, statistics, shutil

@@ -36,34 +36,63 @@ def read_pairs(prefix, n):
 
 def write_consensus(prefix, n, out):
     rows = read_pairs(prefix, n)
-    if len(rows) < MIN_CONSENSUS_PAIRS:
-        print(f"ERROR: consensus needs >= {MIN_CONSENSUS_PAIRS} pairs, "
-              f"got {len(rows)}", file=sys.stderr)
+    # r19 advice: a timeout/waived/suspect side must not silently skew a
+    # headline whose note claims "regime-matched" — only pairs with BOTH
+    # sides stamped plain "passed" enter the median (passed_elevated is
+    # excluded too: an in-band-but-warm side is exactly the regime drift
+    # the consensus exists to cancel). Excluded pairs stay visible in
+    # the artifact with the gate stamps that disqualified them.
+    def gates(a, b):
+        return [a.get("env", {}).get("quiet_gate"),
+                b.get("env", {}).get("quiet_gate")]
+
+    def thresholds(a, b):
+        # gate DISCIPLINE stamp (r20 Bench stamps env.quiet_load_thr):
+        # two "passed" strings earned under different LOAD5 thresholds
+        # are now distinguishable in the artifact itself
+        return [a.get("env", {}).get("quiet_load_thr"),
+                b.get("env", {}).get("quiet_load_thr")]
+
+    included = [(i, a, b, r) for i, a, b, r in rows
+                if all(g == "passed" for g in gates(a, b))]
+    excluded = [(i, gates(a, b)) for i, a, b, r in rows
+                if any(g != "passed" for g in gates(a, b))]
+    if excluded:
+        print(f"consensus: excluded pairs (side gate != passed): "
+              f"{[(i, g) for i, g in excluded]}", file=sys.stderr)
+    if len(included) < MIN_CONSENSUS_PAIRS:
+        print(f"ERROR: consensus needs >= {MIN_CONSENSUS_PAIRS} pairs with "
+              f"both sides quiet_gate=passed, got {len(included)} "
+              f"(of {len(rows)} captured)", file=sys.stderr)
         return 1
-    ratios = sorted(r[3] for r in rows)
+    ratios = sorted(r[3] for r in included)
     q = statistics.quantiles(ratios, n=4, method="inclusive")
     art = {
         "metric": "sf0.1->sf1 ratio (consensus of interleaved pairs)",
         "value": round(statistics.median(ratios), 4),
         "unit": "ratio",
-        "pairs": len(rows),
+        "pairs": len(included),
+        "pairs_captured": len(rows),
+        "pairs_excluded": [{"i": i, "quiet_gate": g} for i, g in excluded],
         "iqr": [round(q[0], 4), round(q[2], 4)],
         "spread": [round(ratios[0], 4), round(ratios[-1], 4)],
         "per_pair": [
             {"i": i, "sf0.1": a["value"], "sf1": b["value"],
              "ratio": round(r, 4),
-             "quiet_gate": [a.get("env", {}).get("quiet_gate"),
-                            b.get("env", {}).get("quiet_gate")]}
-            for i, a, b, r in rows],
+             "quiet_gate": gates(a, b),
+             "quiet_load_thr": thresholds(a, b)}
+            for i, a, b, r in included],
         "note": ("second-class headline: the 0.10/3-sibling record contract "
-                 "refused, so the machine-produced median over all "
-                 "regime-matched interleaved pairs stands in (r18 verdict #3); "
-                 "a pair of record supersedes this artifact whenever one exists"),
+                 "refused, so the machine-produced median over the "
+                 "regime-matched interleaved pairs (both sides "
+                 "quiet_gate=passed; others excluded above) stands in "
+                 "(r18 verdict #3); a pair of record supersedes this "
+                 "artifact whenever one exists"),
     }
     with open(out, "w") as f:
         json.dump(art, f, indent=1)
-    print(f"consensus ({len(rows)} pairs): median={art['value']} "
-          f"iqr={art['iqr']} -> {out}")
+    print(f"consensus ({len(included)} pairs, {len(excluded)} excluded): "
+          f"median={art['value']} iqr={art['iqr']} -> {out}")
     return 0
 
 
