@@ -4,11 +4,15 @@ per pair, the raw sf0.1 -> sf1 ratio, plus each side's quiet_gate stamp.
 Reports the median ratio and the max deviation between sibling pairs —
 the r15 verdict #1 'agree within +/-0.10' gate.
 
-The calibration probe was retired in r18 (r17 verdict #5: for two rounds
-the raw verdict was binding while the normalized metric disagreed with
-itself and never changed a decision). When a pre-r18 capture's cal
-files are present they are still read and the normalized ratio printed,
-for archaeology only — the verdict is raw-only.
+The OLD per-pair calibration workload was retired in r18 (r17 verdict
+#5: for two rounds the raw verdict was binding while the normalized
+metric disagreed with itself and never changed a decision). When a
+pre-r18 capture's cal files are present they are still read and the
+normalized ratio printed, for archaeology only — the verdict is
+raw-only. The r20 in-Bench calibration probe (env.calib) plays a
+different, binary role here: it does not normalize any ratio, it
+DISQUALIFIES pairs whose two sides demonstrably saw different host
+regimes (see CALIB_SPLIT_MAX below).
 
 Consensus fallback (r18 verdict #3): when the 0.10/3-sibling record
 contract refuses (four honest sessions in r18), the de-facto headline
@@ -23,6 +27,38 @@ Usage: tools/pair_report.py <outPrefix> <nPairs> [--consensus <outJson>]
 import os, sys, json, statistics
 
 MIN_CONSENSUS_PAIRS = 9
+
+# Inter-side regime-split gate (r20): interleaving alone does NOT
+# guarantee the two sides of a pair share a regime — r20 pair 1 ran its
+# sf0.1 side in a degraded host window (env.calib.total 3.358) and its
+# sf1 side in a normal one (1.174): a 2.9x host-speed split that shrank
+# the pair's ratio to 1.40 while both sides could still individually
+# earn gate stamps. The fixed calibration probe (graft.Bench r20,
+# min-of-5, 3.4% spread across fresh JVMs on a steady host) is stamped
+# in every side, so the split is machine-detectable: a pair whose
+# sides' calib totals differ by more than CALIB_SPLIT_MAX is
+# regime-split and ineligible for the record AND the consensus.
+# Pre-r20 artifacts carry no calib -> drift reads null and the pair
+# stays eligible (can't judge what wasn't measured).
+CALIB_SPLIT_MAX = 1.25
+
+
+def side_calib(art):
+    c = art.get("env", {}).get("calib")
+    return c.get("total") if isinstance(c, dict) else None
+
+
+def calib_drift(a, b):
+    """max/min ratio of the two sides' calib totals, or None."""
+    ca, cb = side_calib(a), side_calib(b)
+    if ca and cb and ca > 0 and cb > 0:
+        return max(ca, cb) / min(ca, cb)
+    return None
+
+
+def regime_split(a, b):
+    d = calib_drift(a, b)
+    return d is not None and d > CALIB_SPLIT_MAX
 
 
 def read_pairs(prefix, n):
@@ -53,13 +89,16 @@ def write_consensus(prefix, n, out):
         return [a.get("env", {}).get("quiet_load_thr"),
                 b.get("env", {}).get("quiet_load_thr")]
 
-    included = [(i, a, b, r) for i, a, b, r in rows
-                if all(g == "passed" for g in gates(a, b))]
-    excluded = [(i, gates(a, b)) for i, a, b, r in rows
-                if any(g != "passed" for g in gates(a, b))]
+    def eligible(a, b):
+        return all(g == "passed" for g in gates(a, b)) and not regime_split(a, b)
+
+    included = [(i, a, b, r) for i, a, b, r in rows if eligible(a, b)]
+    excluded = [(i, gates(a, b), calib_drift(a, b)) for i, a, b, r in rows
+                if not eligible(a, b)]
     if excluded:
-        print(f"consensus: excluded pairs (side gate != passed): "
-              f"{[(i, g) for i, g in excluded]}", file=sys.stderr)
+        print(f"consensus: excluded pairs (side gate != passed, or calib "
+              f"drift > {CALIB_SPLIT_MAX}): "
+              f"{[(i, g, d) for i, g, d in excluded]}", file=sys.stderr)
     if len(included) < MIN_CONSENSUS_PAIRS:
         print(f"ERROR: consensus needs >= {MIN_CONSENSUS_PAIRS} pairs with "
               f"both sides quiet_gate=passed, got {len(included)} "
@@ -73,14 +112,20 @@ def write_consensus(prefix, n, out):
         "unit": "ratio",
         "pairs": len(included),
         "pairs_captured": len(rows),
-        "pairs_excluded": [{"i": i, "quiet_gate": g} for i, g in excluded],
+        "pairs_excluded": [{"i": i, "quiet_gate": g,
+                            "calib_drift": round(d, 3) if d else None}
+                           for i, g, d in excluded],
+        "calib_split_max": CALIB_SPLIT_MAX,
         "iqr": [round(q[0], 4), round(q[2], 4)],
         "spread": [round(ratios[0], 4), round(ratios[-1], 4)],
         "per_pair": [
             {"i": i, "sf0.1": a["value"], "sf1": b["value"],
              "ratio": round(r, 4),
              "quiet_gate": gates(a, b),
-             "quiet_load_thr": thresholds(a, b)}
+             "quiet_load_thr": thresholds(a, b),
+             "calib": [side_calib(a), side_calib(b)],
+             "calib_drift": (round(calib_drift(a, b), 3)
+                             if calib_drift(a, b) else None)}
             for i, a, b, r in included],
         "note": ("second-class headline: the 0.10/3-sibling record contract "
                  "refused, so the machine-produced median over the "
@@ -97,7 +142,7 @@ def write_consensus(prefix, n, out):
 
 
 def main(prefix, n):
-    rows, cals = [], []
+    rows, cals, splits = [], [], []
     for i in range(1, n + 1):
         a = json.load(open(f"{prefix}_sf0.1_{i}.json"))
         b = json.load(open(f"{prefix}_sf1_{i}.json"))
@@ -105,8 +150,14 @@ def main(prefix, n):
         gates = (a.get("env", {}).get("quiet_gate", "?"),
                  b.get("env", {}).get("quiet_gate", "?"))
         rows.append((i, a["value"], b["value"], raw))
+        drift = calib_drift(a, b)
+        split = regime_split(a, b)
+        if split:
+            splits.append(i)
         line = (f"pair {i}: sf0.1={a['value']:.1f}s sf1={b['value']:.1f}s "
-                f"raw={raw:.3f} quiet_gate=({gates[0]},{gates[1]})")
+                f"raw={raw:.3f} quiet_gate=({gates[0]},{gates[1]})"
+                + (f" calib_drift={drift:.2f}" if drift else "")
+                + (" REGIME-SPLIT" if split else ""))
         # legacy (pre-r18) captures carry calibration probes — read if BOTH
         # sides are present (a side that crashed mid-pair leaves cal_a
         # without cal_b; the archaeology line is then skipped, not fatal)
@@ -127,7 +178,13 @@ def main(prefix, n):
               f"(spread {cals[0]:.3f}..{cals[-1]:.3f}) [not a verdict]")
     raw_ok = (raws[-1] - raws[0]) <= 0.10
     print(f"raw sibling agreement within +/-0.10:        {'YES' if raw_ok else 'NO'}")
-    return 0 if raw_ok else 1
+    if splits:
+        # a record built on a ratio whose two sides saw different hosts
+        # (calib split > CALIB_SPLIT_MAX) is not a record, whatever the
+        # sibling spread says
+        print(f"regime-split pairs (calib drift > {CALIB_SPLIT_MAX}): "
+              f"{splits} -> record refused")
+    return 0 if raw_ok and not splits else 1
 
 
 if __name__ == "__main__":
