@@ -33,11 +33,18 @@ class SmallestKDistinct(k: Int) extends Aggregator[String, Seq[String], Seq[Stri
   override def merge(a: Seq[String], b: Seq[String]): Seq[String] =
     b.foldLeft(a)(insert)
   override def finish(r: Seq[String]): Seq[String] = r
-  override def bufferEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
-  override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+  override def bufferEncoder: Encoder[Seq[String]] = SmallestKDistinct.SeqStringEnc
+  override def outputEncoder: Encoder[Seq[String]] = SmallestKDistinct.SeqStringEnc
 }
 
 object SmallestKDistinct {
+  /** Built once per JVM: ScalaAggregator re-reads the encoders per task,
+    * and a fresh ExpressionEncoder[T]() pays a Scala-reflection pass
+    * under the process-global ScalaSubtypeLock — serializing concurrent
+    * aggregate tasks (see Dedup.MinhashArrayAgg, r20). */
+  private[SmallestKDistinct] val SeqStringEnc: Encoder[Seq[String]] =
+    ExpressionEncoder[Seq[String]]()
+
   /** Column form: smallest k distinct values of `c` (strings). */
   def apply(c: Column, k: Int): Column = udaf(new SmallestKDistinct(k)).apply(c)
 }

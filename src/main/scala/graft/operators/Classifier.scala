@@ -152,8 +152,11 @@ object Classifier {
     // aggregate collapses to ~1 row per doc map-side and the only
     // corpus-sized exchange carries C+1 numbers per document — no
     // (doc, term) tf exchange at all.
-    val toks = corpus.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    // fan a narrow scan out before the per-row tokenize+explode (the
+    // corpus-wide CPU pass of scoring) — no-op at scale (Fanout)
+    val toks = graft.core.Fanout.spread(corpus, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val slAggs = count(lit(1)).as("n_scored") +:
       classes.map(c => sum(log(col(cnt(c)) + lit(alpha))).as(sl(c)))
     val perDoc = toks.join(broadcast(stats), "term")

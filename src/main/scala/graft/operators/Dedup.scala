@@ -299,7 +299,13 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    var converged = edges.isEmpty // a self-pairs-only input is already done
+    // one count() job per frame, not per use: edges' count is re-read as
+    // the previous round's denominator, and isEmpty on a just-counted
+    // frame is the count (r20: componentsAlternating paid an extra
+    // edges.count() job per round re-counting the PREVIOUS round's
+    // materialized checkpoint)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0 // a self-pairs-only input is already done
     var round = 0
     while (!converged && round < maxRounds) {
       // large-star over the SYMMETRIC view: m(u) = min(N(u) ∪ {u});
@@ -328,9 +334,10 @@ object Dedup {
       // verified fixpoint: equal cardinality + empty one-way difference
       // over DISTINCT sets ⇒ set equality (the except only runs on
       // count-equal rounds — usually just the final one)
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       round += 1
     }
     if (!converged) throw new ComponentsDidNotConverge(
@@ -418,9 +425,16 @@ object Dedup {
   /** (id, __toks) with the token array materialized behind a projection
     * boundary. CollapseProject keeps the boundary (the alias is non-cheap
     * and multiply-referenced), so downstream shingle/prefix lambdas
-    * evaluate the tokenizer exactly once per row. */
+    * evaluate the tokenizer exactly once per row.
+    *
+    * The input is [[graft.core.Fanout.spread]] first: tokenize + shingle
+    * + hash is the dominant per-row cost of every dedup operator, and it
+    * runs in the scan stage — a narrow input (one parquet split) would
+    * serialize it on one core (r20 QueryProbe: ~1 s single-task stages in
+    * every x-gate at sf0.1). No-op at corpus scale by construction. */
   private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    graft.core.Fanout.spread(df, col(idCol))
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
 
   /** Jaccard similarity of two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -724,8 +738,27 @@ object Dedup {
     }
     override def finish(r: Array[Long]): Seq[Long] = r.toSeq
     override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      MinhashArrayAgg.BufferEnc
     override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      MinhashArrayAgg.OutputEnc
+  }
+
+  /** JVM-wide encoder cache for [[MinhashArrayAgg]] (r20 optimization):
+    * `ScalaAggregator.outputEncoder`/`inputEncoder` call these PER TASK
+    * (each task deserializes its own aggregator instance), and building
+    * an `ExpressionEncoder[T]()` runs Scala runtime reflection under the
+    * process-global `ScalaSubtypeLock` — jstack-measured as 32 executor
+    * threads BLOCKED on that monitor for ~0.5 s per task in every
+    * minhash stage (the dominant fixed cost of the whole x-family at
+    * small SF, and a direct scalability ceiling at any SF: the lock
+    * serializes ALL concurrently-starting aggregate tasks in an
+    * executor). Deriving the encoders once per JVM classload makes the
+    * per-task call a field read. Same output, same types — only the
+    * reflection pass is deduplicated. */
+  private object MinhashArrayAgg {
+    val BufferEnc: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    val OutputEnc: org.apache.spark.sql.Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
@@ -928,7 +961,11 @@ object Dedup {
 
   /** The (id, sig, grams) signature frame both near-dup families build
     * on — one tokenize+shingle pass, one map-side-combinable aggregate. */
-  private def sigGramsFrame(df: DataFrame, idCol: String, textCol: String,
+  /** The banded-minhash UDAF as a reusable column function (probe access). */
+  private[graft] def minhashAgg(numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new MinhashArrayAgg(numHashes, hashParams(numHashes).toArray))
+
+  private[graft] def sigGramsFrame(df: DataFrame, idCol: String, textCol: String,
                             n: Int, numHashes: Int): DataFrame = {
     val rows = tokenized(df, idCol, textCol).select(col("id"),
       explode(shinglesFromTokens(col("__toks"), n)).as("g"))

@@ -144,15 +144,18 @@ object Ivf {
     *    of codegen and evaluate interpreted (SemDeDup-scale C needs
     *    this path). */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
-             centroids: Seq[Centroid]): DataFrame =
+             centroids: Seq[Centroid]): DataFrame = {
+    // fan a narrow scan out before the c×d multiply-adds per vector
+    // (assignment is the corpus-wide GEMV pass) — no-op at scale
+    val spread = graft.core.Fanout.spread(emb, col(idCol))
     if (centroids.size <= ExpressionAssignMaxC)
-      emb.filter(col(idCol).isNotNull)
+      spread.filter(col(idCol).isNotNull)
         .select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
         .withColumn("cluster_id", element_at(nearestCids(col("v"), centroids, 1), 1))
         .withColumn("nv", Similarity.norm(col("v")))
     else {
       import org.apache.spark.sql.types._
-      val pre = emb.filter(col(idCol).isNotNull)
+      val pre = spread.filter(col(idCol).isNotNull)
         .select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
       val out = StructType(Seq(
         StructField("id", pre.schema("id").dataType, nullable = false),
@@ -202,6 +205,7 @@ object Ivf {
         }
       }(enc)
     }
+  }
 
   /** Lloyd refinement: `iters` rounds of (map-side assign → distributed
     * per-component mean → collect C·dim means). An emptied cluster keeps

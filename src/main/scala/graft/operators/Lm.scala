@@ -101,7 +101,7 @@ object Lm {
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val prs = adjacentPairs(col(textCol),
       (a, b) => struct(a.as("prev"), b.as("cur")))
-    val pairs = df
+    val pairs = graft.core.Fanout.spread(df, col(idCol))
       .select(col(idCol).as("doc_id"), explode(prs).as("pr"))
       .select(col("doc_id"), col("pr.prev").as("prev"), col("pr.cur").as("cur"))
       .groupBy(col("doc_id"), col("prev"), col("cur"))
@@ -618,8 +618,11 @@ object Lm {
                                       textCol: String,
                                       merges: Seq[(String, String)],
                                       joiner: String = "~"): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("__raw"))
+    // fan a narrow scan out before the per-row merge-chain regexps (one
+    // full string pass per merge) — no-op at scale (Fanout)
+    val base = graft.core.Fanout.spread(df, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__raw"))
     val padded = concat(lit(" "), array_join(col("__raw"), " "), lit(" "))
     val encStr = trim(merges.foldLeft(padded) {
       case (s, (a, b)) => applyMergeStr(s, a, b, joiner)
@@ -633,8 +636,9 @@ object Lm {
                                      textCol: String,
                                      merges: Seq[(String, String)],
                                      joiner: String = "~"): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("__raw"))
+    val base = graft.core.Fanout.spread(df, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__raw"))
     encodeEpilogue(base,
       graft.expressions.BpeEncode.column(
         df.sparkSession, col("__raw"), merges, joiner))

@@ -68,7 +68,10 @@ object Multimodal {
   /** Build a media table from the documents table: the UTF-8 bytes of
     * `text` stand in for an encoded media payload. */
   def fromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
+    // fan a narrow scan out before the codec kernels downstream (real
+    // ImageIO/AudioSystem encode+decode per row — the most CPU-dense
+    // per-row work in the engine) — no-op at scale (Fanout)
+    graft.core.Fanout.spread(docs, col("doc_id")).select(
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("media"),
       struct(

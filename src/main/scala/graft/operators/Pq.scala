@@ -136,7 +136,10 @@ object Pq {
   def encode(emb: DataFrame, idCol: String, vecCol: String,
              books: Codebooks): DataFrame = {
     val v = Similarity.toDouble(col(vecCol))
-    emb.filter(col(idCol).isNotNull)
+    // fan a narrow scan out before the m×ks×(d/m) argmin per vector —
+    // encoding is the corpus-wide compute pass; no-op at scale
+    graft.core.Fanout.spread(emb, col(idCol))
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), codesCol(v, books).as("codes"))
   }
 

@@ -29,7 +29,8 @@ object Ranking {
   /** (doc_id, term, tf): one explode + one hash aggregate (map-side
     * combinable). Docs with zero tokens vanish (no terms to score). */
   def termFreqs(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    graft.core.Fanout.spread(df, col(idCol))
+      .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

@@ -153,7 +153,10 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int = 10, planes: Int = 6,
               tables: Int = 8, buckets: Long = 0): DataFrame = {
-    val base = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    // fan a narrow scan out before the per-row hyperplane signatures
+    // (tables × planes × dim multiply-adds per vector) — no-op at scale
+    val base = graft.core.Fanout.spread(emb, col(idCol))
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     // (table, bucket) pairs per vector, one hash table per array slot.
     // Ids only past this point: the banding join and the candidate
     // distinct shuffle two longs per row, never the vectors themselves.
@@ -244,7 +247,12 @@ object Similarity {
     // downstream joins infer isnotnull on the query leg but can't push
     // it through the cap's window on the neighbor leg — filtering here
     // keeps both legs' scan subtrees identical so the exchange is reused
-    val base = emb.filter(col(idCol).isNotNull)
+    // fan a narrow scan out before the per-row signature/norm arithmetic
+    // (tables × planes × dim multiply-adds per vector) — no-op at scale,
+    // and both join legs still hang off the SAME spread subtree so the
+    // exchange-reuse structure below is unchanged
+    val base = graft.core.Fanout.spread(emb, col(idCol))
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm(col("v")))
     val capW = Window.partitionBy(col("t"), col("bucket")).orderBy(col("id"))

@@ -202,25 +202,27 @@ class IvfSpec extends SparkSpec {
   }
 
   test("ivfTopK plan: corpus never shuffles pre-join; probes broadcast") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
-    import org.apache.spark.sql.types.ArrayType
-    val df = Ivf.ivfTopK(emb, "vec_id", "embedding", Seq(0L, 1L), k = 5, c = 8)
-    val root: SparkPlan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.initialPlan
-      case other => other
-    }
-    val bcasts = root.collect { case e: BroadcastExchangeExec => e }
-    assert(bcasts.nonEmpty, "probe side must broadcast")
-    val shuffles = root.collect { case e: ShuffleExchangeExec => e }
-    assert(shuffles.size == 1,
-      s"exactly the top-k window exchange expected, got ${shuffles.size}")
-    shuffles.foreach { e =>
-      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
-        "the only shuffle must carry scored (query, neighbor, sim) rows, " +
-          "not vectors: " +
-          e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+    withAtScaleScans {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+      import org.apache.spark.sql.types.ArrayType
+      val df = Ivf.ivfTopK(emb, "vec_id", "embedding", Seq(0L, 1L), k = 5, c = 8)
+      val root: SparkPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+      val bcasts = root.collect { case e: BroadcastExchangeExec => e }
+      assert(bcasts.nonEmpty, "probe side must broadcast")
+      val shuffles = root.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 1,
+        s"exactly the top-k window exchange expected, got ${shuffles.size}")
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          "the only shuffle must carry scored (query, neighbor, sim) rows, " +
+            "not vectors: " +
+            e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+      }
     }
   }
 

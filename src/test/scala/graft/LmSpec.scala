@@ -335,15 +335,17 @@ class LmSpec extends SparkSpec {
   }
 
   test("bpeEncode above the threshold plans O(1) nodes and no shuffle") {
-    // parquet-backed (a local Seq collapses to LocalTableScan by
-    // constant folding, which would hide the projection's shape)
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    val merges = (1 to 200).map(i => (s"t$i", s"u$i"))
-    val df = Lm.bpeEncode(docs, "doc_id", "text", merges)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
-    assert(plan.contains("graft_bpe_encode"), plan)
-    assert(!plan.contains("regexp_replace"), plan)
+    withAtScaleScans {
+      // parquet-backed (a local Seq collapses to LocalTableScan by
+      // constant folding, which would hide the projection's shape)
+      val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      val merges = (1 to 200).map(i => (s"t$i", s"u$i"))
+      val df = Lm.bpeEncode(docs, "doc_id", "text", merges)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("graft_bpe_encode"), plan)
+      assert(!plan.contains("regexp_replace"), plan)
+    }
   }
 
   test("invertedIndex blocks postings by doc-id range and sorts them") {

@@ -67,6 +67,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bpeEncode is a shuffle-free single-stage regexp chain") {
+    withAtScaleScans {
     val enc = graft.operators.Lm.bpeEncode(
       graft.Tables.documents(spark, d), "doc_id", "text",
       Seq(("a", "b"), ("c", "d"), ("e", "f")))
@@ -81,6 +82,7 @@ class PlanSpec extends SparkSpec {
     assert(regexps == 3, s"expected 3 regexp merge passes, got $regexps:\n$p")
     // codegen stages render as "*(n)" in the plan string
     assert(p.contains("*(2) Project"), s"bpeEncode fell out of codegen:\n$p")
+    }
   }
 
   test("range join plans as hash join, never nested loop") {

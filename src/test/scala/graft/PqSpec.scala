@@ -125,23 +125,25 @@ class PqSpec extends SparkSpec {
   }
 
   test("plan: corpus never shuffles; only scored triples reach the window exchange") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
-    import org.apache.spark.sql.types.ArrayType
-    val df = Pq.adcTopK(emb, "vec_id", "embedding", Seq(0L, 1L), k = 5)
-    val root: SparkPlan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.initialPlan
-      case other => other
-    }
-    assert(root.collect { case e: BroadcastExchangeExec => e }.nonEmpty,
-      "queries+luts must broadcast")
-    val shuffles = root.collect { case e: ShuffleExchangeExec => e }
-    assert(shuffles.size == 1, s"only the top-k window exchange, got ${shuffles.size}")
-    shuffles.foreach { e =>
-      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
-        "neither vectors nor codes may shuffle: " +
-          e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+    withAtScaleScans {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+      import org.apache.spark.sql.types.ArrayType
+      val df = Pq.adcTopK(emb, "vec_id", "embedding", Seq(0L, 1L), k = 5)
+      val root: SparkPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+      assert(root.collect { case e: BroadcastExchangeExec => e }.nonEmpty,
+        "queries+luts must broadcast")
+      val shuffles = root.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 1, s"only the top-k window exchange, got ${shuffles.size}")
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          "neither vectors nor codes may shuffle: " +
+            e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+      }
     }
   }
 }

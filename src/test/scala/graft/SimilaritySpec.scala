@@ -53,22 +53,24 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("lshTopK: no shuffle carries embedding vectors (id-only candidate dedup)") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.types.ArrayType
-    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val df = Similarity.lshTopK(emb, "vec_id", "embedding", Seq(0L, 1L, 2L), 10)
-    val root: SparkPlan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.initialPlan
-      case other => other
-    }
-    val shuffles = root.collect { case e: ShuffleExchangeExec => e }
-    assert(shuffles.nonEmpty, "expected at least the candidate-distinct shuffle")
-    shuffles.foreach { e =>
-      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
-        "shuffle carries vector payload: " +
-          e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+    withAtScaleScans {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.types.ArrayType
+      val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val df = Similarity.lshTopK(emb, "vec_id", "embedding", Seq(0L, 1L, 2L), 10)
+      val root: SparkPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+      val shuffles = root.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, "expected at least the candidate-distinct shuffle")
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          "shuffle carries vector payload: " +
+            e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+      }
     }
   }
 

@@ -21,4 +21,22 @@ object TestSession {
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
+
+  /** Run `body` with scan-split sizing shrunk so the test parquet files
+    * plan as MANY splits — the corpus-scale input geometry. Plan-shape
+    * specs that pin an operator's AT-SCALE shuffle structure use this so
+    * [[graft.core.Fanout.spread]]'s small-input fan-out (an extra
+    * REPARTITION_BY_NUM exchange that exists only when the scan is
+    * narrower than the core count) stays out of the asserted plan, same
+    * as it would on real corpus-sized inputs. */
+  def withAtScaleScans[A](body: => A): A = {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "4096")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
