@@ -73,8 +73,12 @@ object Classifier {
     * class factor. */
   def nbTermStats(seed: DataFrame, textCol: String, labelCol: String,
                   classes: Seq[String]): DataFrame = {
-    val tok = seed.select(col(labelCol).as("label"),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    // fan a narrow seed scan out before tokenize+explode (key: the text
+    // itself — unique enough, and the seed carries no mandated id col);
+    // no-op at scale (Fanout, r20)
+    val tok = graft.core.Fanout.spread(seed, col(textCol))
+      .select(col(labelCol).as("label"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val aggs = classes.map(c =>
       sum(when(col("label") === c, 1L).otherwise(0L)).as(cnt(c)))
     tok.groupBy(col("term")).agg(aggs.head, aggs.tail: _*)

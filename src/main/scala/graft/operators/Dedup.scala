@@ -1210,9 +1210,12 @@ object Dedup {
     * assemble the signature. Avoids the 64× tokenization recompute of the
     * pure-Column form. Output: (id, sh). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashRows = df.select(col(idCol).as("id"),
-      explode(transform(TextAnalysis.tokens(col(textCol)),
-        t => xxhash64(t))).as("h"))
+    // fan a narrow scan out before tokenize + 64 bit-vote lanes per
+    // token — no-op at scale (Fanout, r20)
+    val hashRows = graft.core.Fanout.spread(df, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(transform(TextAnalysis.tokens(col(textCol)),
+          t => xxhash64(t))).as("h"))
     val votes = (0 until 64).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"v$i"))
     hashRows.groupBy(col("id"))
@@ -1328,8 +1331,11 @@ object Dedup {
                            maxBucketSize: Int = Int.MaxValue,
                            refinePlanes: Int = 12,
                            refineTable: Int = RefineTable): DataFrame = {
-    val sigs0 = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+    // fan a narrow scan out before the per-vector signature + norm
+    // arithmetic — no-op at scale (Fanout, r20)
+    val sigs0 = graft.core.Fanout.spread(df, col(idCol))
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), planes))
       .withColumn("nv", Similarity.norm(col("v")))
     // both guard stages count via map-side-combinable aggregates and

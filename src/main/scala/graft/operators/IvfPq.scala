@@ -39,8 +39,12 @@ object IvfPq {
     val books = Pq.seedCodebooks(emb, idCol, vecCol, m, ks, stride)
     val v = Similarity.toDouble(col(vecCol))
     // ONE map-side projection: cluster assignment + PQ encode, raw
-    // vector dropped here — the scan emits (id, cluster_id, codes) only
-    val corpus = emb.filter(col(idCol).isNotNull)
+    // vector dropped here — the scan emits (id, cluster_id, codes) only.
+    // The scan is fanned out first when narrow (r20): assign+encode is
+    // (c + m·ks)·d multiply-adds per vector and otherwise serializes on
+    // a single-split input — no-op at corpus scale (Fanout)
+    val corpus = graft.core.Fanout.spread(emb, col(idCol))
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"),
         element_at(Ivf.nearestCids(v, cents, 1), 1).as("cluster_id"),
         Pq.codesCol(v, books).as("codes"))

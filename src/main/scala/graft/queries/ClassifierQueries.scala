@@ -116,8 +116,12 @@ object ClassifierQueries {
                                preCollapse: Boolean): DataFrame = {
       import graft.operators.{Dedup, Sampling, Packing}
       import graft.functions.TextAnalysis
-      val cleaned = documents(s, d).select(col("doc_id"),
-        TextAnalysis.cleanText(col("text")).as("text"), col("lang"))
+      // spread the scan before cleanText (four regexp passes per row) —
+      // `cleaned` feeds four consumers, each of which would otherwise
+      // re-run the repair chain inside the single-split scan task (r20)
+      val cleaned = graft.core.Fanout.spread(documents(s, d), col("doc_id"))
+        .select(col("doc_id"),
+          TextAnalysis.cleanText(col("text")).as("text"), col("lang"))
       val scored = Classifier.nbScore(cleaned,
         cleaned.filter(col("doc_id") % 2 === 0), "doc_id", "text", "lang", Langs)
       val kept = Classifier.importanceResample(scored, "en", Langs,

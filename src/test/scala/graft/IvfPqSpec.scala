@@ -44,23 +44,25 @@ class IvfPqSpec extends SparkSpec {
   }
 
   test("plan: corpus never shuffles; no vectors or codes in the exchange") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
-    import org.apache.spark.sql.types.ArrayType
-    val df = IvfPq.ivfPqTopK(emb, "vec_id", "embedding", Seq(0L, 1L), k = 5)
-    val root: SparkPlan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.initialPlan
-      case other => other
-    }
-    assert(root.collect { case e: BroadcastExchangeExec => e }.nonEmpty,
-      "probes+luts must broadcast")
-    val shuffles = root.collect { case e: ShuffleExchangeExec => e }
-    assert(shuffles.size == 1, s"only the top-k window exchange, got ${shuffles.size}")
-    shuffles.foreach { e =>
-      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
-        "neither vectors nor codes may shuffle: " +
-          e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+    withAtScaleScans {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+      import org.apache.spark.sql.types.ArrayType
+      val df = IvfPq.ivfPqTopK(emb, "vec_id", "embedding", Seq(0L, 1L), k = 5)
+      val root: SparkPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+      assert(root.collect { case e: BroadcastExchangeExec => e }.nonEmpty,
+        "probes+luts must broadcast")
+      val shuffles = root.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 1, s"only the top-k window exchange, got ${shuffles.size}")
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          "neither vectors nor codes may shuffle: " +
+            e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+      }
     }
   }
 }
