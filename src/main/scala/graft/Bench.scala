@@ -423,6 +423,17 @@ object Bench {
       System.err.println(full)
     }
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","full":"$fullPath"}"""
+    // Per-query visibility for the driver (r20 verdict #5): one small
+    // line per gate BEFORE the total line, so a stdout-only consumer can
+    // build the per-query table without ingesting BENCH_full.json. Pure
+    // ADDITION to the stdout contract — the total line's format, its
+    // position as the last stdout write, and the full artifact are all
+    // unchanged (each line is ~60 bytes; the 142-gate block is ~9 KB,
+    // far under any tail-capture clipping that motivated the compact
+    // line, which remains the only line the driver MUST parse).
+    results.foreach { case (k, v) =>
+      println(s"""{"metric":"query","name":"$k","sec":${num(stableMed(v.map(_._1)), "%.3f")}}""")
+    }
     // Belt + suspenders for the driver's last-line stdout parse: print the
     // compact line here (after all query work), and AGAIN from a JVM
     // shutdown hook so that even if Spark's JVM-exit cleanup interleaves

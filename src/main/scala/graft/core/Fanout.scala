@@ -46,18 +46,39 @@ object Fanout {
   def plannedScanTasks(df: DataFrame): Option[Long] =
     scanLayout(df).map(_._1)
 
+  /** Byte estimate for an RDD-backed leaf whose plan-time statistics are
+    * the "unknown" default: partitions × this. 8 task-worths per existing
+    * partition keeps the width DATA-derived (a tiny few-partition
+    * checkpoint can no longer claim partitions × 128 MB and fan to the
+    * full core count — the r20 ii2/cur3/v4 +0.3 s blanket-fanout shape,
+    * flagged by the r20 advice) while still unlocking real parallelism
+    * for the common case this path exists for: an AQE-coalesced
+    * 1–4-partition checkpoint feeding a CPU-dense kernel. */
+  val RddFallbackBytesPerPartition: Long = 8 * SpreadBytesPerTask
+
   /** (estimated scan tasks, total input bytes) of `df`'s leaves — see
-    * [[plannedScanTasks]]. RDD-backed leaves carry no byte estimate;
-    * their partitions are counted and bytes approximated as
-    * partitions × one split (an RDD leaf with k partitions was already
-    * parallelized k ways upstream — the task count is what matters). */
+    * [[plannedScanTasks]]. RDD-backed leaves (localCheckpoint) count
+    * their real partitions; their bytes come from the leaf's plan-time
+    * statistics (Spark ≥3.4 carries the origin plan's stats through
+    * `Dataset.checkpoint` into `LogicalRDD`), falling back to
+    * [[RddFallbackBytesPerPartition]] per partition when the stats are
+    * the conf-default "unknown" sentinel. */
   private def scanLayout(df: DataFrame): Option[(Long, Long)] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.ExternalRDD
     import org.apache.spark.sql.execution.LogicalRDD
-    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
     val maxSplit = math.max(1L,
       df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val unknownSize = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    def rddLeaf(plan: LogicalPlan, partitions: Long): Option[(Long, Long)] = {
+      val est = plan.stats.sizeInBytes
+      val bytes =
+        if (est > 0 && est < unknownSize)
+          est.min(BigInt(Long.MaxValue)).toLong
+        else partitions * RddFallbackBytesPerPartition
+      Some((partitions, bytes))
+    }
     val leaves = df.queryExecution.analyzed.collectLeaves()
     val counts: Seq[Option[(Long, Long)]] = leaves.map {
       case lr: LogicalRelation => lr.relation match {
@@ -66,10 +87,8 @@ object Fanout {
           Some((math.max(1L, (bytes + maxSplit - 1) / maxSplit), bytes))
         case _ => None
       }
-      case r: LogicalRDD =>
-        Some((r.rdd.getNumPartitions.toLong, r.rdd.getNumPartitions * maxSplit))
-      case r: ExternalRDD[_] =>
-        Some((r.rdd.getNumPartitions.toLong, r.rdd.getNumPartitions * maxSplit))
+      case r: LogicalRDD => rddLeaf(r, r.rdd.getNumPartitions.toLong)
+      case r: ExternalRDD[_] => rddLeaf(r, r.rdd.getNumPartitions.toLong)
       // driver-local literal frames (tests, 1-row knob tables) are not
       // the production shape this targets — leave their plans alone
       case _: LocalRelation => None
@@ -90,13 +109,39 @@ object Fanout {
     * at the bytes-derived width). */
   val SpreadBytesPerTask: Long = 64 * 1024
 
+  /** SPARK_GRAFT_FANOUT_CAP, parsed and validated ONCE per JVM (r20
+    * advice: the per-call unguarded `.toInt` threw NumberFormatException
+    * deep inside operator construction on junk input, and a zero or
+    * negative value silently disabled the fan-out). Env vars cannot
+    * change mid-JVM, so a lazy val loses nothing. */
+  private lazy val FanoutCap: Int = sys.env.get("SPARK_GRAFT_FANOUT_CAP") match {
+    case None => Int.MaxValue
+    case Some(s) => s.toIntOption.filter(_ > 0).getOrElse(
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_FANOUT_CAP must be a positive integer, got '$s'" +
+          " (1 disables the fan-out; unset leaves it uncapped)"))
+  }
+
   /** `df`, hash-repartitioned on `keys` to the session's default
     * parallelism IFF its planned scan parallelism is below that — the
     * guard that makes the repartition a small-input-only move (see
-    * object doc). Call immediately BEFORE a CPU-dense narrow stage. */
+    * object doc). Call immediately BEFORE a CPU-dense narrow stage.
+    *
+    * A plan that already carries an explicit-width hash repartition (a
+    * REPARTITION_BY_NUM — in practice an upstream `spread` on a derived,
+    * un-checkpointed frame) is left alone: `scanLayout` only inspects
+    * LEAVES, so without this check a query-level spread followed by an
+    * operator-level one stacked two consecutive exchanges on the same
+    * key (a Project between them defeats CollapseRepartition — r20
+    * advice, the cur5 `cleaned` → nbScore shape). */
   def spread(df: DataFrame, keys: Column*): DataFrame = {
-    val cap = sys.env.getOrElse("SPARK_GRAFT_FANOUT_CAP", Int.MaxValue.toString).toInt
-    val cores = math.min(cap, df.sparkSession.sparkContext.defaultParallelism)
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+    val alreadySpread = df.queryExecution.analyzed.exists {
+      case r: RepartitionByExpression => r.optNumPartitions.isDefined
+      case _ => false
+    }
+    if (alreadySpread) return df
+    val cores = math.min(FanoutCap, df.sparkSession.sparkContext.defaultParallelism)
     scanLayout(df) match {
       case Some((planned, bytes)) =>
         // width derived from input size: enough tasks that each holds

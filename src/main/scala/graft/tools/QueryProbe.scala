@@ -89,6 +89,8 @@ object QueryProbe {
       for (r <- 1 to runs) {
         synchronized {
           stages.clear(); taskMax.clear(); taskSum.clear()
+          cpuSum.clear(); deserSum.clear()
+          jobStart.clear(); stageStart.clear()
           taskGc.clear(); taskCnt.clear(); jobs = 0; jobMs = 0L
         }
         val t0 = System.nanoTime()
