@@ -959,12 +959,12 @@ object Dedup {
         .localCheckpoint(false),
       bands, rowsPerBand, threshold, maxBucketSize)
 
-  /** The (id, sig, grams) signature frame both near-dup families build
-    * on — one tokenize+shingle pass, one map-side-combinable aggregate. */
   /** The banded-minhash UDAF as a reusable column function (probe access). */
   private[graft] def minhashAgg(numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new MinhashArrayAgg(numHashes, hashParams(numHashes).toArray))
 
+  /** The (id, sig, grams) signature frame both near-dup families build
+    * on — one tokenize+shingle pass, one map-side-combinable aggregate. */
   private[graft] def sigGramsFrame(df: DataFrame, idCol: String, textCol: String,
                             n: Int, numHashes: Int): DataFrame = {
     val rows = tokenized(df, idCol, textCol).select(col("id"),
@@ -1075,7 +1075,21 @@ object Dedup {
                              n: Int = 3, bands: Int = 16,
                              rowsPerBand: Int = 8,
                              threshold: Double = 0.5,
-                             maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                             maxBucketSize: Int = Int.MaxValue): DataFrame =
+    incrementalDedupRosterPrepared(
+      sigGramsFrame(delta, idCol, textCol, n, bands * rowsPerBand)
+        .localCheckpoint(false),
+      store, n, bands, rowsPerBand, threshold, maxBucketSize)
+
+  /** [[incrementalDedupRoster]] over an ALREADY-PREPARED delta signature
+    * frame (a [[sigGramsFrame]] output, typically a lazy localCheckpoint
+    * the caller materialized concurrently with the store build — guide
+    * §2.6 overlap; the x12/x14 gates do exactly that). Same output, same
+    * parameter guard — only who computes the delta signatures moved. */
+  private[graft] def incrementalDedupRosterPrepared(
+      deltaSig: DataFrame, store: DataFrame,
+      n: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
     val checked = store.select(
       when(col("n") === n && col("bands") === bands &&
           col("rows_per_band") === rowsPerBand, col("id"))
@@ -1087,9 +1101,7 @@ object Dedup {
             "signatures are not comparable across parameterizations"))))
         .as("id"),
       col("sig"), col("grams"))
-    crossRosterOf(checked,
-      sigGramsFrame(delta, idCol, textCol, n, bands * rowsPerBand)
-        .localCheckpoint(false),
+    crossRosterOf(checked, deltaSig,
       bands, rowsPerBand, threshold, maxBucketSize)
   }
 

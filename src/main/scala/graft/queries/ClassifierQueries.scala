@@ -117,11 +117,18 @@ object ClassifierQueries {
       import graft.operators.{Dedup, Sampling, Packing}
       import graft.functions.TextAnalysis
       // spread the scan before cleanText (four regexp passes per row) —
-      // `cleaned` feeds four consumers, each of which would otherwise
-      // re-run the repair chain inside the single-split scan task (r20)
+      // `cleaned` feeds FIVE consumers (seed tokenize, seed priors,
+      // corpus tokenize, the text re-attach join, the bench-gram leg),
+      // each of which re-ran the scan + whole regexp repair chain (r20
+      // left it unmaterialized; QueryProbe attributed ~4 recomputed
+      // clean passes). The lazy localCheckpoint pins ONE materialization
+      // (the bm25 shared-tf pattern the chain already uses for uniq /
+      // survivors); values are per-row deterministic, so every consumer
+      // reads the identical frame it previously recomputed.
       val cleaned = graft.core.Fanout.spread(documents(s, d), col("doc_id"))
         .select(col("doc_id"),
           TextAnalysis.cleanText(col("text")).as("text"), col("lang"))
+        .localCheckpoint(false)
       val scored = Classifier.nbScore(cleaned,
         cleaned.filter(col("doc_id") % 2 === 0), "doc_id", "text", "lang", Langs)
       val kept = Classifier.importanceResample(scored, "en", Langs,

@@ -127,10 +127,14 @@ object SimilarityQueries {
       val emb = embeddings(s, d)
       val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 16, 7L)
       val dir = StoreDirs.fresh("y7_store", d)
-      Ivf.assign(emb, "vec_id", "embedding", cents)
-        .write.mode("overwrite").parquet(dir + "/assigned")
-      Ivf.centroidsAsDf(s, cents)
-        .write.mode("overwrite").parquet(dir + "/centroids")
+      // the two store writes share no state — overlap them (guide §2.6);
+      // the heavy assignment leg gets guide §6 file sizing on write
+      graft.core.Overlap.par(
+        Ivf.assign(emb, "vec_id", "embedding", cents)
+          .hint("rebalance", col("id"))
+          .write.mode("overwrite").parquet(dir + "/assigned"),
+        Ivf.centroidsAsDf(s, cents)
+          .write.mode("overwrite").parquet(dir + "/centroids"))
       Ivf.ivfTopKFromStore(
         s.read.parquet(dir + "/assigned"),
         Ivf.centroidsFromDf(s.read.parquet(dir + "/centroids")),
@@ -153,10 +157,15 @@ object SimilarityQueries {
       val emb = embeddings(s, d)
       val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 16, 7L)
       val dir = StoreDirs.fresh("y9_store", d)
-      Ivf.assign(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", cents)
-        .write.mode("overwrite").parquet(dir + "/assigned")
-      Ivf.centroidsAsDf(s, cents)
-        .write.mode("overwrite").parquet(dir + "/centroids")
+      // half-store + centroid writes are independent — overlap (§2.6);
+      // the delta assignment below must still read the PERSISTED
+      // centroids (the store-lifecycle contract), so it stays sequential
+      graft.core.Overlap.par(
+        Ivf.assign(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", cents)
+          .hint("rebalance", col("id"))
+          .write.mode("overwrite").parquet(dir + "/assigned"),
+        Ivf.centroidsAsDf(s, cents)
+          .write.mode("overwrite").parquet(dir + "/centroids"))
       val storedCents = Ivf.centroidsFromDf(s.read.parquet(dir + "/centroids"))
       val delta = Ivf.assign(emb.filter(col("vec_id") % 2 =!= 0),
         "vec_id", "embedding", storedCents)

@@ -221,12 +221,25 @@ object TextQueries {
     // derivation.
     "x12_incremental_dedup" -> { (s, d) =>
       val dir = StoreDirs.fresh("x12_store", d)
-      Dedup.signatureStore(
-        documents(s, d).select(col("doc_id"), col("text")),
-        "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8)
-        .write.mode("overwrite").parquet(dir)
-      Dedup.incrementalDedupRoster(
-        perturbedDocs(s, d), s.read.parquet(dir), "doc_id", "text",
+      // the store build and the delta's signature pass share no state:
+      // materialize the delta's (id, sig, grams) checkpoint WHILE the
+      // store writes (guide §2.6 — the second job's tasks back-fill the
+      // first's straggler tail), then dedup against the read-back store.
+      // Same frames, same store, same roster as the sequential form.
+      val deltaSig = Dedup.sigGramsFrame(perturbedDocs(s, d), "doc_id",
+        "text", n = 3, numHashes = 128).localCheckpoint(false)
+      graft.core.Overlap.par(
+        Dedup.signatureStore(
+          documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8)
+          // guide §6: pin store files to AQE's advisory size on write
+          // (the bare post-aggregate layout wrote parallelism-first
+          // fan-out-width small files)
+          .hint("rebalance", col("id"))
+          .write.mode("overwrite").parquet(dir),
+        deltaSig.count())
+      Dedup.incrementalDedupRosterPrepared(
+        deltaSig, s.read.parquet(dir),
         n = 3, bands = 16, rowsPerBand = 8, threshold = 0.6,
         maxBucketSize = MaxBucket)
         .orderBy(col("doc_id"))
@@ -246,16 +259,23 @@ object TextQueries {
       val docs = documents(s, d).select(col("doc_id"), col("text"))
       val dirA = StoreDirs.fresh("x14_store_a", d)
       val dirB = StoreDirs.fresh("x14_store_b", d)
-      Dedup.signatureStore(docs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8)
-        .write.mode("overwrite").parquet(dirA)
-      Dedup.signatureStore(docs.filter(col("doc_id") % 2 =!= 0),
-        "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8)
-        .write.mode("overwrite").parquet(dirB)
-      Dedup.incrementalDedupRoster(
-        perturbedDocs(s, d),
+      // three independent legs — the two half-store builds and the
+      // delta's signature pass — run concurrently (guide §2.6) instead
+      // of serializing three full minhash passes; the merge + roster
+      // then read exactly the frames the sequential form read.
+      val deltaSig = Dedup.sigGramsFrame(perturbedDocs(s, d), "doc_id",
+        "text", n = 3, numHashes = 128).localCheckpoint(false)
+      def halfStore(parity: Int, dir: String): Unit =
+        Dedup.signatureStore(docs.filter(col("doc_id") % 2 === parity),
+          "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8)
+          .hint("rebalance", col("id")) // guide §6: target-sized files
+          .write.mode("overwrite").parquet(dir)
+      graft.core.Overlap.par3(
+        halfStore(0, dirA), halfStore(1, dirB), deltaSig.count())
+      Dedup.incrementalDedupRosterPrepared(
+        deltaSig,
         Dedup.mergeSignatureStore(s.read.parquet(dirA), s.read.parquet(dirB)),
-        "doc_id", "text", n = 3, bands = 16, rowsPerBand = 8,
+        n = 3, bands = 16, rowsPerBand = 8,
         threshold = 0.6, maxBucketSize = MaxBucket)
         .orderBy(col("doc_id"))
     },
