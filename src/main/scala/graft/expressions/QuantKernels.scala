@@ -351,6 +351,101 @@ case class PqLut(vec: Expression, books: Expression)
     copy(vec = l, books = r)
 }
 
+/** Serializable hyperplane table: sign-bit signature of a vector
+  * against `planes` fixed hyperplanes, optionally folded into a bucket
+  * count. Bit-identical to the literal
+  * [[graft.operators.Similarity.hyperplaneSignature]] arm: per-plane
+  * dot folds ascending-index exactly like `aggregate(zip_with(...))`,
+  * the sign test is a strict `> 0` (NaN dot → bit 0, like the literal
+  * arm's `when`), and the fold is a plain `%` of the non-negative
+  * signature (= the literal arm's `pmod`). */
+final class HyperplaneKernel(val planes: Array[Array[Double]],
+                             val buckets: Long) extends Serializable {
+  private val dim = if (planes.nonEmpty) planes(0).length else 0
+
+  def sig(v: ArrayData): Long = {
+    // loud dimension guard, same hazard as the literal arm's raise_error:
+    // zip_with would null-pad a short vector and silently send it to
+    // bucket 0, degrading LSH to a cross join
+    require(v.numElements() == dim,
+      s"hyperplaneSignature: expected $dim-dim vector, got ${v.numElements()}")
+    var acc = 0L
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += v.getDouble(j) * p(j); j += 1 }
+      if (s > 0) acc += 1L << i
+      i += 1
+    }
+    if (buckets > 0) acc % buckets else acc
+  }
+}
+
+/** `graft_hyperplane_sig(v, planes, buckets)` — v: array&lt;double&gt;,
+  * planes: FOLDABLE array&lt;array&lt;double&gt;&gt;, buckets: foldable
+  * long (&le; 0 = raw sign-bit signature, no fold). Returns the bucket
+  * id — bit-identical to
+  * [[graft.operators.Similarity.foldedSignature]]'s literal arm. */
+case class HyperplaneSig(vec: Expression, planes: Expression,
+                         buckets: Expression) extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = planes
+  override def third: Expression = buckets
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val planesOk = planes.foldable && (planes.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    })
+    val bucketsOk = buckets.foldable && buckets.dataType == LongType
+    if (vecOk && planesOk && bucketsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_hyperplane_sig expects (array<double>, foldable " +
+        "array<array<double>>, foldable bigint); got (" +
+        s"${vec.dataType.simpleString}, ${planes.dataType.simpleString}, " +
+        s"${buckets.dataType.simpleString})")
+  }
+
+  @transient private lazy val kernel: HyperplaneKernel = {
+    val outer = planes.eval(null).asInstanceOf[ArrayData]
+    val n = outer.numElements()
+    val arr = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      // SQL-callable form admits nullable elements — diagnose, don't NPE
+      val p = outer.getArray(i)
+      require(p != null, s"hyperplane $i is null — planes must be " +
+        "non-null array<double> rows")
+      arr(i) = p.toDoubleArray()
+      i += 1
+    }
+    new HyperplaneKernel(arr, buckets.eval(null).asInstanceOf[Long])
+  }
+
+  override def nullSafeEval(v: Any, p: Any, b: Any): Any =
+    kernel.sig(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("hplaneKernel", kernel,
+      classOf[HyperplaneKernel].getName)
+    nullSafeCodeGen(ctx, ev, (v, _, _) => s"${ev.value} = $k.sig($v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(vec = f, planes = s, buckets = t)
+}
+
 /** Registration + Column builders for the quantizer expressions. */
 object QuantKernels {
   def register(spark: SparkSession): Unit = {
@@ -361,6 +456,9 @@ object QuantKernels {
       "graft_pq_codes", exprs => PqCodes(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_lut", exprs => PqLut(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane_sig",
+      exprs => HyperplaneSig(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   /** (cid, vector, norm) triples as the foldable centroid literal. */
@@ -380,5 +478,13 @@ object QuantKernels {
             books: Seq[Seq[Seq[Double]]]): Column = {
     register(spark)
     call_function("graft_pq_lut", q, typedLit(books))
+  }
+
+  /** Hyperplane rows as the foldable plane literal; buckets <= 0 = no
+    * fold (raw sign-bit signature). */
+  def hyperplaneSig(spark: SparkSession, v: Column,
+                    planes: Seq[Seq[Double]], buckets: Long): Column = {
+    register(spark)
+    call_function("graft_hyperplane_sig", v, typedLit(planes), lit(buckets))
   }
 }

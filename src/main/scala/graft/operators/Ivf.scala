@@ -88,21 +88,20 @@ object Ivf {
   }
 
   /** Array of the `n` nearest centroid ids for vector column `v`,
-    * nearest first, ties to the smaller cid. Two spec-pinned-identical
-    * arms dispatched on centroid count:
-    *
-    *  - c ≤ [[ExpressionAssignMaxC]]: a single codegen'd literal
-    *    expression (array_sort on (−score, cid) structs) — the
-    *    SQL-expressible arm every oracle-mirrored gate runs;
-    *  - larger c: [[graft.expressions.NearestCentroids]] — the centroid
-    *    matrix rides as ONE array literal into a per-row kernel, so the
-    *    plan holds O(1) nodes at SemDeDup-scale C (10⁴–10⁵) where the
-    *    literal arm's O(c·d) tree stops analyzing/codegenning
-    *    (tools/QuantParamProbe pins the cliff). */
+    * nearest first, ties to the smaller cid — always the
+    * [[graft.expressions.NearestCentroids]] kernel (centroid matrix as
+    * ONE literal, per-row scoring loop). The kernel owns EVERY centroid
+    * count since r21: it was always required at SemDeDup-scale C
+    * (10⁴–10⁵, where the literal tree stops analyzing/codegenning —
+    * tools/QuantParamProbe), and tools/QuantArmProbe measured it 1.7×
+    * faster than the literal tree even at the gates' c = 16 (0.23 →
+    * 0.14 s over the sf0.1 corpus) while keeping the serialized plan
+    * O(1) nodes (the literal trees were the 1.2–1.7 MiB "broadcasting
+    * large task binary" warnings in the y5/y6 bench tail). The literal
+    * arm ([[nearestCidsLiteral]]) remains the SQL-expressible reference
+    * implementation, spec-pinned bit-identical (IvfSpec). */
   def nearestCids(v: Column, centroids: Seq[Centroid], n: Int): Column =
-    if (centroids.size <= ExpressionAssignMaxC)
-      nearestCidsLiteral(v, centroids, n)
-    else nearestCidsKernel(v, centroids, n)
+    nearestCidsKernel(v, centroids, n)
 
   /** Literal arm (probe-addressable; production entry is the
     * dispatching [[nearestCids]]). */
@@ -121,11 +120,15 @@ object Ivf {
       org.apache.spark.sql.SparkSession.active, v,
       centroids.map(c => (c.cid, c.v, c.norm)), n)
 
-  /** Above this centroid count, [[assign]] switches from the literal
-    * codegen expression to the broadcast-matrix kernel: the expression
-    * tree grows O(c·d) literals and past a few dozen centroids stops fitting
-    * whole-stage codegen (measured: the sd1 gate at c=625 ran 10×
-    * slower through the expression than through the kernel). */
+  /** Above this centroid count, [[assign]] switches from the expression
+    * projection to the broadcast-matrix mapPartitions kernel: the
+    * expression tree grows O(c·d) literals and past a few dozen
+    * centroids stops fitting whole-stage codegen (measured: the sd1
+    * gate at c=625 ran 10× slower through the expression than through
+    * the kernel). Since r21 the small-c expression arm scores through
+    * [[nearestCidsKernel]] (see [[nearestCids]]), so this threshold only
+    * decides projection-vs-mapPartitions shape, and specs use it to
+    * parameterize the big-c arms. */
   val ExpressionAssignMaxC = 32
 
   /** Corpus with its cluster assignment — map-side only, no shuffle, no

@@ -80,22 +80,26 @@ object Pq {
       e => e.getField("cid")), 1)
   }
 
-  /** Above this per-subspace centroid count the codes/lut builders
-    * switch from the literal expression tree (O(m·ks·d) nodes) to the
-    * [[graft.expressions.PqCodes]]/[[graft.expressions.PqLut]] kernels
-    * (codebooks as ONE literal, O(1) nodes) — production PQ uses
-    * ks = 256–4096 where the literal tree stops analyzing/codegenning
-    * (tools/QuantParamProbe). Gate parameterizations (ks ≤ 16) all stay
-    * on the SQL-expressible literal arm. */
+  /** Spec parameterization bound: PqSpec exercises the (historical)
+    * literal expression arm against the kernels ABOVE this ks to pin
+    * them bit-identical. Production dispatch no longer branches on it —
+    * see [[codesCol]]. */
   val LiteralCodebookMaxKs = 32
 
   /** codes[m] for a vector column — exposed so compositions ([[IvfPq]])
     * can encode in the same projection as other map-side columns.
-    * Size-dispatched (see [[LiteralCodebookMaxKs]]); arms spec-pinned
-    * identical. */
+    * Always the [[graft.expressions.PqCodes]] kernel (codebooks as ONE
+    * literal, O(1) plan nodes) since r21: the kernel was always required
+    * at production ks = 256–4096 (the literal tree stops
+    * analyzing/codegenning — tools/QuantParamProbe), and
+    * tools/QuantArmProbe measured it 5.4× faster than the literal tree
+    * even at the gates' ks = 16 (0.86 → 0.16 s over the sf0.1 corpus);
+    * the literal trees were also the 1.2–1.7 MiB "broadcasting large
+    * task binary" warnings in the y5/y6 bench tail. The literal arm
+    * stays as the SQL-expressible reference, spec-pinned bit-identical
+    * (PqSpec). */
   private[graft] def codesCol(v: Column, books: Codebooks): Column =
-    if (books.head.size <= LiteralCodebookMaxKs) codesColLiteral(v, books)
-    else codesColKernel(v, books)
+    codesColKernel(v, books)
 
   private[graft] def codesColLiteral(v: Column, books: Codebooks): Column = {
     val d = books.head.head.size
@@ -107,11 +111,10 @@ object Pq {
       org.apache.spark.sql.SparkSession.active, v, books)
 
   /** Per-query lookup table: lut(s)(c) = d²(q_s, centroid c of
-    * subspace s), computed ONCE per query row. Size-dispatched like
-    * [[codesCol]]. */
+    * subspace s), computed ONCE per query row. Kernel-only like
+    * [[codesCol]] (same r21 measurement and rationale). */
   private[graft] def lutCol(q: Column, books: Codebooks): Column =
-    if (books.head.size <= LiteralCodebookMaxKs) lutColLiteral(q, books)
-    else lutColKernel(q, books)
+    lutColKernel(q, books)
 
   private[graft] def lutColLiteral(q: Column, books: Codebooks): Column = {
     val d = books.head.head.size

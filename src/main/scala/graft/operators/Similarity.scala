@@ -98,9 +98,29 @@ object Similarity {
     * hyperplanes of one hash table — an integer bucket id in
     * [0, 2^planes). The planes are `dim`-dimensional; a mismatched vector
     * length raises (zip_with would otherwise null-pad, silently sending
-    * every vector to bucket 0 and degrading LSH to a cross join). */
+    * every vector to bucket 0 and degrading LSH to a cross join).
+    *
+    * Always the [[graft.expressions.HyperplaneSig]] kernel since r21
+    * (planes as ONE literal, codegen'd sign-bit loop): the literal
+    * per-plane `zip_with`/`aggregate` trees evaluated interpreted and
+    * grew O(tables·planes·dim) plan nodes — the same pathology the
+    * PQ/IVF kernels fixed, measured 5.4×/1.7× there
+    * (tools/QuantArmProbe) and a y2/y3/x5 banding-stage cost here. The
+    * literal arm ([[hyperplaneSignatureLiteral]]) stays as the
+    * SQL-expressible reference, spec-pinned bit-identical
+    * (SimilaritySpec). */
   def hyperplaneSignature(v: Column, planes: Int, table: Int = 0,
-                          dim: Int = 64): Column = {
+                          dim: Int = 64): Column =
+    graft.expressions.QuantKernels.hyperplaneSig(
+      org.apache.spark.sql.SparkSession.active, v,
+      planeLiterals(planes, dim, table), buckets = 0L)
+
+  /** Literal reference arm of [[hyperplaneSignature]] (probe/spec
+    * access; per-plane `when(dot > 0, 1 << i)` lanes + a raise_error
+    * dimension guard). */
+  private[graft] def hyperplaneSignatureLiteral(v: Column, planes: Int,
+                                                table: Int = 0,
+                                                dim: Int = 64): Column = {
     val sig = planeLiterals(planes, dim, table).zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit): _*)
       when(dot(v, plane) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
@@ -113,11 +133,21 @@ object Similarity {
 
   /** [[hyperplaneSignature]] optionally folded into a non-power-of-two
     * bucket count (`buckets <= 0` = no fold — raw sign-bit bucket). The
-    * signature is non-negative (< 2^planes), so `pmod` here is plain `%`
-    * and the DuckDB oracle mirrors it verbatim. */
+    * signature is non-negative (< 2^planes), so the kernel's `%` is the
+    * literal arm's `pmod` and the DuckDB oracle mirrors it verbatim.
+    * The fold rides INSIDE the kernel call (one expression, no extra
+    * pmod node). */
   def foldedSignature(v: Column, planes: Int, table: Int,
-                      buckets: Long = 0, dim: Int = 64): Column = {
-    val sig = hyperplaneSignature(v, planes, table, dim)
+                      buckets: Long = 0, dim: Int = 64): Column =
+    graft.expressions.QuantKernels.hyperplaneSig(
+      org.apache.spark.sql.SparkSession.active, v,
+      planeLiterals(planes, dim, table), buckets = math.max(0L, buckets))
+
+  /** Literal reference arm of [[foldedSignature]]. */
+  private[graft] def foldedSignatureLiteral(v: Column, planes: Int, table: Int,
+                                            buckets: Long = 0,
+                                            dim: Int = 64): Column = {
+    val sig = hyperplaneSignatureLiteral(v, planes, table, dim)
     if (buckets > 0) pmod(sig, lit(buckets)) else sig
   }
 

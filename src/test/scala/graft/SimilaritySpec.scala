@@ -17,6 +17,30 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2) - 1.0) < 1e-12)
   }
 
+  test("hyperplane signature: kernel expression == literal expression") {
+    // real embeddings at sf0.01, raw and folded, two tables — the
+    // HyperplaneSig kernel (r21, the task-binary/interp-tree fix) must
+    // agree with the literal zip_with/aggregate reference to the bit
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+    for (table <- Seq(0, 3); buckets <- Seq(0L, 13L)) {
+      val ker = emb.select($"vec_id",
+        Similarity.foldedSignature($"v", planes = 6, table, buckets).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val lit0 = emb.select($"vec_id",
+        Similarity.foldedSignatureLiteral($"v", planes = 6, table, buckets).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      assert(ker.nonEmpty && ker.sameElements(lit0),
+        s"table=$table buckets=$buckets: kernel and literal signatures differ")
+    }
+    // the dimension guard stays loud (the zip_with-null-pad hazard)
+    val short = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      short.select(Similarity.hyperplaneSignature($"v", planes = 4)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("bruteForceTopK ranks the perturbed twin first") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val twin = emb.select(($"vec_id" + 100000L).as("vec_id"),
