@@ -59,6 +59,36 @@ class FanoutSpec extends SparkSpec {
       s"already-wide checkpoint must not re-shuffle:\n$p")
   }
 
+  test("checkpoint width derives from plan-time stats, not 128MB/partition") {
+    // r20 advice (medium): a tiny few-partition localCheckpoint used to
+    // be estimated at partitions × maxPartitionBytes, so spread() fanned
+    // it to the full core count — reinstating the fixed-per-task-cost
+    // regression the bytes-derived width guard exists to avoid. The
+    // byte estimate now comes from the leaf's origin statistics: a
+    // checkpoint of a 64 KB scan stays un-fanned however few partitions
+    // it has.
+    val tiny = graft.Tables.documents(spark, d) // 64 KB file
+      .repartition(2, col("doc_id"))
+      .localCheckpoint()
+    assert(Fanout.plannedScanTasks(tiny).contains(2L))
+    val p = Fanout.spread(tiny, col("doc_id")).queryExecution.executedPlan.toString
+    assert(!p.contains("REPARTITION_BY_NUM"),
+      s"tiny checkpoint must not fan to the core count:\n$p")
+  }
+
+  test("spread is a no-op on plans already carrying an explicit-width repartition") {
+    // r20 advice (low): a query-level spread followed by an operator-level
+    // one stacked two consecutive same-key exchanges (a Project between
+    // them defeats CollapseRepartition)
+    val docs = graft.Tables.documents(spark, dBig)
+    val once = Fanout.spread(docs, col("doc_id"))
+      .select(col("doc_id"), upper(col("text")).as("text"))
+    val twice = Fanout.spread(once, col("doc_id"))
+    val n = "REPARTITION_BY_NUM".r
+      .findAllIn(twice.queryExecution.executedPlan.toString).length
+    assert(n == 1, s"expected exactly one fan-out exchange, got $n")
+  }
+
   test("fan-out changes no results (minhash pairs bit-identical)") {
     val corpus = graft.queries.TextQueries.nearDupCorpus(spark, dBig)
     def pairs() = graft.operators.Dedup.minhashLshPairsShared(
