@@ -86,3 +86,66 @@ object CosineSimilarity {
     call_function("graft_cosine", a, b)
   }
 }
+
+/** Native dot product over two double arrays — the scoring half of
+  * [[CosineSimilarity]] for callers that carry PRECOMPUTED norms
+  * ([[graft.operators.Similarity.cosinePrenormed]] — the per-candidate-
+  * pair hot loop of every banded ANN verify stage). Same ascending-index
+  * IEEE summation as the `aggregate(zip_with(...))` Column form —
+  * bit-identical results (spec-pinned, CosineExprSpec) — with no
+  * intermediate product array and full codegen. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects array<double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object DotProduct {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+
+  /** Column form (registers on first use in the session). */
+  def column(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_dot", a, b)
+  }
+}

@@ -24,14 +24,27 @@ object Similarity {
   /** Cast a float array column to double. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Index-ordered dot product — the `zip_with`/`aggregate` reference
+    * form. Interpreted (higher-order functions have no codegen) and
+    * allocates the product array per call: hot paths use [[dotNative]];
+    * this form remains for the spec-pinned literal reference arms. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** [[dot]] through the codegen'd [[graft.expressions.DotProduct]]
+    * kernel — same ascending-index IEEE summation, bit-identical values
+    * (CosineExprSpec), no intermediate array, full whole-stage codegen.
+    * This is the per-candidate-PAIR scoring op of every banded ANN
+    * verify stage (r21: the zip_with form evaluated interpreted there). */
+  def dotNative(a: Column, b: Column): Column =
+    graft.expressions.DotProduct.column(
+      org.apache.spark.sql.SparkSession.active, a, b)
+
+  def norm(a: Column): Column = sqrt(dotNative(a, a))
 
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
-    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+    when(d > 0, dotNative(a, b) / d).otherwise(lit(0.0))
   }
 
   /** Cosine from PRECOMPUTED norms — bit-identical to [[cosine]] (same
@@ -42,7 +55,7 @@ object Similarity {
     * the attach join as a single extra double per row. */
   def cosinePrenormed(a: Column, b: Column, na: Column, nb: Column): Column = {
     val d = na * nb
-    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+    when(d > 0, dotNative(a, b) / d).otherwise(lit(0.0))
   }
 
   /** Deterministic random hyperplanes: `planes` rows of `dim` N(0,1)
